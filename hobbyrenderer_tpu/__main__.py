@@ -1,0 +1,54 @@
+"""CLI entry point (the L7 app layer).
+
+Reference: main() at src/Renderer.cpp:2293-2306 — parse Config, Initialize, Run,
+Shutdown. Headless here: renders N frames and writes a screenshot + stats.
+
+Usage:
+    python -m hobbyrenderer_tpu --scene stress --mode normal --frames 8 \
+        --screenshot out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from hobbyrenderer_tpu.config import Config, RenderingMode
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hobbyrenderer-tpu")
+    p.add_argument("--scene", type=str, default=None,
+                   help="glTF path | 'cube' | 'stress' | 'stress:N'")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--mode", type=str, default=RenderingMode.NORMAL,
+                   choices=RenderingMode.ALL)
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--screenshot", type=str, default=None)
+    p.add_argument("--cache-dir", type=str, default=".hr_cache")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--describe-graph", action="store_true",
+                   help="print the pass graph (RenderGraphUI analogue)")
+    p.add_argument("--timings", action="store_true",
+                   help="print per-pass CPU timings after the run")
+    p.add_argument("--execute-per-pass", action="store_true")
+    a = p.parse_args(argv)
+
+    cfg = Config(scene=a.scene, width=a.width, height=a.height, mode=a.mode,
+                 cache_dir=a.cache_dir, seed=a.seed,
+                 execute_per_pass=a.execute_per_pass)
+    from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
+    r = Renderer(cfg)
+    if a.describe_graph:
+        print(r.describe_graph())
+    stats = r.run(num_frames=a.frames, screenshot=a.screenshot)
+    print(json.dumps(stats))
+    if a.timings:
+        print(r.timings())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,9 +62,28 @@ class RenderSettings:
     taa_blend: float = 0.1                      # history feedback min
     sharpness: float = 0.0
     ambient_scale: float = 1.0
-    max_bounces: int = 8                        # ref src/Renderer.h:299
+    max_bounces: int = 8                        # ref src/Renderer.h:299 (STATIC: loop bound)
     rr_start_bounce: int = 2                    # ref PathTracer.hlsl:263-270
     ibl_intensity: float = 1.0
+
+    # Fields that are jit-STATIC (control flow / shapes) and stay out of the pytree
+    _static_fields = ("max_bounces",)
+
+    def as_pytree(self):
+        """Traced per-frame uniform pytree (floats/vecs only) — the volatile
+        constant-buffer analogue. Changing these never re-compiles."""
+        import numpy as _np
+        from hobbyrenderer_tpu.utils.pytree import DotDict
+        out = DotDict()
+        for f in dataclasses.fields(self):
+            if f.name.startswith("_") or f.name in self._static_fields:
+                continue
+            v = getattr(self, f.name)
+            if isinstance(v, (tuple, list)):
+                out[f.name] = _np.asarray(v, _np.float32)
+            elif isinstance(v, (int, float)):
+                out[f.name] = _np.float32(v)
+        return out
 
 
 @dataclass

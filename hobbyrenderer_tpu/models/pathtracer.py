@@ -1,0 +1,304 @@
+"""ReferencePathTracer mode: unbiased progressive Monte Carlo path tracer.
+
+Reference: src/PathTracerRenderer.cpp (111) + src/shaders/PathTracer.hlsl (340):
+per-pixel loop of <=8 bounces over an inline-RT query, NEE on lights with
+cone-sampled soft sun + per-light shadow rays, GGX-VNDF / cosine importance
+sampling, Russian roulette after bounce 2, Bruneton sky on miss with primary-only
+sun disk, progressive running-average accumulation with camera-move reset
+(PathTracerRenderer.cpp:41-50), always LOD 0 (PathTracer.hlsl:102-103).
+
+TPU design: a wavefront over all pixels — every bounce is one lockstep BVH
+traversal over the full ray population (masked lanes for terminated paths), then
+fully-regular shading/sampling. Deterministic: the RNG is a pure function of
+(pixel, accumulation_index, dimension) like the reference's PCG seeding
+(RNG.hlsli:21-27), so image N is reproducible — the golden-image property."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hobbyrenderer_tpu.ops import bvh as bvhops
+from hobbyrenderer_tpu.ops import post as postops
+from hobbyrenderer_tpu.ops import sampling as smp
+from hobbyrenderer_tpu.ops import shading as shadeops
+from hobbyrenderer_tpu.ops import sky as skyops
+from hobbyrenderer_tpu.ops.intersect import INF, offset_ray_origin
+from hobbyrenderer_tpu.scene.gpu import (MAT_ALPHA_CUTOFF, MAT_BASE_COLOR, MAT_EMISSIVE,
+                                         MAT_METALLIC, MAT_ROUGHNESS)
+from hobbyrenderer_tpu.scene.scene import LIGHT_DIRECTIONAL
+from hobbyrenderer_tpu.utils import math as hm
+from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
+
+
+class SceneRT(NamedTuple):
+    """Ray-tracing snapshot: world-space BVH + per-triangle attribute tables.
+
+    v1 is a flattened snapshot at LOD0 (matching the reference path tracer's
+    always-LOD0); rebuilt on scene edit. The TLAS/BLAS split replaces this for
+    dynamic scenes (ops/tlas.py milestone)."""
+
+    bvh: bvhops.BVH
+    tri_gv: jnp.ndarray     # (T, 3) i32 global vertex ids
+    tri_inst: jnp.ndarray   # (T,) i32 instance id
+    tri_mat: jnp.ndarray    # (T,) i32 material id
+
+
+def build_scene_rt(scene, gpu) -> SceneRT:
+    """Host-side flatten: every instance's LOD0 triangles to world space."""
+    tris, gvs, insts, mats = [], [], [], []
+    voff = {}
+    off = 0
+    for p, mesh in enumerate(scene.meshes):
+        voff[p] = off
+        off += mesh.num_vertices
+    for i, I in enumerate(scene.instances):
+        mesh = scene.meshes[I.prim]
+        w = scene.nodes[I.node].world
+        idx = mesh.lods[0].indices  # (t, 3) local
+        pw = hm.transform_points(w, mesh.positions)
+        tris.append(pw[idx])
+        gvs.append(idx.astype(np.int32) + voff[I.prim])
+        insts.append(np.full(idx.shape[0], i, np.int32))
+        mats.append(np.full(idx.shape[0], I.material, np.int32))
+    tri_verts = np.concatenate(tris, 0).astype(np.float32)
+    bvh = bvhops.build_bvh(tri_verts)
+    return SceneRT(bvh=bvh,
+                   tri_gv=jnp.asarray(np.concatenate(gvs, 0)),
+                   tri_inst=jnp.asarray(np.concatenate(insts, 0)),
+                   tri_mat=jnp.asarray(np.concatenate(mats, 0)))
+
+
+def camera_rays(vc, height: int, width: int, jitter_uv):
+    """Primary rays through jittered pixel positions. jitter_uv: (H, W, 2) in
+    [0,1) sub-pixel offsets (stratified by the accumulation RNG)."""
+    px = jnp.stack(jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
+                                jnp.arange(height, dtype=jnp.float32),
+                                indexing="xy"), -1) + jitter_uv
+    ndc_x = (px[..., 0] + 0.0) / width * 2.0 - 1.0
+    ndc_y = 1.0 - (px[..., 1] + 0.0) / height * 2.0
+    inv = vc["inv_view_proj"]
+    p = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5)], -1)
+    w = jnp.einsum("j,hwj->hw", inv[3, :3], p) + inv[3, 3]
+    world = (jnp.einsum("ij,hwj->hwi", inv[:3, :3], p) + inv[:3, 3]) / w[..., None]
+    o = jnp.broadcast_to(vc["camera_pos"], world.shape)
+    d = hm.normalize(world - o, xp=jnp)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def _fetch_hit_attrs(gpu, rt: SceneRT, hit, o, d):
+    """Interpolate attributes at hit points (ref quantized vertex fetch in
+    RaytracingCommon.hlsli hit attribute path)."""
+    tri = jnp.maximum(hit.tri, 0)
+    gv = rt.tri_gv[tri]                         # (R, 3)
+    inst = rt.tri_inst[tri]
+    mat = rt.tri_mat[tri]
+    u, v = hit.u, hit.v
+    b = jnp.stack([1.0 - u - v, u, v], -1)      # (R, 3)
+
+    n_obj, _s = hm.unpack_normal_oct(gpu.vnormals[gv], xp=jnp)   # (R, 3, 3)
+    Nm = gpu.inst_normal_mat[inst]
+    n_w = jnp.einsum("rij,rvj->rvi", Nm, n_obj)
+    n = hm.normalize(jnp.einsum("rv,rvi->ri", b, n_w), xp=jnp)
+
+    p_obj = gpu.positions[gv]
+    W = gpu.inst_transform[inst]
+    p_w = jnp.einsum("rij,rvj->rvi", W[:, :3, :3], p_obj) + W[:, None, :3, 3]
+    gn = jnp.cross(p_w[:, 1] - p_w[:, 0], p_w[:, 2] - p_w[:, 0])
+    gn = hm.normalize(gn, xp=jnp)
+
+    pos = o + d * hit.t[..., None]
+    uv = jnp.einsum("rv,rvi->ri", b, hm.unpack_uv_half2(gpu.vuvs[gv], xp=jnp))
+
+    # two-sided shading: flip both normals toward the incoming ray
+    flip = jnp.sum(gn * d, -1, keepdims=True) > 0
+    gn = jnp.where(flip, -gn, gn)
+    n = jnp.where(jnp.sum(n * gn, -1, keepdims=True) < 0, -n, n)
+    return pos, n, gn, uv, mat, inst
+
+
+def _sun_index(gpu):
+    lt = gpu.light_type
+    is_dir = (lt == LIGHT_DIRECTIONAL) & (jnp.arange(lt.shape[0]) < gpu.light_count)
+    return jnp.argmax(is_dir), is_dir.any()
+
+
+def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
+                accum_index, max_bounces: int = 8, rr_start: int = 2,
+                sample_textures=None, sky_fn=None):
+    """One sample per pixel; returns (H*W, 3) radiance."""
+    R = height * width
+    pix = jnp.arange(R, dtype=jnp.uint32)
+    frame = jnp.asarray(accum_index).astype(jnp.uint32)
+
+    def rand3(dim):
+        bits = pcg3d(jnp.stack([pix,
+                                jnp.broadcast_to(frame, pix.shape),
+                                jnp.full_like(pix, dim)], -1))
+        return (uniform_from_bits(bits[..., 0]), uniform_from_bits(bits[..., 1]),
+                uniform_from_bits(bits[..., 2]))
+
+    def rand2(dim):
+        a, b, _ = rand3(dim)
+        return a, b
+
+    ju, jv = rand2(0)
+    o, d = camera_rays(vc, height, width, jnp.stack([ju.reshape(height, width),
+                                                     jv.reshape(height, width)], -1))
+    sun_idx, has_sun = _sun_index(gpu)
+
+    def bounce_body(carry, bounce):
+        o, d, radiance, throughput, active = carry
+        dim = 1 + bounce * 8
+        hit = bvhops.bvh_closest_hit(rt.bvh, o, d)
+        miss = (hit.tri < 0) & active
+        # sky on miss (sun disk only on primary — NEE covers it after bounces)
+        if sky_fn is not None:
+            sky = sky_fn(d, bounce)
+        else:
+            sky_nd = skyops.sky_radiance(d, gpu.light_dir[sun_idx], settings,
+                                         with_sun_disk=False)
+            sky_wd = skyops.sky_radiance(d, gpu.light_dir[sun_idx], settings,
+                                         with_sun_disk=True)
+            sky = jnp.where(bounce == 0, sky_wd, sky_nd)
+        radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
+        active = active & (hit.tri >= 0)
+
+        pos, n, gn, uv, mat, inst = _fetch_hit_attrs(gpu, rt, hit, o, d)
+        mf = gpu.mat_f[mat]
+        albedo = mf[:, MAT_BASE_COLOR:MAT_BASE_COLOR + 3]
+        metallic = mf[:, MAT_METALLIC]
+        rough = jnp.clip(mf[:, MAT_ROUGHNESS], shadeops.MIN_ROUGHNESS, 1.0)
+        emissive = mf[:, MAT_EMISSIVE:MAT_EMISSIVE + 3]
+        if sample_textures is not None:
+            albedo, rough, metallic, emissive = sample_textures(
+                gpu, mat, uv, albedo, rough, metallic, emissive)
+
+        # emitted light (emissive surfaces are not in the NEE light set -> no double count)
+        radiance = radiance + jnp.where(active[..., None], throughput * emissive, 0.0)
+
+        v = -d
+        # ---- NEE: sample one light uniformly (estimator weight = light_count) ----
+        u_l, u1, u2 = rand3(dim + 0)
+        nl = jnp.maximum(gpu.light_count, 1)
+        li = jnp.minimum((u_l * nl).astype(jnp.int32), nl - 1)
+        L, rad, dist = shadeops.light_incident(
+            gpu.light_type[li], gpu.light_pos[li], gpu.light_dir[li],
+            gpu.light_color[li], gpu.light_range[li], gpu.light_cone[li], pos)
+        is_sun = gpu.light_type[li] == LIGHT_DIRECTIONAL
+        # soft sun: cone sample around the sun direction (ref cone-sampled sun)
+        cos_max = jnp.cos(settings.sun_angular_radius)
+        L_sun = smp.sample_cone(L, cos_max, u1, u2)
+        L = jnp.where(is_sun[..., None], L_sun, L)
+        f = shadeops.eval_brdf(n, v, L, albedo, metallic, rough)
+        ndl_ok = (jnp.sum(L * gn, -1) > 0) & (jnp.sum(L * n, -1) > 0)
+        nee_active = active & ndl_ok & (jnp.max(rad, -1) > 0)
+        so = offset_ray_origin(pos, gn, L)
+        occluded = bvhops.bvh_any_hit(rt.bvh, so, L,
+                                      t_max=jnp.where(nee_active, dist - 2e-3, 1e-4))
+        contrib = throughput * f * rad * nl.astype(jnp.float32)
+        radiance = radiance + jnp.where((nee_active & ~occluded)[..., None], contrib, 0.0)
+
+        # ---- Russian roulette (ref PathTracer.hlsl:263-270) ----
+        u_rr, _ = rand2(dim + 1)
+        do_rr = bounce >= rr_start
+        p_cont = jnp.where(do_rr, jnp.clip(jnp.max(throughput, -1), 0.05, 0.95), 1.0)
+        active = active & (u_rr < p_cont)
+        throughput = throughput / p_cont[..., None]
+
+        # ---- BRDF sampling: diffuse (cosine) or specular (GGX-VNDF) ----
+        u_sel, us1 = rand2(dim + 2)
+        ud1, ud2 = rand2(dim + 3)
+        diffuse_c, f0, alpha = shadeops.brdf_params(albedo, metallic, rough)
+        w_spec = hm.luminance(f0, xp=jnp) + 1e-4
+        w_diff = hm.luminance(diffuse_c, xp=jnp) + 1e-4
+        p_spec = w_spec / (w_spec + w_diff)
+
+        v_loc = smp.to_local(n, v)
+        v_loc = v_loc.at[..., 2].set(jnp.maximum(v_loc[..., 2], 1e-4))
+        h_loc = smp.sample_ggx_vndf(v_loc, alpha, us1, ud2)
+        l_spec_loc = hm.normalize(
+            2.0 * jnp.sum(v_loc * h_loc, -1, keepdims=True) * h_loc - v_loc, xp=jnp)
+        l_diff_loc = smp.cosine_sample_hemisphere(ud1, ud2)
+        choose_spec = u_sel < p_spec
+        l_loc = jnp.where(choose_spec[..., None], l_spec_loc, l_diff_loc)
+        l_world = smp.to_world(n, l_loc)
+
+        ndl = l_loc[..., 2]
+        ndv = v_loc[..., 2]
+        vdh = jnp.maximum(jnp.sum(v_loc * h_loc, -1), 0.0)
+        F = shadeops.fresnel_schlick(vdh[..., None], f0)
+        # VNDF estimator weight: F * G2/G1 ; cosine diffuse weight: diffuse color
+        w_s = F * smp.smith_g2_over_g1(ndv, jnp.maximum(ndl, 1e-5), alpha)[..., None]
+        w_d = diffuse_c
+        weight = jnp.where(choose_spec[..., None],
+                           w_s / jnp.maximum(p_spec, 1e-4)[..., None],
+                           w_d / jnp.maximum(1 - p_spec, 1e-4)[..., None])
+        ok = ndl > 1e-5
+        active = active & ok
+        throughput = throughput * jnp.where(ok[..., None], weight, 0.0)
+        throughput = jnp.minimum(throughput, 64.0)  # firefly clamp (ref clamps too)
+
+        o = offset_ray_origin(pos, gn, l_world)
+        d = l_world
+        return (o, d, radiance, throughput, active), None
+
+    carry = (o, d, jnp.zeros((R, 3)), jnp.ones((R, 3)), jnp.ones((R,), bool))
+    carry, _ = jax.lax.scan(bounce_body, carry,
+                            jnp.arange(max_bounces, dtype=jnp.int32))
+    return carry[2]
+
+
+class PathTracerRenderer:
+    """Progressive accumulation driver (ref src/PathTracerRenderer.cpp)."""
+
+    def __init__(self, gpu, width: int, height: int, config=None, scene=None,
+                 rt: Optional[SceneRT] = None):
+        self.width, self.height = width, height
+        self.config = config
+        self.rt = rt
+        self.accum = jnp.zeros((height, width, 3), jnp.float32)
+        self.num_accum = 0
+        self.exposure = jnp.float32(1.0)
+        self._prev_view = None
+        self._jitted = None
+        self.max_bounces = int(getattr(getattr(config, "settings", None),
+                                       "max_bounces", 8) or 8)
+        self.rr_start = int(getattr(getattr(config, "settings", None),
+                                    "rr_start_bounce", 2) or 2)
+        if scene is not None and rt is None:
+            self.rt = build_scene_rt(scene, gpu)
+
+    def ensure_rt(self, scene, gpu):
+        if self.rt is None:
+            self.rt = build_scene_rt(scene, gpu)
+
+    def _step(self, gpu, rt, vc, settings, accum, n_accum, exposure, dt):
+        sample = trace_paths(gpu, rt, vc, settings, self.height, self.width,
+                             n_accum, self.max_bounces, self.rr_start)
+        sample = sample.reshape(self.height, self.width, 3)
+        w = 1.0 / (n_accum.astype(jnp.float32) + 1.0)
+        accum = accum * (1.0 - w) + sample * w
+        hist = postops.luminance_histogram(accum)
+        exposure = postops.exposure_adapt(hist, exposure, dt, settings)
+        ldr = postops.tonemap_to_output(accum, exposure)
+        return ldr, accum, exposure
+
+    def render(self, gpu, vc, settings, dt: float = 1 / 60):
+        assert self.rt is not None, "call ensure_rt(scene, gpu) first"
+        # camera-move reset (ref view-matrix memcmp, PathTracerRenderer.cpp:41-50)
+        vm = np.asarray(vc["view_proj_no_jitter"])
+        if self._prev_view is None or not np.array_equal(vm, self._prev_view):
+            self.num_accum = 0
+            self.accum = jnp.zeros_like(self.accum)
+            self._prev_view = vm
+        if self._jitted is None:
+            self._jitted = jax.jit(self._step, donate_argnums=(4,))
+        ldr, self.accum, self.exposure = self._jitted(
+            gpu, self.rt, vc, settings, self.accum,
+            jnp.int32(self.num_accum), self.exposure, jnp.float32(dt))
+        self.num_accum += 1
+        return ldr, jnp.int32(0)

@@ -1,0 +1,262 @@
+"""BVH build (host, vectorized numpy LBVH) + device traversal (jnp wavefront).
+
+Reference: Scene::BuildAccelerationStructures (src/Scene.cpp:67-214) builds a BLAS
+per primitive per LOD + a TLAS over instances via D3D12 hardware; traversal is
+RayQuery in HLSL (RaytracingCommon.hlsli). On TPU both are software:
+
+- BUILD: Morton-ordered implicit balanced binary tree ("treelet LBVH"): triangles
+  sorted by centroid Morton code, grouped into K-triangle leaves, interior nodes in
+  heap layout (children of i are 2i+1, 2i+2) with AABBs computed bottom-up, fully
+  vectorized. No pointers: the topology is implicit in the array index, which makes
+  the traversal loop branch-light — the property that matters for the lockstep TPU
+  wavefront.
+- TRAVERSAL: a lax.while_loop over a wavefront of rays in lockstep, per-ray explicit
+  stack (R, DEPTH) in registers/VMEM. Near-child-first ordering via per-ray swap.
+  Leaf hits test K triangles vectorized (SURVEY.md §7 "BVH traversal divergence").
+
+The two-level (TLAS/BLAS) layout with per-instance transforms + LOD selection is
+layered on top in ops/tlas.py; the flattened world-space BVH here is used by the
+path tracer's "static snapshot" mode and as the BLAS representation."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hobbyrenderer_tpu.ops.intersect import INF, ray_aabb, ray_triangle, safe_inv_dir
+
+LEAF_SIZE = 4
+
+
+class BVH(NamedTuple):
+    """Heap-layout BVH. L leaves (pow2), 2L-1 nodes; node i's children are
+    2i+1/2i+2; leaves are nodes >= L-1, leaf j holds sorted tris [j*K, (j+1)*K)."""
+
+    node_lo: jnp.ndarray     # (2L-1, 3) f32
+    node_hi: jnp.ndarray     # (2L-1, 3) f32
+    tri_v0: jnp.ndarray      # (L*K, 3) f32  sorted+padded triangle vertices
+    tri_e1: jnp.ndarray      # (L*K, 3) f32  v1-v0
+    tri_e2: jnp.ndarray      # (L*K, 3) f32  v2-v0
+    tri_id: jnp.ndarray      # (L*K,) i32 original triangle id (-1 = padding)
+
+    @property
+    def num_leaves(self) -> int:
+        return (self.node_lo.shape[0] + 1) // 2
+
+    @property
+    def depth(self) -> int:
+        return int(np.log2(self.num_leaves)) + 1
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """(N, 3) ints in [0, 1024) -> 30-bit Morton codes."""
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << 16)) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << 8)) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << 4)) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x1249249249249249)
+        return v
+
+    return spread(x[:, 0]) | (spread(x[:, 1]) << np.uint64(1)) | (spread(x[:, 2]) << np.uint64(2))
+
+
+def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
+              device_put: bool = True) -> BVH:
+    """tri_verts: (T, 3, 3) float32 world/object-space triangles."""
+    tri_verts = np.asarray(tri_verts, np.float32)
+    T = tri_verts.shape[0]
+    assert T > 0, "empty BVH"
+    cent = tri_verts.mean(axis=1)
+    lo_all = cent.min(0)
+    ext = np.maximum(cent.max(0) - lo_all, 1e-12)
+    q = np.clip(((cent - lo_all) / ext) * 1023.0, 0, 1023).astype(np.uint64)
+    order = np.argsort(_morton3(q), kind="stable")
+    sorted_tris = tri_verts[order]
+
+    L = 1
+    while L * leaf_size < T:
+        L *= 2
+    pad = L * leaf_size - T
+    if pad:
+        # padded triangles: degenerate at +inf-ish, never hit
+        padv = np.full((pad, 3, 3), 1e30, np.float32)
+        sorted_tris = np.concatenate([sorted_tris, padv], 0)
+    tri_id = np.concatenate([order.astype(np.int32), np.full(pad, -1, np.int32)])
+
+    # leaf AABBs (padding leaves become inverted/huge but finite via masking)
+    leaf_tris = sorted_tris.reshape(L, leaf_size, 3, 3)
+    valid = (tri_id.reshape(L, leaf_size) >= 0)[..., None, None]
+    big = np.float32(1e30)
+    vlo = np.where(valid, leaf_tris, big).reshape(L, -1, 3).min(1)
+    vhi = np.where(valid, leaf_tris, -big).reshape(L, -1, 3).max(1)
+    # fully-empty leaves: inverted box (never hit)
+    empty = ~valid.reshape(L, -1).any(1)
+    vlo[empty] = big
+    vhi[empty] = -big
+
+    n_nodes = 2 * L - 1
+    node_lo = np.empty((n_nodes, 3), np.float32)
+    node_hi = np.empty((n_nodes, 3), np.float32)
+    node_lo[L - 1:] = vlo
+    node_hi[L - 1:] = vhi
+    # bottom-up levels (vectorized per level)
+    start = L - 1
+    while start > 0:
+        parent_start = (start - 1) // 2
+        n_par = start - parent_start
+        ch = np.arange(parent_start, start) * 2 + 1
+        node_lo[parent_start:start] = np.minimum(node_lo[ch], node_lo[ch + 1])
+        node_hi[parent_start:start] = np.maximum(node_hi[ch], node_hi[ch + 1])
+        start = parent_start
+
+    v0 = sorted_tris[:, 0]
+    e1 = sorted_tris[:, 1] - v0
+    e2 = sorted_tris[:, 2] - v0
+    arrays = dict(node_lo=node_lo, node_hi=node_hi, tri_v0=v0,
+                  tri_e1=e1, tri_e2=e2, tri_id=tri_id)
+    if device_put:
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+    return BVH(**arrays)
+
+
+class HitRecord(NamedTuple):
+    t: jnp.ndarray        # (R,) f32, INF = miss
+    tri: jnp.ndarray      # (R,) i32 ORIGINAL triangle id, -1 = miss
+    u: jnp.ndarray        # (R,) f32 barycentric of v1
+    v: jnp.ndarray        # (R,) f32 barycentric of v2
+    front: jnp.ndarray    # (R,) bool det>0 (front-facing per winding)
+
+
+def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
+              max_steps: int = None):
+    """Stackless bit-trail lockstep traversal over the implicit heap BVH.
+
+    Per-lane state is just (node, trail) uint32 scalars — no per-ray stack array.
+    Heap indices are 1-based inside the loop: parent^k(x) = x >> k, sibling = x^1.
+    The backtrack uses count-trailing-zeros on the trail bitmask, so there is no
+    inner pop loop. This keeps the while_loop body tiny + scatter-free (fast XLA
+    compile, pure VPU elementwise on TPU) — the SIMT-emulation strategy from
+    SURVEY.md §7 with the stack optimized away."""
+    R = o.shape[0]
+    L = bvh.num_leaves
+    leaf_size = bvh.tri_v0.shape[0] // L
+    if max_steps is None:
+        max_steps = 64 * bvh.depth + 4 * L  # loop exits when all lanes are done
+    if t_max is None:
+        t_max = jnp.full((R,), INF)
+    else:
+        t_max = jnp.broadcast_to(t_max, (R,))
+
+    inv_d = safe_inv_dir(d)
+    u32 = jnp.uint32
+
+    def ctz(x):
+        # count trailing zeros via popcount((x & -x) - 1); ctz(0) = 32
+        low = x & (~x + u32(1))
+        return jax.lax.population_count(low - u32(1)) | jnp.where(x == 0, u32(32), u32(0))
+
+    def cond(state):
+        node1, trail, live, best_t, best_tri, bu, bv, bf, steps = state
+        return live.any() & (steps < max_steps)
+
+    def body(state):
+        node1, trail, live, best_t, best_tri, bu, bv, bf, steps = state
+        node0 = node1.astype(jnp.int32) - 1
+        is_leaf = node0 >= (L - 1)
+
+        # --- interior: test both children, pick near first ---
+        c0 = jnp.clip(2 * node0 + 1, 0, 2 * L - 2)
+        c1 = jnp.clip(2 * node0 + 2, 0, 2 * L - 2)
+        h0, t0 = ray_aabb(o, inv_d, bvh.node_lo[c0], bvh.node_hi[c0], best_t)
+        h1, t1 = ray_aabb(o, inv_d, bvh.node_lo[c1], bvh.node_hi[c1], best_t)
+        h0 &= ~is_leaf & live
+        h1 &= ~is_leaf & live
+        both = h0 & h1
+        near0 = jnp.where(both & (t1 < t0), c1, jnp.where(h1 & ~h0, c1, c0))
+        any_child = h0 | h1
+
+        # --- leaf: test K triangles (predicated) ---
+        leaf_id = jnp.clip(node0 - (L - 1), 0, L - 1)
+        base = leaf_id * leaf_size
+        lt, ltri, lu, lv, lf = best_t, best_tri, bu, bv, bf
+        do_leaf = is_leaf & live
+        for k in range(leaf_size):
+            idx = base + k
+            t, tu, tv, hit, front = _tri_hit(o, d, bvh.tri_v0[idx], bvh.tri_e1[idx],
+                                             bvh.tri_e2[idx], t_min, lt)
+            hit &= do_leaf & (bvh.tri_id[idx] >= 0)
+            lt = jnp.where(hit, t, lt)
+            ltri = jnp.where(hit, bvh.tri_id[idx], ltri)
+            lu = jnp.where(hit, tu, lu)
+            lv = jnp.where(hit, tv, lv)
+            lf = jnp.where(hit, front, lf)
+        best_t, best_tri, bu, bv, bf = lt, ltri, lu, lv, lf
+
+        # --- next node: descend (interior w/ hit child) or backtrack ---
+        descend = ~is_leaf & any_child & live
+        trail_desc = (trail << u32(1)) | jnp.where(both, u32(1), u32(0))
+        node_desc = (near0 + 1).astype(u32)
+
+        tz = ctz(trail)
+        exhausted = trail == 0
+        node_pop = (((node1 >> jnp.minimum(tz, u32(31)))) ^ u32(1))
+        trail_pop = (trail >> jnp.minimum(tz, u32(31))) ^ u32(1)
+
+        if any_hit:
+            # early per-lane exit on any accepted hit
+            found = best_tri >= 0
+            live_new = live & ~found & jnp.where(descend, True, ~exhausted)
+        else:
+            live_new = live & jnp.where(descend, True, ~exhausted)
+        node_new = jnp.where(descend, node_desc, node_pop)
+        trail_new = jnp.where(descend, trail_desc, trail_pop)
+        node_new = jnp.where(live_new, node_new, node1)
+        trail_new = jnp.where(live_new, trail_new, trail)
+        return (node_new, trail_new, live_new, best_t, best_tri, bu, bv, bf,
+                steps + 1)
+
+    init = (jnp.ones(R, u32), jnp.zeros(R, u32), jnp.ones(R, bool),
+            t_max, jnp.full(R, -1, jnp.int32),
+            jnp.zeros(R), jnp.zeros(R), jnp.zeros(R, bool), jnp.int32(0))
+    _, _, _, best_t, best_tri, bu, bv, bf, _ = jax.lax.while_loop(cond, body, init)
+    return best_t, best_tri, bu, bv, bf
+
+
+def bvh_closest_hit(bvh: BVH, o, d, t_min=1e-4, t_max=None,
+                    max_steps: int = None) -> HitRecord:
+    """Closest-hit traversal. o, d: (R, 3). Lanes run in lockstep until all done."""
+    best_t, best_tri, bu, bv, bf = _traverse(bvh, o, d, t_min, t_max,
+                                             any_hit=False, max_steps=max_steps)
+    miss = best_tri < 0
+    return HitRecord(t=jnp.where(miss, INF, best_t), tri=best_tri,
+                     u=bu, v=bv, front=bf)
+
+
+def bvh_any_hit(bvh: BVH, o, d, t_min=1e-4, t_max=None, max_steps: int = None):
+    """Shadow-ray traversal: occluded (R,) bool, early per-lane exit on first hit
+    (reference: any-hit RayQuery for shadows)."""
+    best_t, best_tri, _, _, _ = _traverse(bvh, o, d, t_min, t_max,
+                                          any_hit=True, max_steps=max_steps)
+    limit = t_max if t_max is not None else INF
+    return (best_tri >= 0) & (best_t < limit)
+
+
+def _tri_hit(o, d, v0, e1, e2, t_min, t_max):
+    """Möller-Trumbore with precomputed edges."""
+    p = jnp.cross(d, e2)
+    det = jnp.sum(e1 * p, -1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    s = o - v0
+    u = jnp.sum(s * p, -1) * inv_det
+    q = jnp.cross(s, e1)
+    v = jnp.sum(d * q, -1) * inv_det
+    t = jnp.sum(e2 * q, -1) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= -1e-7) & (v >= -1e-7)
+           & (u + v <= 1.0 + 1e-7) & (t > t_min) & (t < t_max))
+    return t, u, v, hit, det > 0

@@ -1,0 +1,128 @@
+"""HDR post-processing: luminance histogram, auto-exposure, bloom, tonemap.
+
+Reference: src/HDRRenderer.cpp — 256-bin log-luminance histogram over 16x16 tiles
+(LuminanceHistogram.hlsl), exposure adaptation with EV100 min/max clamp +
+compensation + speed (ExposureAdaptation.hlsl), and tonemapping (Tonemap.hlsl:13-104:
+Khronos PBR Neutral + sRGB OETF for SDR); src/BloomRenderer.cpp — 6-mip dual pyramid
+with knee prefilter and seeded upsample.
+
+TPU design: the histogram is a segment_sum over bin ids (no atomics); the mip
+pyramids are lax.reduce_window / resize chains (the SPD analogue); everything else is
+fused elementwise."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hobbyrenderer_tpu.utils import math as hm
+
+HIST_BINS = 256          # ref HDRRenderer.cpp:12-13
+LOG_LUM_MIN = -10.0      # ref log range [-10, 20]
+LOG_LUM_MAX = 20.0
+
+
+def luminance_histogram(hdr: jnp.ndarray, min_log: float = LOG_LUM_MIN,
+                        max_log: float = LOG_LUM_MAX) -> jnp.ndarray:
+    """256-bin log2-luminance histogram (ref LuminanceHistogram.hlsl).
+
+    Bin 0 collects near-black pixels, like the reference."""
+    lum = hm.luminance(hdr, xp=jnp)
+    loglum = jnp.log2(jnp.maximum(lum, 1e-12))
+    t = (loglum - min_log) / (max_log - min_log)
+    bins = jnp.clip((t * (HIST_BINS - 2)).astype(jnp.int32) + 1, 1, HIST_BINS - 1)
+    bins = jnp.where(lum < 1e-6, 0, bins)
+    return jax.ops.segment_sum(jnp.ones_like(lum.reshape(-1)), bins.reshape(-1),
+                               num_segments=HIST_BINS)
+
+
+def exposure_adapt(hist: jnp.ndarray, prev_exposure: jnp.ndarray, dt: float,
+                   settings, min_log: float = LOG_LUM_MIN,
+                   max_log: float = LOG_LUM_MAX) -> jnp.ndarray:
+    """Exposure adaptation (ref ExposureAdaptation.hlsl): histogram-weighted mean
+    log-luminance (ignoring bin 0), EV clamp + compensation, exponential approach
+    at adaptation_speed. Returns the new 1x1 exposure scale (linear multiplier)."""
+    w = hist.at[0].set(0.0)
+    total = jnp.maximum(jnp.sum(w), 1.0)
+    centers = (jnp.arange(HIST_BINS, dtype=jnp.float32) - 1.0) / (HIST_BINS - 2)
+    avg_log = jnp.sum(w * (centers * (max_log - min_log) + min_log)) / total
+    # target EV100 from average luminance: EV100 = log2(L * 100 / 12.5)
+    avg_lum = jnp.exp2(avg_log)
+    ev100 = jnp.log2(avg_lum * 100.0 / 12.5)
+    ev100 = ev100 - settings.exposure_compensation
+    ev100 = jnp.clip(ev100, -6.0, 17.0)
+    target = hm.exposure_from_ev100(ev100, xp=jnp)
+    # exponential adaptation (ref adaptation speed)
+    a = 1.0 - jnp.exp(-dt * settings.adaptation_speed)
+    new = prev_exposure + (target - prev_exposure) * a
+    return jnp.asarray(new, jnp.float32)
+
+
+def _downsample2(x):
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID") * 0.25
+
+
+def _upsample2(x, out_h, out_w):
+    return jax.image.resize(x, (out_h, out_w, x.shape[-1]), method="bilinear")
+
+
+def bloom(hdr: jnp.ndarray, settings, mips: int = 6) -> jnp.ndarray:
+    """Dual-pyramid bloom (ref src/BloomRenderer.cpp: knee prefilter -> 6-mip
+    downsample chain -> seeded upsample with radius -> additive composite)."""
+    thr = settings.bloom_threshold
+    knee = jnp.maximum(settings.bloom_knee * thr, 1e-4)
+    lum = hm.luminance(hdr, xp=jnp)[..., None]
+    soft = jnp.clip(lum - thr + knee, 0.0, 2.0 * knee)
+    soft = soft * soft / (4.0 * knee)
+    weight = jnp.maximum(lum - thr, soft) / jnp.maximum(lum, 1e-4)
+    pre = hdr * weight
+
+    # pad to pow2-friendly sizes via edge clamp for the chain
+    chain = [pre]
+    x = pre
+    for _ in range(mips):
+        h, w = x.shape[0], x.shape[1]
+        if h < 4 or w < 4:
+            break
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        x = _downsample2(x)
+        chain.append(x)
+    # upsample chain with radius-weighted accumulation
+    acc = chain[-1]
+    for lvl in range(len(chain) - 2, -1, -1):
+        up = _upsample2(acc, chain[lvl].shape[0], chain[lvl].shape[1])
+        acc = chain[lvl] + up * settings.bloom_radius
+    return hdr + acc * settings.bloom_intensity
+
+
+def tonemap_pbr_neutral(c: jnp.ndarray) -> jnp.ndarray:
+    """Khronos PBR Neutral tonemapper (ref Tonemap.hlsl:13-104, SDR path)."""
+    start_compression = 0.8 - 0.04
+    desaturation = 0.15
+    x = jnp.minimum(c[..., 0], jnp.minimum(c[..., 1], c[..., 2]))
+    offset = jnp.where(x < 0.08, x - 6.25 * x * x, 0.04)
+    c = c - offset[..., None]
+    peak = jnp.maximum(c[..., 0], jnp.maximum(c[..., 1], c[..., 2]))
+    d = 1.0 - start_compression
+    new_peak = 1.0 - d * d / (peak + d - start_compression)
+    scale = jnp.where(peak < start_compression, 1.0, new_peak / jnp.maximum(peak, 1e-6))
+    c_comp = c * scale[..., None]
+    g = jnp.where(peak < start_compression, 0.0,
+                  1.0 - 1.0 / (desaturation * (peak - new_peak) + 1.0))
+    return jnp.clip(c_comp * (1.0 - g[..., None]) + new_peak[..., None] * g[..., None],
+                    0.0, 1.0)
+
+
+def srgb_oetf(c: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.clip(c, 0.0, 1.0)
+    return jnp.where(c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
+
+
+def tonemap_to_output(hdr: jnp.ndarray, exposure) -> jnp.ndarray:
+    """Exposure -> PBR Neutral -> sRGB, to uint8 (the backbuffer write)."""
+    c = hdr * jnp.asarray(exposure, jnp.float32)
+    ldr = srgb_oetf(tonemap_pbr_neutral(c))
+    return (jnp.clip(ldr, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -1,0 +1,69 @@
+"""Sky radiance.
+
+Reference: src/SkyRenderer.cpp + src/shaders/Atmosphere.hlsli (603 LoC) — full
+Bruneton precomputed-LUT atmosphere (transmittance/scattering/irradiance + sun disk)
+drawn at stencil==0. The LUTs ship as DDS assets in the reference.
+
+TPU build: v1 is an analytic single-scattering approximation with matching API
+(``sky_radiance(dir, sun_dir, settings)``); the precomputed-LUT version (computed
+host-side at startup, sampled as jnp arrays) replaces it in ops/atmosphere.py."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hobbyrenderer_tpu.utils import math as hm
+
+
+def sky_radiance(d, sun_dir, settings, with_sun_disk: bool = True):
+    """Analytic clear-sky: Rayleigh-ish gradient + aureole + ground haze + sun disk.
+
+    d: (..., 3) unit view directions. sun_dir: (3,) direction the light TRAVELS
+    (from sun toward scene, like the reference's light direction)."""
+    d = hm.normalize(d, xp=jnp)
+    to_sun = -hm.normalize(jnp.asarray(sun_dir), xp=jnp)
+    y = jnp.clip(d[..., 1], -1.0, 1.0)
+    cos_g = jnp.clip(jnp.sum(d * to_sun, -1), -1.0, 1.0)
+
+    sun_h = jnp.clip(to_sun[1], -1.0, 1.0)
+    daylight = jnp.clip(sun_h * 6.0 + 0.3, 0.0, 1.0)
+
+    # zenith->horizon gradient (denser air mass near horizon)
+    t = jnp.power(jnp.clip(1.0 - jnp.maximum(y, 0.0), 0.0, 1.0), 2.2)
+    zenith = jnp.asarray([0.12, 0.32, 0.85], jnp.float32)
+    horizon = jnp.asarray([0.62, 0.75, 0.92], jnp.float32)
+    sky = zenith[None] * (1 - t[..., None]) + horizon[None] * t[..., None]
+    # aureole: forward-scattering glow around the sun (HG-ish)
+    g = 0.76
+    hg = (1 - g * g) / jnp.power(jnp.maximum(1 + g * g - 2 * g * cos_g, 1e-4), 1.5) / (4 * jnp.pi)
+    sky = sky + jnp.asarray([1.0, 0.9, 0.7], jnp.float32)[None] * (hg * 0.35)[..., None]
+    # below-horizon: dark ground haze
+    below = jnp.clip(-y * 8.0, 0.0, 1.0)
+    ground = jnp.asarray([0.2, 0.19, 0.18], jnp.float32)
+    sky = sky * (1 - below[..., None]) + ground[None] * below[..., None]
+    sky = sky * (daylight[..., None] ** 1.5)
+
+    if with_sun_disk:
+        cos_r = jnp.cos(settings.sun_angular_radius)
+        disk = (cos_g >= cos_r) & (y > -0.05)
+        # sun radiance so that irradiance ~= intensity (disk solid angle factored)
+        omega = 2 * jnp.pi * (1 - cos_r)
+        sun_rad = settings.sun_intensity / jnp.maximum(omega, 1e-6)
+        sky = jnp.where(disk[..., None],
+                        jnp.asarray(settings.sun_color, jnp.float32) * sun_rad, sky)
+    return sky * 0.25
+
+
+def view_dirs_from_pixels(vc, height: int, width: int):
+    """Per-pixel world-space view direction through each pixel center."""
+    px = jnp.stack(jnp.meshgrid(jnp.arange(width, dtype=jnp.float32) + 0.5,
+                                jnp.arange(height, dtype=jnp.float32) + 0.5,
+                                indexing="xy"), -1)
+    ndc_x = px[..., 0] / width * 2.0 - 1.0
+    ndc_y = 1.0 - px[..., 1] / height * 2.0
+    # unproject at depth 0.5 (any depth works for a direction)
+    inv = vc["inv_view_proj"]
+    p = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5)], -1)
+    w = jnp.einsum("j,hwj->hw", inv[3, :3], p) + inv[3, 3]
+    world = (jnp.einsum("ij,hwj->hwi", inv[:3, :3], p) + inv[:3, 3]) / w[..., None]
+    return hm.normalize(world - vc["camera_pos"][None, None, :], xp=jnp)

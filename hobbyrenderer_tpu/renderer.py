@@ -1,0 +1,126 @@
+"""Top-level Renderer: owns scene, camera, mode graph, frame loop.
+
+Reference: the Renderer singleton (src/Renderer.h:105-463, src/Renderer.cpp) —
+Initialize/Run/Shutdown, ScheduleAndRunAllRenderers, per-frame scene update + dirty
+uploads + camera constants + pass scheduling + present/screenshot.
+
+TPU build: headless. "Present" = device->host copy of the final tonemapped uint8
+frame (the only per-frame readback, north star); screenshots via utils.image. The
+window/ImGui layer of the reference maps to the stats/introspection API here
+(describe(), timings())."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hobbyrenderer_tpu.config import Config, RenderingMode
+from hobbyrenderer_tpu.models.deferred import DeferredRenderer
+from hobbyrenderer_tpu.scene import Camera, make_default_cube_scene, make_stress_scene
+from hobbyrenderer_tpu.scene.gpu import build_scene_gpu, update_instance_transforms
+from hobbyrenderer_tpu.utils.image import write_png
+from hobbyrenderer_tpu.utils.timing import PROFILER
+
+
+class Renderer:
+    def __init__(self, config: Optional[Config] = None, scene=None):
+        self.config = config or Config()
+        cfg = self.config
+        with PROFILER.scope("Init/SceneLoad"):
+            if scene is not None:
+                self.scene = scene
+            elif cfg.scene in (None, "", "cube"):
+                self.scene = make_default_cube_scene()
+            elif cfg.scene == "stress":
+                self.scene = make_stress_scene()
+            elif cfg.scene.startswith("stress:"):
+                self.scene = make_stress_scene(grid=int(cfg.scene.split(":")[1]))
+            else:
+                from hobbyrenderer_tpu.scene.loader import load_gltf_scene
+                self.scene = load_gltf_scene(cfg.scene, cache_dir=cfg.cache_dir)
+        with PROFILER.scope("Init/Upload"):
+            self.gpu = build_scene_gpu(self.scene)
+        cam_desc = self.scene.cameras[0] if self.scene.cameras else None
+        self.camera = Camera(cam_desc, cfg.render_width, cfg.render_height)
+        if cam_desc is None or np.allclose(self.camera.position, [0, 1, 5]):
+            # frame the scene if no authored camera
+            self.camera.position = (self.scene.center
+                                    + np.asarray([0.6, 0.45, 1.1], np.float32)
+                                    * self.scene.radius * 1.6)
+            self.camera.look_at(self.scene.center)
+        self.mode = cfg.mode
+        self._model = None
+        self.frame_index = 0
+        self.last_frame = None
+        self.time_s = 0.0
+        self._build_model()
+
+    # -- mode / model management (ApplyRenderingModeDefaults analogue) -------
+
+    def _build_model(self):
+        cfg = self.config
+        if self.mode == RenderingMode.PATH_TRACER:
+            from hobbyrenderer_tpu.models.pathtracer import PathTracerRenderer
+            self._model = PathTracerRenderer(self.gpu, cfg.render_width,
+                                             cfg.render_height, config=cfg,
+                                             scene=self.scene)
+        else:
+            self._model = DeferredRenderer(self.gpu, cfg.render_width,
+                                           cfg.render_height, config=cfg)
+
+    def set_mode(self, mode: str):
+        """Rendering-mode switch: rebuild the model graph (persistent state of the
+        old mode is dropped — the reference's 2-frame force-invalidate)."""
+        if mode != self.mode:
+            self.mode = mode
+            self._build_model()
+
+    # -- frame loop ----------------------------------------------------------
+
+    def render_frame(self, dt: float = 1.0 / 60.0):
+        cfg = self.config
+        with PROFILER.scope("Frame/SceneUpdate"):
+            self.time_s += dt
+            self.scene.update(self.time_s)
+            self.gpu = update_instance_transforms(self.gpu, self.scene)
+        with PROFILER.scope("Frame/ViewConstants"):
+            vc = self.camera.view_constants(self.frame_index)
+        with PROFILER.scope("Frame/Render"):
+            settings = cfg.settings.as_pytree()
+            out = self._model.render(self.gpu, vc, settings, dt)
+            ldr = out[0] if isinstance(out, tuple) else out
+        self.camera.end_frame()
+        self.frame_index += 1
+        self.last_frame = ldr
+        PROFILER.end_frame()
+        return ldr
+
+    def run(self, num_frames: int = 1, screenshot: Optional[str] = None,
+            dt: float = 1.0 / 60.0):
+        """Headless Run() loop (ref Renderer::Run, src/Renderer.cpp:424-607)."""
+        t0 = time.perf_counter()
+        for _ in range(num_frames):
+            ldr = self.render_frame(dt)
+        jax.block_until_ready(ldr)
+        wall = time.perf_counter() - t0
+        if screenshot:
+            self.save_screenshot(screenshot)
+        return {"frames": num_frames, "wall_s": wall,
+                "ms_per_frame": wall / max(num_frames, 1) * 1e3}
+
+    def save_screenshot(self, path: str):
+        """Ref SaveBackBufferScreenshot (src/Renderer.cpp:218-271)."""
+        assert self.last_frame is not None, "render a frame first"
+        write_png(path, np.asarray(self.last_frame))
+
+    # -- observability -------------------------------------------------------
+
+    def describe_graph(self) -> str:
+        return self._model.graph.describe() if hasattr(self._model, "graph") else "(no graph)"
+
+    def timings(self) -> str:
+        return PROFILER.table()

@@ -93,8 +93,8 @@ def make_default_cube_scene() -> Scene:
     pos, nrm, uv, idx = cube_geometry()
     prim = sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv), material=0)
     sc.add_node(Node(name="cube", mesh_primitives=[prim]))
-    cam = CameraDesc(position=np.array([1.5, 1.2, 2.2], np.float32))
-    sc.cameras.append(cam)
+    sc.cameras.append(camera_looking_at(np.array([1.5, 1.2, 2.2], np.float32),
+                                        np.zeros(3, np.float32)))
     sc.finalize()
     return sc
 
@@ -167,6 +167,13 @@ def make_stress_scene(grid: int = 12, seed: int = 7, with_lights: bool = True,
                                  pitch=-0.35))
     sc.finalize()
     return sc
+
+
+def camera_looking_at(position: np.ndarray, target: np.ndarray) -> CameraDesc:
+    d = np.asarray(target, np.float32) - np.asarray(position, np.float32)
+    pitch = float(np.arctan2(d[1], np.linalg.norm(d[[0, 2]])))
+    yaw = float(np.arctan2(-d[0], -d[2]))
+    return CameraDesc(position=np.asarray(position, np.float32), yaw=yaw, pitch=pitch)
 
 
 def _reorder(t):

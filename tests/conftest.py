@@ -10,11 +10,27 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU's LLVM "expensive" passes take minutes on the raster/traversal loops;
+# tests only need correctness, not optimized CPU code (TPU uses a different backend)
+if "xla_llvm_disable_expensive_passes" not in flags:
+    flags += " --xla_llvm_disable_expensive_passes=true"
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# persistent compilation cache: CPU compiles of the raster/BVH loops are slow;
+# cache them across test runs
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
 
 
 @pytest.fixture
