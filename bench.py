@@ -1,0 +1,46 @@
+"""Benchmark driver: one JSON line on stdout.
+
+Headline metric (BASELINE.json north star): deferred frame time at 1080p on the
+stress benchmark scene (the Sponza-class stand-in — the reference ships no scene
+assets), single chip. Target < 16 ms => vs_baseline = 16 / measured_ms.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+
+    W, H = 1920, 1080
+    cfg = Config(scene="stress", width=W, height=H, mode=RenderingMode.NORMAL)
+    r = Renderer(cfg)
+
+    # warmup (compile)
+    for _ in range(2):
+        ldr = r.render_frame()
+    jax.block_until_ready(ldr)
+
+    n = 8
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ldr = r.render_frame()
+    jax.block_until_ready(ldr)
+    ms = (time.perf_counter() - t0) / n * 1e3
+
+    print(json.dumps({
+        "metric": "deferred_frame_ms_1080p_stress",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(16.0 / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

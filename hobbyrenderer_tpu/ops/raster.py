@@ -88,8 +88,14 @@ def _gather_tri_setup(gpu, slots, slot_valid, screen, zndc, vert_ok):
 
 
 def bin_meshlets_to_tiles(screen, vert_ok, slot_valid, width, height,
-                          max_per_tile: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Meshlet screen AABB -> per-tile slot lists (TY*TX, K) + overflow count."""
+                          max_per_tile: int,
+                          ty0: int = 0, ty_count: int = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Meshlet screen AABB -> per-tile slot lists (TY*TX, K) + overflow count.
+
+    ty0/ty_count select a horizontal band of tile rows (framebuffer row-sharding
+    across the device mesh, SURVEY.md §5.8): only tiles in [ty0, ty0+ty_count)
+    get lists."""
     big = jnp.float32(1e9)
     xy = jnp.where(vert_ok[..., None], screen, big)
     mn = jnp.min(xy, axis=1)                      # (C, 2)
@@ -97,16 +103,17 @@ def bin_meshlets_to_tiles(screen, vert_ok, slot_valid, width, height,
     mx = jnp.max(xy, axis=1)
     any_vert = vert_ok.any(1) & slot_valid
     tx = -(-width // TILE)
-    ty = -(-height // TILE)
+    ty_full = -(-height // TILE)
+    ty = ty_full if ty_count is None else ty_count
     t0 = jnp.clip(jnp.floor(mn / TILE).astype(jnp.int32), 0,
-                  jnp.asarray([tx - 1, ty - 1]))
+                  jnp.asarray([tx - 1, ty_full - 1]))
     t1 = jnp.clip(jnp.floor(mx / TILE).astype(jnp.int32), 0,
-                  jnp.asarray([tx - 1, ty - 1]))
+                  jnp.asarray([tx - 1, ty_full - 1]))
     on_screen = (mx[:, 0] >= 0) & (mx[:, 1] >= 0) & (mn[:, 0] < width) & (mn[:, 1] < height)
     ok = any_vert & on_screen
 
     gx = jnp.arange(tx, dtype=jnp.int32)
-    gy = jnp.arange(ty, dtype=jnp.int32)
+    gy = jnp.arange(ty, dtype=jnp.int32) + ty0
     cover_x = (gx[None, :] >= t0[:, 0:1]) & (gx[None, :] <= t1[:, 0:1])   # (C, TX)
     cover_y = (gy[None, :] >= t0[:, 1:2]) & (gy[None, :] <= t1[:, 1:2])   # (C, TY)
     cover = cover_y[:, :, None] & cover_x[:, None, :] & ok[:, None, None]  # (C, TY, TX)
@@ -127,11 +134,18 @@ def bin_meshlets_to_tiles(screen, vert_ok, slot_valid, width, height,
 
 def rasterize(gpu, vc, slots, width: int, height: int,
               max_per_tile: int = 48,
-              double_sided_all: bool = False) -> RasterOutput:
+              double_sided_all: bool = False,
+              y0: int = 0, shard_height: int = None) -> RasterOutput:
     """Rasterize visible meshlet slots into a visibility buffer.
 
     slots: (C,) i32 compacted visible pair ids (-1 padded) from ops.culling.
+    y0/shard_height: rasterize only pixel rows [y0, y0+shard_height) — the
+    per-device band under framebuffer row-sharding (y0 must be TILE-aligned).
     """
+    if shard_height is None:
+        shard_height = height
+    if isinstance(y0, int):
+        assert y0 % TILE == 0, "shard origin must be tile-aligned"
     slot_valid = slots >= 0
     screen, zndc, w, vert_ok, _vid = _transform_meshlet_vertices(gpu, vc, slots, slot_valid)
     tv, tz, tok, _lt = _gather_tri_setup(gpu, slots, slot_valid, screen, zndc, vert_ok)
@@ -146,15 +160,17 @@ def rasterize(gpu, vc, slots, width: int, height: int,
         tok &= (area2 < 0.0) | ds[:, None]
     tok &= jnp.abs(area2) > 1e-12
 
+    ty0 = y0 // TILE
+    ty = -(-shard_height // TILE)
     tiles, overflow = bin_meshlets_to_tiles(screen, vert_ok, slot_valid,
-                                            width, height, max_per_tile)
+                                            width, height, max_per_tile,
+                                            ty0=ty0, ty_count=ty)
     tx = -(-width // TILE)
-    ty = -(-height // TILE)
     T = tx * ty
 
-    # per-tile pixel centers (T, TILE*TILE, 2)
+    # per-tile pixel centers (T, TILE*TILE, 2), in GLOBAL pixel coordinates
     tix = jnp.arange(T, dtype=jnp.int32)
-    org = jnp.stack([(tix % tx) * TILE, (tix // tx) * TILE], -1).astype(jnp.float32)
+    org = jnp.stack([(tix % tx) * TILE, (tix // tx + ty0) * TILE], -1).astype(jnp.float32)
     ly, lx = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
     local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], -1).astype(jnp.float32) + 0.5
     px = org[:, None, :] + local[None, :, :]                       # (T, P, 2)
@@ -208,11 +224,12 @@ def rasterize(gpu, vc, slots, width: int, height: int,
     (depth_t, vis_t), _ = jax.lax.scan(tri_block, (depth0, vis0),
                                        (ks[:, 0], ks[:, 1]))
 
-    # un-tile: (T, P) -> (H, W) (tiles may extend past the viewport; crop)
+    # un-tile: (T, P) -> (shard_height, W) (tiles may extend past the band; crop)
     Hp, Wp = ty * TILE, tx * TILE
     depth_img = depth_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
     vis_img = vis_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
-    return RasterOutput(depth_img[:height, :width], vis_img[:height, :width], overflow)
+    return RasterOutput(depth_img[:shard_height, :width], vis_img[:shard_height, :width],
+                        overflow)
 
 
 class GBuffer(NamedTuple):
@@ -231,7 +248,7 @@ class GBuffer(NamedTuple):
 
 
 def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots,
-                    sample_textures=None) -> GBuffer:
+                    sample_textures=None, y0: int = 0) -> GBuffer:
     """Per-pixel attribute resolve from the visibility buffer.
 
     Recomputes the pixel's triangle, perspective-correct barycentrics, and
@@ -267,9 +284,9 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots,
     sx = (ndc[..., 0] * 0.5 + 0.5) * width
     sy = (0.5 - ndc[..., 1] * 0.5) * height
 
-    # screen-space barycentrics at the pixel center
+    # screen-space barycentrics at the pixel center (global pixel coords)
     pxc = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
-                                 jnp.arange(H, dtype=jnp.float32) + 0.5,
+                                 jnp.arange(H, dtype=jnp.float32) + y0 + 0.5,
                                  indexing="xy"), -1)              # (H, W, 2)
     va = jnp.stack([sx[..., 0], sy[..., 0]], -1)
     vb = jnp.stack([sx[..., 1], sy[..., 1]], -1)

@@ -54,13 +54,18 @@ def sky_radiance(d, sun_dir, settings, with_sun_disk: bool = True):
     return sky * 0.25
 
 
-def view_dirs_from_pixels(vc, height: int, width: int):
-    """Per-pixel world-space view direction through each pixel center."""
+def view_dirs_from_pixels(vc, height: int, width: int, y0: int = 0,
+                          full_height: int = None):
+    """Per-pixel world-space view direction through each pixel center.
+
+    y0/full_height support framebuffer row-sharding: this shard covers rows
+    [y0, y0+height) of a full_height-tall image."""
+    fh = height if full_height is None else full_height
     px = jnp.stack(jnp.meshgrid(jnp.arange(width, dtype=jnp.float32) + 0.5,
-                                jnp.arange(height, dtype=jnp.float32) + 0.5,
+                                jnp.arange(height, dtype=jnp.float32) + y0 + 0.5,
                                 indexing="xy"), -1)
     ndc_x = px[..., 0] / width * 2.0 - 1.0
-    ndc_y = 1.0 - px[..., 1] / height * 2.0
+    ndc_y = 1.0 - px[..., 1] / fh * 2.0
     # unproject at depth 0.5 (any depth works for a direction)
     inv = vc["inv_view_proj"]
     p = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5)], -1)

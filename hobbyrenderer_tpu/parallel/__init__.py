@@ -1,0 +1,2 @@
+from hobbyrenderer_tpu.parallel.mesh import build_mesh  # noqa: F401
+from hobbyrenderer_tpu.parallel.frame import DeferredShardedRenderer  # noqa: F401

@@ -22,6 +22,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# CAUTION: the axon sitecustomize imports jax at interpreter startup, which
+# latches jax_platforms from the original environment (axon). The env vars above
+# are too late for that — but backends are initialized lazily, so config.update
+# here still wins. These two lines are what actually forces CPU + 8 devices.
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: the XLA_FLAGS path above handles it
+
 # persistent compilation cache: CPU compiles of the raster/BVH loops are slow;
 # cache them across test runs
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
