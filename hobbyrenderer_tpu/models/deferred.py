@@ -43,22 +43,26 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
 
     @g.add
     @render_pass("Raster", reads=("visible_slots",),
-                 writes=("raster_depth", "raster_visid", "raster_overflow"))
+                 writes=("raster_depth", "raster_visid", "raster_overflow",
+                         "raster_aux"))
     def _raster(ctx, res):
-        out = rasterops.rasterize(ctx.gpu, ctx.vc, res["visible_slots"],
-                                  width, height, max_per_tile=max_per_tile)
+        out, aux = rasterops.rasterize(ctx.gpu, ctx.vc, res["visible_slots"],
+                                       width, height)
         res["raster_depth"] = out.depth
         res["raster_visid"] = out.visid
         res["raster_overflow"] = out.overflow
+        res["raster_aux"] = aux
 
     @g.add
-    @render_pass("ResolveGBuffer", reads=("raster_depth", "raster_visid", "visible_slots"),
+    @render_pass("ResolveGBuffer", reads=("raster_depth", "raster_visid",
+                                          "raster_aux", "visible_slots"),
                  writes=("gbuffer",))
     def _resolve(ctx, res):
         ro = rasterops.RasterOutput(res["raster_depth"], res["raster_visid"],
                                     jnp.int32(0))
         res["gbuffer"] = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro,
-                                                   res["visible_slots"])
+                                                   res["visible_slots"],
+                                                   aux=res["raster_aux"])
 
     @g.add
     @render_pass("DeferredLighting", reads=("gbuffer",), writes=("hdr",))

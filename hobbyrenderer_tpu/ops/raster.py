@@ -43,21 +43,34 @@ class RasterOutput(NamedTuple):
     overflow: jnp.ndarray  # () i32 count of (tile, meshlet) bin overflows (stats)
 
 
+class RasterAux(NamedTuple):
+    """Per-slot-triangle records consumed by the G-buffer resolve.
+
+    Built once per frame at (visible-slot, triangle) granularity with one-hot
+    MXU matmuls, so the per-PIXEL resolve needs only two contiguous row gathers
+    (tri_screen + tri_attr) instead of ~12 element gathers (TPU gathers are
+    per-element latency-bound; this took resolve from 640ms to tens of ms)."""
+
+    tri_screen: jnp.ndarray  # (C, 96, 3, 4): screen x, y, z_ndc, 1/w
+    tri_attr: jnp.ndarray    # (C, 96, 3, 12): world pos(3), world normal(3),
+    #                          uv(2), prev-frame world pos(3), material id(1)
+
+
 def _transform_meshlet_vertices(gpu, vc, slots, slot_valid):
     """Gather + transform the vertices of each visible meshlet slot.
 
+    Uses the meshlet-major baked layout (SceneGPU.ml_pos): one contiguous ROW
+    gather per meshlet instead of per-vertex element gathers (TPU gathers are
+    latency-bound per element; rows are cheap).
+
     Returns (screen_xy (C,64,2), zndc (C,64), w (C,64), vert_valid (C,64),
-             global_vert_ids (C,64))."""
-    C = slots.shape[0]
+             meshlet ids (C,))."""
     inst = jnp.where(slot_valid, gpu.pair_inst[slots], 0)
     ml = jnp.where(slot_valid, gpu.pair_meshlet[slots], 0)
-    vo = gpu.ml_vert_offset[ml]                                  # (C,)
     vcnt = gpu.ml_vert_count[ml]
     lanes = jnp.arange(MESHLET_MAX_VERTS, dtype=jnp.int32)[None, :]
-    vid = gpu.ml_vertices[jnp.minimum(vo[:, None] + lanes,
-                                      gpu.ml_vertices.shape[0] - 1)]  # (C,64)
     vert_valid = lanes < vcnt[:, None]
-    p_obj = gpu.positions[vid]                                   # (C,64,3)
+    p_obj = gpu.ml_pos[ml]                                       # (C,64,3) row gather
     W = gpu.inst_transform[inst]                                 # (C,4,4)
     p_world = jnp.einsum("cij,cvj->cvi", W[:, :3, :3], p_obj) + W[:, None, :3, 3]
     VP = vc["view_proj"]
@@ -69,33 +82,88 @@ def _transform_meshlet_vertices(gpu, vc, slots, slot_valid):
     sx = (ndc[..., 0] * 0.5 + 0.5) * width
     sy = (0.5 - ndc[..., 1] * 0.5) * height
     screen = jnp.stack([sx, sy], -1)
-    return screen, ndc[..., 2], w, vert_valid & (w > 1e-6), vid
+    return screen, ndc[..., 2], w, vert_valid & (w > 1e-6), ml, p_world
 
 
-def _gather_tri_setup(gpu, slots, slot_valid, screen, zndc, vert_ok):
-    """Per-slot triangle screen coordinates (C, 96, 3, 2) + validity."""
-    ml = jnp.where(slot_valid, gpu.pair_meshlet[slots], 0)
-    to = gpu.ml_tri_offset[ml]
+def _gather_tri_setup(gpu, slots, slot_valid, screen, zndc, vert_ok, ml=None):
+    """Per-slot triangle screen coordinates (C, 96, 3, 2) + validity.
+
+    The meshlet-local index expansion (96x3 locals into 64 vertex lanes) runs as
+    a ONE-HOT batched matmul on the MXU instead of an element gather: the local
+    table is tiny (64 entries), so onehot(C,288,64) @ feats(C,64,4) is ~1 GFLOP
+    — microseconds on the MXU vs tens of ms of gather latency."""
+    if ml is None:
+        ml = jnp.where(slot_valid, gpu.pair_meshlet[slots], 0)
+    onehot, tri_valid = _tri_onehot(gpu, ml, slot_valid)
+    feats = jnp.concatenate([screen, zndc[..., None],
+                             vert_ok.astype(jnp.float32)[..., None]], -1)  # (C,64,4)
+    tri_feats = _tri_expand(onehot, feats)                        # (C,96,3,4)
+    tv = tri_feats[..., 0:2]
+    tz = tri_feats[..., 2]
+    tok = (tri_feats[..., 3] > 0.5).all(-1) & tri_valid
+    return tv, tz, tok, None
+
+
+def _tri_onehot(gpu, ml, slot_valid):
+    """(C, 288, 64) one-hot of the meshlet-local triangle indices + (C,96) valid."""
     tcnt = gpu.ml_tri_count[ml]
     lanes = jnp.arange(MESHLET_MAX_TRIS, dtype=jnp.int32)[None, :]
-    lt = gpu.ml_tris[jnp.minimum(to[:, None] + lanes, gpu.ml_tris.shape[0] - 1)]  # (C,96,3)
+    lt = gpu.ml_ltris[ml]                                         # (C,96,3) row gather
     tri_valid = (lanes < tcnt[:, None]) & slot_valid[:, None]
-    cidx = jnp.arange(slots.shape[0])[:, None, None]
-    tv = screen[cidx, lt]                 # (C,96,3,2)
-    tz = zndc[cidx, lt]                   # (C,96,3)
-    tok = vert_ok[cidx, lt].all(-1) & tri_valid
-    return tv, tz, tok, lt
+    C = lt.shape[0]
+    onehot = (lt.reshape(C, MESHLET_MAX_TRIS * 3, 1)
+              == jnp.arange(MESHLET_MAX_VERTS, dtype=jnp.int32)[None, None, :]
+              ).astype(jnp.float32)                               # (C,288,64)
+    return onehot, tri_valid
 
 
-def bin_meshlets_to_tiles(screen, vert_ok, slot_valid, width, height,
-                          max_per_tile: int,
-                          ty0: int = 0, ty_count: int = None
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Meshlet screen AABB -> per-tile slot lists (TY*TX, K) + overflow count.
+def _tri_expand(onehot, feats):
+    """onehot (C,288,64) @ feats (C,64,F) -> (C,96,3,F) on the MXU."""
+    C, _, F = feats.shape[0], feats.shape[1], feats.shape[2]
+    out = jax.lax.dot_general(onehot, feats, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return out.reshape(C, MESHLET_MAX_TRIS, 3, F)
 
-    ty0/ty_count select a horizontal band of tile rows (framebuffer row-sharding
-    across the device mesh, SURVEY.md §5.8): only tiles in [ty0, ty0+ty_count)
-    get lists."""
+
+def build_raster_aux(gpu, vc, slots, slot_valid, screen, zndc, w, vert_ok,
+                     ml, p_world, onehot) -> "RasterAux":
+    """Per-slot-triangle records for the resolve pass (see RasterAux)."""
+    inst = jnp.where(slot_valid, gpu.pair_inst[slots], 0)
+    attr = gpu.ml_attr[ml]                                        # (C,64,3) u32 rows
+    n_obj, _sign = hm.unpack_normal_oct(attr[..., 0], xp=jnp)     # (C,64,3)
+    uv = hm.unpack_uv_half2(attr[..., 1], xp=jnp)                 # (C,64,2)
+    Nm = gpu.inst_normal_mat[inst]
+    n_world = jnp.einsum("cij,cvj->cvi", Nm, n_obj)
+    Wp = gpu.inst_prev_transform[inst]
+    p_obj = gpu.ml_pos[ml]
+    p_prev = jnp.einsum("cij,cvj->cvi", Wp[:, :3, :3], p_obj) + Wp[:, None, :3, 3]
+    matf = gpu.inst_material[inst].astype(jnp.float32)
+    C, V = p_world.shape[0], p_world.shape[1]
+    attr_feats = jnp.concatenate([
+        p_world, n_world, uv, p_prev,
+        jnp.broadcast_to(matf[:, None, None], (C, V, 1))], -1)    # (C,64,12)
+    tri_attr = _tri_expand(onehot, attr_feats)                    # (C,96,3,12)
+
+    scr_feats = jnp.concatenate([
+        screen, zndc[..., None],
+        (1.0 / jnp.maximum(w, 1e-6))[..., None]], -1)             # (C,64,4)
+    tri_screen = _tri_expand(onehot, scr_feats)                   # (C,96,3,4)
+    return RasterAux(tri_screen=tri_screen, tri_attr=tri_attr)
+
+
+def build_worklist(screen, vert_ok, slot_valid, width, height,
+                   capacity: int,
+                   ty0: int = 0, ty_count: int = None):
+    """Meshlet screen AABB -> flat (tile, slot) work list.
+
+    Replaces per-tile fixed-capacity lists: raster work becomes proportional to
+    the ACTUAL (meshlet x covered-tile) count, compacted by prefix sum (the
+    InterlockedAdd-append analogue, GPUCulling.hlsl:104-146).
+
+    ty0/ty_count select a band of tile rows (framebuffer row-sharding across the
+    device mesh, SURVEY.md §5.8). Returned tile ids are band-local.
+
+    Returns (work_tile (Wcap,), work_slot (Wcap,), count, overflow)."""
     big = jnp.float32(1e9)
     xy = jnp.where(vert_ok[..., None], screen, big)
     mn = jnp.min(xy, axis=1)                      # (C, 2)
@@ -112,43 +180,91 @@ def bin_meshlets_to_tiles(screen, vert_ok, slot_valid, width, height,
     on_screen = (mx[:, 0] >= 0) & (mx[:, 1] >= 0) & (mn[:, 0] < width) & (mn[:, 1] < height)
     ok = any_vert & on_screen
 
-    gx = jnp.arange(tx, dtype=jnp.int32)
-    gy = jnp.arange(ty, dtype=jnp.int32) + ty0
-    cover_x = (gx[None, :] >= t0[:, 0:1]) & (gx[None, :] <= t1[:, 0:1])   # (C, TX)
-    cover_y = (gy[None, :] >= t0[:, 1:2]) & (gy[None, :] <= t1[:, 1:2])   # (C, TY)
-    cover = cover_y[:, :, None] & cover_x[:, None, :] & ok[:, None, None]  # (C, TY, TX)
-    cover = cover.reshape(cover.shape[0], -1)                              # (C, T)
-    slot_in_tile = jnp.cumsum(cover.astype(jnp.int32), axis=0) - 1         # (C, T)
-    counts = jnp.sum(cover.astype(jnp.int32), axis=0)                      # (T,)
-    overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
-    T = cover.shape[1]
-    flat = jnp.where(cover & (slot_in_tile < max_per_tile),
-                     jnp.arange(T, dtype=jnp.int32)[None, :] * max_per_tile + slot_in_tile,
-                     T * max_per_tile)
-    lists = jnp.full((T * max_per_tile + 1,), -1, jnp.int32)
-    src = jnp.broadcast_to(jnp.arange(cover.shape[0], dtype=jnp.int32)[:, None],
-                           cover.shape)
-    lists = lists.at[flat.reshape(-1)].set(src.reshape(-1), mode="drop")
-    return lists[:-1].reshape(T, max_per_tile), overflow
+    C_ = screen.shape[0]
+    T = tx * ty
+    # band-local rect in tile space
+    bx0 = t0[:, 0]
+    bx1 = t1[:, 0]
+    by0 = jnp.clip(t0[:, 1] - ty0, 0, ty - 1)
+    by1 = jnp.clip(t1[:, 1] - ty0, 0, ty - 1)
+    in_band = (t1[:, 1] >= ty0) & (t0[:, 1] <= ty0 + ty - 1)
+    ok = ok & in_band
+    nx = bx1 - bx0 + 1
+    nyc = by1 - by0 + 1
+    n = jnp.where(ok, nx * nyc, 0)                                 # (C,) covers
+
+    # RECT EMISSION (no (C, T) cover matrix, no multi-million-element scatter):
+    # exclusive-prefix offsets per slot, scatter only C segment heads, then a
+    # cumulative-max fill expands them into the per-work slot ids.
+    offs = jnp.cumsum(n) - n
+    count = jnp.sum(n)
+    overflow = jnp.maximum(count - capacity, 0)
+    heads = jnp.full((capacity + 1,), -1, jnp.int32)
+    dst = jnp.where(ok & (offs < capacity), offs, capacity)
+    heads = heads.at[dst].max(jnp.arange(C_, dtype=jnp.int32))[:capacity]
+    work_slot = jax.lax.cummax(heads)
+    pos_in_work = jnp.arange(capacity, dtype=jnp.int32)
+    valid = (pos_in_work < count) & (work_slot >= 0)
+    ws = jnp.maximum(work_slot, 0)
+    k = pos_in_work - offs[ws]
+    dx = k % jnp.maximum(nx[ws], 1)
+    dy = k // jnp.maximum(nx[ws], 1)
+    tile = (by0[ws] + dy) * tx + (bx0[ws] + dx)
+    tile = jnp.where(valid, tile, T)                # sentinel: dropped by segments
+    work_slot = jnp.where(valid, ws, -1)
+    # sort by tile id so depth/vis folds are segment reductions over sorted ids
+    order = jnp.argsort(tile)
+    return tile[order], work_slot[order], jnp.minimum(count, capacity), overflow
 
 
 def rasterize(gpu, vc, slots, width: int, height: int,
-              max_per_tile: int = 48,
+              worklist_capacity: int = None,
+              batch: int = 256,
+              tri_chunk: int = MESHLET_MAX_TRIS,
               double_sided_all: bool = False,
-              y0: int = 0, shard_height: int = None) -> RasterOutput:
+              y0: int = 0, shard_height: int = None,
+              max_per_tile: int = None) -> RasterOutput:
     """Rasterize visible meshlet slots into a visibility buffer.
+
+    TPU-first architecture (v3): a flat TILE-SORTED (tile, meshlet) work list
+    replaces per-tile capacity lists; the depth test is two segment reductions:
+
+      phase A: per work batch, evaluate the meshlet's triangles over its 32x32
+               tile -> per-work candidate depth rows (CONTIGUOUS writes into a
+               (Wcap, 1024) buffer — no scatter); then one segment_max over the
+               sorted tile ids folds work rows into the (T, 1024) depth buffer.
+      phase B: re-evaluate, keep triangle ids where the depth equals the final
+               depth (bitwise — same arithmetic), segment_max the ids.
+
+    Work executed is proportional to actual coverage: a fori_loop with a
+    DYNAMIC trip count (ceil(work_count / batch)) walks the compacted list, so
+    padded capacity costs memory only. History: a fixed tiles x max_per_tile
+    scan was 13.9s @1080p; scatter-max phases 0.4-0.5s (scatter-bound); this
+    segment-reduction form removes the scatters entirely.
 
     slots: (C,) i32 compacted visible pair ids (-1 padded) from ops.culling.
     y0/shard_height: rasterize only pixel rows [y0, y0+shard_height) — the
     per-device band under framebuffer row-sharding (y0 must be TILE-aligned).
+    max_per_tile: accepted for API compat; ignored (no per-tile capacity).
     """
     if shard_height is None:
         shard_height = height
     if isinstance(y0, int):
         assert y0 % TILE == 0, "shard origin must be tile-aligned"
+    C = slots.shape[0]
+    if worklist_capacity is None:
+        worklist_capacity = max(8 * C, 4096)
     slot_valid = slots >= 0
-    screen, zndc, w, vert_ok, _vid = _transform_meshlet_vertices(gpu, vc, slots, slot_valid)
-    tv, tz, tok, _lt = _gather_tri_setup(gpu, slots, slot_valid, screen, zndc, vert_ok)
+    screen, zndc, w, vert_ok, ml, p_world = _transform_meshlet_vertices(
+        gpu, vc, slots, slot_valid)
+    onehot, tri_valid = _tri_onehot(gpu, ml, slot_valid)
+    tri_feats = _tri_expand(onehot, jnp.concatenate(
+        [screen, zndc[..., None], vert_ok.astype(jnp.float32)[..., None]], -1))
+    tv = tri_feats[..., 0:2]
+    tz = tri_feats[..., 2]
+    tok = (tri_feats[..., 3] > 0.5).all(-1) & tri_valid
+    aux = build_raster_aux(gpu, vc, slots, slot_valid, screen, zndc, w, vert_ok,
+                           ml, p_world, onehot)
 
     # single-sided backface cull (glTF CCW front in RH; screen y-down flips sign)
     e1 = tv[:, :, 1] - tv[:, :, 0]
@@ -159,77 +275,122 @@ def rasterize(gpu, vc, slots, width: int, height: int,
         ds = gpu.mat_i[gpu.inst_material[inst], MATI_DOUBLE_SIDED] > 0
         tok &= (area2 < 0.0) | ds[:, None]
     tok &= jnp.abs(area2) > 1e-12
+    inv_a2 = jnp.where(jnp.abs(area2) > 1e-12, 1.0 / area2, 0.0)
 
     ty0 = y0 // TILE
     ty = -(-shard_height // TILE)
-    tiles, overflow = bin_meshlets_to_tiles(screen, vert_ok, slot_valid,
-                                            width, height, max_per_tile,
-                                            ty0=ty0, ty_count=ty)
     tx = -(-width // TILE)
     T = tx * ty
-
-    # per-tile pixel centers (T, TILE*TILE, 2), in GLOBAL pixel coordinates
-    tix = jnp.arange(T, dtype=jnp.int32)
-    org = jnp.stack([(tix % tx) * TILE, (tix // tx + ty0) * TILE], -1).astype(jnp.float32)
-    ly, lx = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
-    local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], -1).astype(jnp.float32) + 0.5
-    px = org[:, None, :] + local[None, :, :]                       # (T, P, 2)
+    work_tile, work_slot, work_count, overflow = build_worklist(
+        screen, vert_ok, slot_valid, width, height, worklist_capacity,
+        ty0=ty0, ty_count=ty)
 
     PIX = TILE * TILE
-    n_chunks = MESHLET_MAX_TRIS // TRI_CHUNK
+    TC = tri_chunk
+    n_chunks = MESHLET_MAX_TRIS // TC
+    ly, lx = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
+    local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], -1).astype(jnp.float32) + 0.5
 
-    def tri_block(carry, ks):
-        depth, vis = carry          # (T, P) f32, (T, P) i32
-        k, c = ks                   # meshlet slot index in tile list, tri chunk index
-        slot = tiles[:, k]                                           # (T,)
-        valid_ml = slot >= 0
-        s = jnp.where(valid_ml, slot, 0)
-        tr0 = c * TRI_CHUNK
-        v = jax.lax.dynamic_slice_in_dim(tv, tr0, TRI_CHUNK, axis=1)[s]   # (T, R, 3, 2)
-        z = jax.lax.dynamic_slice_in_dim(tz, tr0, TRI_CHUNK, axis=1)[s]   # (T, R, 3)
-        okt = jax.lax.dynamic_slice_in_dim(tok, tr0, TRI_CHUNK, axis=1)[s]  # (T, R)
-        a2 = jax.lax.dynamic_slice_in_dim(area2, tr0, TRI_CHUNK, axis=1)[s]
-        okt &= valid_ml[:, None]
+    B = batch
+    n_batches = (work_count + B - 1) // B
 
-        # edge functions at pixel centers: lambda_i = E_i / area2
-        pa = px[:, None, :, :] - v[:, :, None, 0, :]                 # (T, R, P, 2)
-        pb = px[:, None, :, :] - v[:, :, None, 1, :]
-        pc = px[:, None, :, :] - v[:, :, None, 2, :]
-        eab = v[:, :, 1] - v[:, :, 0]
-        ebc = v[:, :, 2] - v[:, :, 1]
-        eca = v[:, :, 0] - v[:, :, 2]
-        w0 = ebc[..., None, 0] * pb[..., 1] - ebc[..., None, 1] * pb[..., 0]  # at edge bc -> lam_a
-        w1 = eca[..., None, 0] * pc[..., 1] - eca[..., None, 1] * pc[..., 0]  # lam_b
-        w2 = eab[..., None, 0] * pa[..., 1] - eab[..., None, 1] * pa[..., 0]  # lam_c
-        inv_a = 1.0 / a2
-        l0 = w0 * inv_a[..., None]
-        l1 = w1 * inv_a[..., None]
-        l2 = w2 * inv_a[..., None]
-        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & okt[..., None]   # (T, R, P)
-        zpix = l0 * z[..., 0:1] + l1 * z[..., 1:2] + l2 * z[..., 2:3]
-        zpix = jnp.where(inside, zpix, -1.0)
-        # nearest triangle in this chunk (reversed-Z: max)
-        best = jnp.argmax(zpix, axis=1)                               # (T, P)
-        bz = jnp.take_along_axis(zpix, best[:, None, :], axis=1)[:, 0, :]
-        tid = s[:, None] * MESHLET_MAX_TRIS + (tr0 + best)
-        upd = bz > depth
-        depth = jnp.where(upd, bz, depth)
-        vis = jnp.where(upd, tid, vis)
-        return (depth, vis), None
+    def batch_data(b):
+        w0i = b * B
+        btile = jax.lax.dynamic_slice_in_dim(work_tile, w0i, B)     # (B,)
+        bslot = jax.lax.dynamic_slice_in_dim(work_slot, w0i, B)
+        bvalid = bslot >= 0
+        s = jnp.where(bvalid, bslot, 0)
+        org = jnp.stack([(btile % tx) * TILE,
+                         (btile // tx + ty0) * TILE], -1).astype(jnp.float32)
+        px = org[:, None, :] + local[None, :, :]                    # (B, P, 2)
+        return btile, s, bvalid, px
 
-    depth0 = jnp.zeros((T, PIX), jnp.float32)
-    vis0 = jnp.full((T, PIX), -1, jnp.int32)
-    ks = jnp.stack(jnp.meshgrid(jnp.arange(max_per_tile), jnp.arange(n_chunks),
-                                indexing="ij"), -1).reshape(-1, 2)
-    (depth_t, vis_t), _ = jax.lax.scan(tri_block, (depth0, vis0),
-                                       (ks[:, 0], ks[:, 1]))
+    def item_depth(s, bvalid, px):
+        """Max candidate depth per pixel across the item's 96 triangles.
+        Gathers the item's triangle block ONCE, then unrolls tri chunks (python
+        loop — keeps each batch step one big fused kernel, no inner fori)."""
+        v_all = tv[s]          # (B, 96, 3, 2)
+        z_all = tz[s]
+        ok_all = tok[s] & bvalid[:, None]
+        ia_all = inv_a2[s]
+        acc = jnp.full((B, PIX), -1.0)
+        for c in range(n_chunks):
+            sl = slice(c * TC, (c + 1) * TC)
+            zpix = _edge_depth(px, v_all[:, sl], z_all[:, sl], ia_all[:, sl],
+                               ok_all[:, sl])
+            acc = jnp.maximum(acc, jnp.max(zpix, axis=1))
+        return acc
+
+    # ---- phase A: per-work candidate depths (contiguous writes), segment_max ----
+    def phase_a(b, depth_w):
+        btile, s, bvalid, px = batch_data(b)
+        dz = item_depth(s, bvalid, px)                              # (B, P)
+        dz = jnp.where(bvalid[:, None], dz, -1.0)
+        return jax.lax.dynamic_update_slice_in_dim(depth_w, dz, b * B, axis=0)
+
+    depth_w = jax.lax.fori_loop(0, n_batches, phase_a,
+                                jnp.full((worklist_capacity, PIX), -1.0))
+    depth_t = jax.ops.segment_max(depth_w, work_tile, num_segments=T + 1,
+                                  indices_are_sorted=True)[:T]
+    depth_t = jnp.maximum(depth_t, 0.0)                             # empty tiles -> far
+
+    # ---- phase B: winning triangle ids (bitwise depth match), segment_max ----
+    def phase_b(b, vis_w):
+        btile, s, bvalid, px = batch_data(b)
+        final = depth_t[jnp.minimum(btile, T - 1)]                  # (B, P) row gather
+
+        v_all = tv[s]
+        z_all = tz[s]
+        ok_all = tok[s] & bvalid[:, None]
+        ia_all = inv_a2[s]
+        best_id = jnp.full((B, PIX), -1, jnp.int32)
+        for c in range(n_chunks):
+            sl = slice(c * TC, (c + 1) * TC)
+            zpix = _edge_depth(px, v_all[:, sl], z_all[:, sl], ia_all[:, sl],
+                               ok_all[:, sl])
+            tid = (s[:, None] * MESHLET_MAX_TRIS
+                   + (c * TC + jnp.arange(TC, dtype=jnp.int32))[None, :])
+            win = (zpix == final[:, None, :]) & (zpix > 0.0)
+            cand = jnp.max(jnp.where(win, tid[:, :, None], -1), axis=1)
+            best_id = jnp.maximum(best_id, cand)
+        best_id = jnp.where(bvalid[:, None], best_id, -1)
+        return jax.lax.dynamic_update_slice_in_dim(vis_w, best_id, b * B, axis=0)
+
+    vis_w = jax.lax.fori_loop(0, n_batches, phase_b,
+                              jnp.full((worklist_capacity, PIX), -1, jnp.int32))
+    vis_t = jax.ops.segment_max(vis_w, work_tile, num_segments=T + 1,
+                                indices_are_sorted=True)[:T]
+    vis_t = jnp.maximum(vis_t, -1)                                  # empty tiles -> -1
 
     # un-tile: (T, P) -> (shard_height, W) (tiles may extend past the band; crop)
     Hp, Wp = ty * TILE, tx * TILE
     depth_img = depth_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
     vis_img = vis_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
-    return RasterOutput(depth_img[:shard_height, :width], vis_img[:shard_height, :width],
-                        overflow)
+    out = RasterOutput(depth_img[:shard_height, :width],
+                       vis_img[:shard_height, :width], overflow)
+    return out, aux
+
+
+def _edge_depth(px, v, z, inv_a2, okt):
+    """Edge-function depth for a chunk of triangles over a pixel block.
+
+    px (B,P,2); v (B,R,3,2); z (B,R,3); inv_a2 (B,R); okt (B,R).
+    Returns zpix (B,R,P): interpolated reversed-Z depth, -1 outside."""
+    pa = px[:, None, :, :] - v[:, :, None, 0, :]
+    pb = px[:, None, :, :] - v[:, :, None, 1, :]
+    pc = px[:, None, :, :] - v[:, :, None, 2, :]
+    eab = v[:, :, 1] - v[:, :, 0]
+    ebc = v[:, :, 2] - v[:, :, 1]
+    eca = v[:, :, 0] - v[:, :, 2]
+    w0 = ebc[..., None, 0] * pb[..., 1] - ebc[..., None, 1] * pb[..., 0]
+    w1 = eca[..., None, 0] * pc[..., 1] - eca[..., None, 1] * pc[..., 0]
+    w2 = eab[..., None, 0] * pa[..., 1] - eab[..., None, 1] * pa[..., 0]
+    l0 = w0 * inv_a2[..., None]
+    l1 = w1 * inv_a2[..., None]
+    l2 = w2 * inv_a2[..., None]
+    inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & okt[..., None]
+    zpix = l0 * z[..., 0:1] + l1 * z[..., 1:2] + l2 * z[..., 2:3]
+    return jnp.where(inside, zpix, -1.0)
 
 
 class GBuffer(NamedTuple):
@@ -247,50 +408,31 @@ class GBuffer(NamedTuple):
     valid: jnp.ndarray       # (H, W) bool (stencil==1 analogue)
 
 
-def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots,
+def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
                     sample_textures=None, y0: int = 0) -> GBuffer:
     """Per-pixel attribute resolve from the visibility buffer.
 
-    Recomputes the pixel's triangle, perspective-correct barycentrics, and
-    interpolates quantized attributes (the reference does this in the raster
-    pixel shader, BasePass.hlsl:271-518). Fully regular: every pixel does the
-    same gathers + FMAs.
+    Interpolates perspective-correct attributes from the per-slot-triangle
+    records in ``aux`` (the reference does this in the raster pixel shader,
+    BasePass.hlsl:271-518). Per pixel there are exactly TWO contiguous row
+    gathers (tri_screen, tri_attr) + pure FMAs; material constants come from a
+    one-hot matmul against the (small) material table.
     """
+    assert aux is not None, "resolve_gbuffer requires RasterAux from rasterize()"
     H, W = raster.depth.shape
     visid = raster.visid
     valid = visid >= 0
     vid0 = jnp.where(valid, visid, 0)
-    slot_idx = vid0 // MESHLET_MAX_TRIS
-    tri_idx = vid0 % MESHLET_MAX_TRIS
 
-    pair = jnp.where(valid, slots[slot_idx], 0)
-    inst = gpu.pair_inst[pair]
-    ml = gpu.pair_meshlet[pair]
-    mat = gpu.inst_material[inst]
-
-    # triangle -> global vertex ids
-    lt = gpu.ml_tris[gpu.ml_tri_offset[ml] + tri_idx]            # (H, W, 3) local
-    gv = gpu.ml_vertices[gpu.ml_vert_offset[ml][..., None] + lt]  # (H, W, 3)
-
-    p_obj = gpu.positions[gv]                                     # (H, W, 3, 3)
-    Wm = gpu.inst_transform[inst]                                 # (H, W, 4, 4)
-    p_world = jnp.einsum("hwij,hwvj->hwvi", Wm[..., :3, :3], p_obj) + Wm[..., None, :3, 3]
-    VP = vc["view_proj"]
-    w = jnp.einsum("j,hwvj->hwv", VP[3, :3], p_world) + VP[3, 3]
-    w = jnp.maximum(w, 1e-6)
-    clip = jnp.einsum("ij,hwvj->hwvi", VP[:3, :3], p_world) + VP[:3, 3]
-    ndc = clip / w[..., None]
-    width, height = vc["viewport"][0], vc["viewport"][1]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[..., 1] * 0.5) * height
+    C = aux.tri_screen.shape[0]
+    scr = aux.tri_screen.reshape(C * MESHLET_MAX_TRIS, 3, 4)[vid0]   # (H,W,3,4)
+    attr = aux.tri_attr.reshape(C * MESHLET_MAX_TRIS, 3, 12)[vid0]   # (H,W,3,12)
 
     # screen-space barycentrics at the pixel center (global pixel coords)
     pxc = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
                                  jnp.arange(H, dtype=jnp.float32) + y0 + 0.5,
                                  indexing="xy"), -1)              # (H, W, 2)
-    va = jnp.stack([sx[..., 0], sy[..., 0]], -1)
-    vb = jnp.stack([sx[..., 1], sy[..., 1]], -1)
-    vc2 = jnp.stack([sx[..., 2], sy[..., 2]], -1)
+    va, vb, vc2 = scr[..., 0, 0:2], scr[..., 1, 0:2], scr[..., 2, 0:2]
     e1 = vb - va
     e2 = vc2 - va
     a2 = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]
@@ -304,37 +446,32 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots,
     l0 = edge(vb, vc2) / a2
     l1 = edge(vc2, va) / a2
     l2 = edge(va, vb) / a2
-    # perspective-correct weights
-    iw = 1.0 / w
+    # perspective-correct weights (invw precomputed in tri_screen[..., 3])
+    iw = scr[..., 3]
     denom = l0 * iw[..., 0] + l1 * iw[..., 1] + l2 * iw[..., 2]
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    b0 = l0 * iw[..., 0] / denom
-    b1 = l1 * iw[..., 1] / denom
-    b2 = l2 * iw[..., 2] / denom
-    bary = jnp.stack([b0, b1, b2], -1)
+    bary = jnp.stack([l0 * iw[..., 0], l1 * iw[..., 1], l2 * iw[..., 2]],
+                     -1) / denom[..., None]
 
-    pos_w = jnp.einsum("hwv,hwvi->hwi", bary, p_world)
+    interp = jnp.einsum("hwv,hwvf->hwf", bary, attr)              # (H,W,12)
+    pos_w = interp[..., 0:3]
+    n_shade = hm.normalize(interp[..., 3:6], xp=jnp)
+    uv_pix = interp[..., 6:8]
+    prev_pos = interp[..., 8:11]
+    mat = jnp.round(attr[..., 0, 11]).astype(jnp.int32)
 
-    # attributes (quantized unpack — ref BasePass.hlsl quantized vertex fetch)
-    n_packed = gpu.vnormals[gv]
-    n_obj, _sign = hm.unpack_normal_oct(n_packed, xp=jnp)          # (H, W, 3, 3)
-    Nm = gpu.inst_normal_mat[inst]
-    n_world = jnp.einsum("hwij,hwvj->hwvi", Nm, n_obj)
-    n_shade = hm.normalize(jnp.einsum("hwv,hwvi->hwi", bary, n_world), xp=jnp)
-    # geometric normal from the world-space triangle
-    gn = jnp.cross(p_world[..., 1, :] - p_world[..., 0, :],
-                   p_world[..., 2, :] - p_world[..., 0, :])
+    # geometric normal from the world-space triangle, oriented along shading n
+    gn = jnp.cross(attr[..., 1, 0:3] - attr[..., 0, 0:3],
+                   attr[..., 2, 0:3] - attr[..., 0, 0:3])
     gn = hm.normalize(gn, xp=jnp)
-    # orient geometric normal along shading normal
     flip = jnp.sum(gn * n_shade, -1, keepdims=True) < 0
     gn = jnp.where(flip, -gn, gn)
 
-    uv = hm.unpack_uv_half2(gpu.vuvs[gv], xp=jnp)                  # (H, W, 3, 2)
-    uv_pix = jnp.einsum("hwv,hwvi->hwi", bary, uv)
-
-    mf = gpu.mat_f[mat]
-    base = mf[..., MAT_BASE_COLOR:MAT_BASE_COLOR + 4]
-    albedo = base[..., :3]
+    # material constants: one-hot matmul against the small material table
+    Mt = gpu.mat_f.shape[0]
+    moh = (mat[..., None] == jnp.arange(Mt, dtype=jnp.int32)).astype(jnp.float32)
+    mf = jnp.einsum("hwm,mf->hwf", moh, gpu.mat_f)
+    albedo = mf[..., MAT_BASE_COLOR:MAT_BASE_COLOR + 3]
     metallic = mf[..., MAT_METALLIC]
     rough = mf[..., MAT_ROUGHNESS]
     emissive = mf[..., MAT_EMISSIVE:MAT_EMISSIVE + 3]
@@ -343,9 +480,7 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots,
             gpu, mat, uv_pix, albedo, rough, metallic, emissive, n_shade, gn)
 
     # motion vectors: prev-frame reprojection (ref motion RGBA16F target)
-    Wp_m = gpu.inst_prev_transform[inst]
-    p_prev = jnp.einsum("hwij,hwvj->hwvi", Wp_m[..., :3, :3], p_obj) + Wp_m[..., None, :3, 3]
-    prev_pos = jnp.einsum("hwv,hwvi->hwi", bary, p_prev)
+    width, height = vc["viewport"][0], vc["viewport"][1]
     PVP = vc["prev_view_proj_no_jitter"]
     pw = jnp.einsum("j,hwj->hw", PVP[3, :3], prev_pos) + PVP[3, 3]
     pw = jnp.maximum(pw, 1e-6)

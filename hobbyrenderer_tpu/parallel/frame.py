@@ -59,10 +59,9 @@ def _shard_frame_fn(gpu, vc, settings, state, *, width, height, shard_h,
     slots, _count = cullops.compact_mask(cull["mask"], capacity)
 
     # banded raster + resolve
-    ro = rasterops.rasterize(gpu, vc, slots, width, height,
-                             max_per_tile=max_per_tile,
-                             y0=y0, shard_height=shard_h)
-    gb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, y0=y0)
+    ro, aux = rasterops.rasterize(gpu, vc, slots, width, height,
+                                  y0=y0, shard_height=shard_h)
+    gb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux, y0=y0)
 
     # lighting + sky on the band
     vdir = skyops.view_dirs_from_pixels(vc, shard_h, width, y0=y0,

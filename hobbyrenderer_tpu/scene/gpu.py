@@ -64,6 +64,14 @@ class SceneGPU:
     ml_cone_axis: Any       # (M, 3) f32
     ml_cone_cutoff: Any     # (M,) f32
 
+    # meshlet-major baked vertex/triangle data (TPU layout optimization: the
+    # raster path fetches whole meshlets, so duplicate vertices into contiguous
+    # per-meshlet rows -> ROW gathers instead of scattered element gathers)
+    ml_pos: Any             # (M, 64, 3) f32 object-space positions (dup'd)
+    ml_attr: Any            # (M, 64, 3) u32 packed normal/uv/tangent (dup'd)
+    ml_gv: Any              # (M, 64) i32 global vertex id (for resolve)
+    ml_ltris: Any           # (M, 96, 3) i32 meshlet-local indices (padded w/ 0)
+
     # per-primitive LOD tables
     prim_lod_count: Any     # (P,) i32
     prim_lod_error: Any     # (P, MAX_LODS) f32
@@ -224,6 +232,27 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
 
     tri_indices = cat(tri_l, np.int32, 3)
     ml_vertices = cat(mlv_l, np.int32)
+    # meshlet-major baked arrays
+    _mvo = cat(mvo_l, np.int32)
+    _mvc = cat(mvc_l, np.int32)
+    _mto = cat(mto_l, np.int32)
+    _mtc = cat(mtc_l, np.int32)
+    _mlv = ml_vertices
+    _mlt = cat(mlt_l, np.int32, 3)
+    M_total = _mvo.shape[0]
+    from hobbyrenderer_tpu.scene.cooker import MESHLET_MAX_TRIS as _MT
+    from hobbyrenderer_tpu.scene.cooker import MESHLET_MAX_VERTS as _MV
+    vlanes = np.arange(_MV)[None, :]
+    vmask = vlanes < _mvc[:, None]
+    vidx = np.minimum(_mvo[:, None] + vlanes, max(_mlv.shape[0] - 1, 0))
+    ml_gv = np.where(vmask, _mlv[vidx], 0).astype(np.int32)
+    ml_pos = (positions[ml_gv] * vmask[..., None]).astype(np.float32)
+    ml_attr = np.stack([vnormals[ml_gv], vuvs[ml_gv], vtangents[ml_gv]],
+                       axis=-1).astype(np.uint32)
+    tlanes = np.arange(_MT)[None, :]
+    tmask = tlanes < _mtc[:, None]
+    tidx = np.minimum(_mto[:, None] + tlanes, max(_mlt.shape[0] - 1, 0))
+    ml_ltris = np.where(tmask[..., None], _mlt[tidx], 0).astype(np.int32)
     ml_tris = cat(mlt_l, np.int32, 3)
     ml_vert_offset = cat(mvo_l, np.int32)
     ml_vert_count = cat(mvc_l, np.int32)
@@ -321,6 +350,7 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
         ml_tri_offset=ml_tri_offset, ml_tri_count=ml_tri_count,
         ml_center=ml_center, ml_radius=ml_radius,
         ml_cone_axis=ml_cone_axis, ml_cone_cutoff=ml_cone_cutoff,
+        ml_pos=ml_pos, ml_attr=ml_attr, ml_gv=ml_gv, ml_ltris=ml_ltris,
         prim_lod_count=prim_lod_count, prim_lod_error=prim_lod_error,
         prim_tri_offset=prim_tri_offset, prim_tri_count=prim_tri_count,
         prim_center=prim_center, prim_radius=prim_radius,
