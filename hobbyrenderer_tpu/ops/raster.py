@@ -305,59 +305,57 @@ def rasterize(gpu, vc, slots, width: int, height: int,
         px = org[:, None, :] + local[None, :, :]                    # (B, P, 2)
         return btile, s, bvalid, px
 
-    def item_depth(s, bvalid, px):
-        """Max candidate depth per pixel across the item's 96 triangles.
-        Gathers the item's triangle block ONCE, then unrolls tri chunks (python
-        loop — keeps each batch step one big fused kernel, no inner fori)."""
-        v_all = tv[s]          # (B, 96, 3, 2)
-        z_all = tz[s]
-        ok_all = tok[s] & bvalid[:, None]
-        ia_all = inv_a2[s]
-        acc = jnp.full((B, PIX), -1.0)
+    # Affine triangle setup: lambda1/lambda2/depth as plane equations over screen
+    # space — the per-pixel inner loop then evaluates 3 affine functions (6 FMA)
+    # with a single (B, R, P) temp instead of materializing ~10 edge-function
+    # intermediates (the previous form was HBM-bound on those temps).
+    coeff = _tri_affine_coeffs(tv, tz, inv_a2, tok)                 # (C, 96, 10)
+
+    def item_depth_id(s, bvalid, px):
+        """(best depth, best triangle id) per pixel across the item's triangles."""
+        cf = coeff[s]                                               # (B, 96, 10) rows
+        okb = (cf[..., 9] > 0.5) & bvalid[:, None]
+        acc_z = jnp.full((B, PIX), -1.0)
+        acc_id = jnp.full((B, PIX), -1, jnp.int32)
+        x = px[:, None, :, 0]                                       # (B, 1, P)
+        y = px[:, None, :, 1]
         for c in range(n_chunks):
             sl = slice(c * TC, (c + 1) * TC)
-            zpix = _edge_depth(px, v_all[:, sl], z_all[:, sl], ia_all[:, sl],
-                               ok_all[:, sl])
-            acc = jnp.maximum(acc, jnp.max(zpix, axis=1))
-        return acc
+            cc = cf[:, sl]                                          # (B, R, 10)
+            l1 = cc[..., 0:1] * x + cc[..., 1:2] * y + cc[..., 2:3]
+            l2 = cc[..., 3:4] * x + cc[..., 4:5] * y + cc[..., 5:6]
+            zaff = cc[..., 6:7] * x + cc[..., 7:8] * y + cc[..., 8:9]
+            inside = (l1 >= 0) & (l2 >= 0) & (l1 + l2 <= 1.0) & okb[:, sl, None]
+            zpix = jnp.where(inside, zaff, -1.0)                    # (B, R, P)
+            best = jnp.argmax(zpix, axis=1)                         # (B, P)
+            bz = jnp.take_along_axis(zpix, best[:, None, :], axis=1)[:, 0, :]
+            tid = s[:, None] * MESHLET_MAX_TRIS + (c * TC + best)
+            upd = bz > acc_z
+            acc_z = jnp.where(upd, bz, acc_z)
+            acc_id = jnp.where(upd, tid, acc_id)
+        return acc_z, acc_id
 
-    # ---- phase A: per-work candidate depths (contiguous writes), segment_max ----
-    def phase_a(b, depth_w):
+    # ---- single eval pass: per-work candidate (depth, id) rows, contiguous ----
+    def eval_batch(b, bufs):
+        depth_w, tid_w = bufs
         btile, s, bvalid, px = batch_data(b)
-        dz = item_depth(s, bvalid, px)                              # (B, P)
-        dz = jnp.where(bvalid[:, None], dz, -1.0)
-        return jax.lax.dynamic_update_slice_in_dim(depth_w, dz, b * B, axis=0)
+        dz, di = item_depth_id(s, bvalid, px)                       # (B, P)
+        dz = jnp.where(bvalid[:, None] & (dz > 0.0), dz, -1.0)
+        di = jnp.where(dz > 0.0, di, -1)
+        return (jax.lax.dynamic_update_slice_in_dim(depth_w, dz, b * B, axis=0),
+                jax.lax.dynamic_update_slice_in_dim(tid_w, di, b * B, axis=0))
 
-    depth_w = jax.lax.fori_loop(0, n_batches, phase_a,
-                                jnp.full((worklist_capacity, PIX), -1.0))
+    depth_w, tid_w = jax.lax.fori_loop(
+        0, n_batches, eval_batch,
+        (jnp.full((worklist_capacity, PIX), -1.0),
+         jnp.full((worklist_capacity, PIX), -1, jnp.int32)))
+
+    # fold per tile: depth by segment_max; ids by bitwise-equal depth match
     depth_t = jax.ops.segment_max(depth_w, work_tile, num_segments=T + 1,
                                   indices_are_sorted=True)[:T]
     depth_t = jnp.maximum(depth_t, 0.0)                             # empty tiles -> far
-
-    # ---- phase B: winning triangle ids (bitwise depth match), segment_max ----
-    def phase_b(b, vis_w):
-        btile, s, bvalid, px = batch_data(b)
-        final = depth_t[jnp.minimum(btile, T - 1)]                  # (B, P) row gather
-
-        v_all = tv[s]
-        z_all = tz[s]
-        ok_all = tok[s] & bvalid[:, None]
-        ia_all = inv_a2[s]
-        best_id = jnp.full((B, PIX), -1, jnp.int32)
-        for c in range(n_chunks):
-            sl = slice(c * TC, (c + 1) * TC)
-            zpix = _edge_depth(px, v_all[:, sl], z_all[:, sl], ia_all[:, sl],
-                               ok_all[:, sl])
-            tid = (s[:, None] * MESHLET_MAX_TRIS
-                   + (c * TC + jnp.arange(TC, dtype=jnp.int32))[None, :])
-            win = (zpix == final[:, None, :]) & (zpix > 0.0)
-            cand = jnp.max(jnp.where(win, tid[:, :, None], -1), axis=1)
-            best_id = jnp.maximum(best_id, cand)
-        best_id = jnp.where(bvalid[:, None], best_id, -1)
-        return jax.lax.dynamic_update_slice_in_dim(vis_w, best_id, b * B, axis=0)
-
-    vis_w = jax.lax.fori_loop(0, n_batches, phase_b,
-                              jnp.full((worklist_capacity, PIX), -1, jnp.int32))
+    final_rows = depth_t[jnp.minimum(work_tile, T - 1)]             # (Wcap, P) rows
+    vis_w = jnp.where((depth_w == final_rows) & (depth_w > 0.0), tid_w, -1)
     vis_t = jax.ops.segment_max(vis_w, work_tile, num_segments=T + 1,
                                 indices_are_sorted=True)[:T]
     vis_t = jnp.maximum(vis_t, -1)                                  # empty tiles -> -1
@@ -369,6 +367,31 @@ def rasterize(gpu, vc, slots, width: int, height: int,
     out = RasterOutput(depth_img[:shard_height, :width],
                        vis_img[:shard_height, :width], overflow)
     return out, aux
+
+
+def _tri_affine_coeffs(tv, tz, inv_a2, tok):
+    """Per-triangle plane equations: lambda1, lambda2 and depth as affine
+    functions of screen position. Returns (C, 96, 10):
+    [l1x,l1y,l1c, l2x,l2y,l2c, dx,dy,dc, ok]."""
+    va, vb, vc2 = tv[..., 0, :], tv[..., 1, :], tv[..., 2, :]       # (C,96,2)
+
+    def edge_affine(p0, p1):
+        # E(p) = cross2(p1-p0, p - p0) = -dy*x + dx*y + (dy*p0x - dx*p0y)
+        d = p1 - p0
+        return (-d[..., 1], d[..., 0],
+                d[..., 1] * p0[..., 0] - d[..., 0] * p0[..., 1])
+
+    # lambda1 = E(vc2->va... ) / area: lambda_b uses edge (c, a)
+    bx, by, bc = edge_affine(vc2, va)
+    cx, cy, cc = edge_affine(va, vb)
+    l1x, l1y, l1c = bx * inv_a2, by * inv_a2, bc * inv_a2
+    l2x, l2y, l2c = cx * inv_a2, cy * inv_a2, cc * inv_a2
+    z0, z1, z2 = tz[..., 0], tz[..., 1], tz[..., 2]
+    dx = l1x * (z1 - z0) + l2x * (z2 - z0)
+    dy = l1y * (z1 - z0) + l2y * (z2 - z0)
+    dc = z0 + l1c * (z1 - z0) + l2c * (z2 - z0)
+    return jnp.stack([l1x, l1y, l1c, l2x, l2y, l2c, dx, dy, dc,
+                      tok.astype(jnp.float32)], -1)
 
 
 def _edge_depth(px, v, z, inv_a2, okt):
