@@ -1,0 +1,328 @@
+"""glTF 2.0 scene ingest.
+
+Reference: src/SceneLoader.{h,cpp} (2804 LoC) — glTF via cgltf: meshes (attributes,
+indices), materials + KHR extensions (emissive_strength, transmission, ior, volume,
+lights_punctual), cameras, nodes/hierarchy, animations; plus the in-memory entry
+point LoadGLTFSceneFromMemory (src/SceneLoader.h:39-43) used by test harnesses.
+
+TPU build: pure Python/numpy parser (no cgltf): handles .gltf (JSON + external bin
+or data URIs) and .glb containers. Geometry goes through the same cooker
+(scene/cooker.py) with the cooked-mesh cache (scene/cache.py). Unlike the
+reference we do NOT convert RH->LH — the whole framework is right-handed.
+
+Texture images are registered (indices recorded on materials) but pixel upload is
+handled by the texture/streaming layer when present.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from hobbyrenderer_tpu.scene.cache import load_or_cook_meshes
+from hobbyrenderer_tpu.scene.cooker import cook_mesh
+from hobbyrenderer_tpu.scene.scene import (ALPHA_BLEND, ALPHA_MASKED, ALPHA_OPAQUE,
+                                           Animation, AnimationChannel, CameraDesc,
+                                           Light, LIGHT_DIRECTIONAL, LIGHT_POINT,
+                                           LIGHT_SPOT, Material, Node, Scene)
+
+_COMPONENT_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16,
+    5125: np.uint32, 5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+                "MAT2": 4, "MAT3": 9, "MAT4": 16}
+
+
+class GLTFFile:
+    """Parsed glTF container: JSON + binary buffers."""
+
+    def __init__(self, doc: dict, buffers: List[bytes], base_dir: str = "."):
+        self.doc = doc
+        self.buffers = buffers
+        self.base_dir = base_dir
+
+    @staticmethod
+    def from_path(path: str) -> "GLTFFile":
+        base = os.path.dirname(os.path.abspath(path))
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] == b"glTF":
+            return GLTFFile._parse_glb(data, base)
+        doc = json.loads(data.decode("utf-8"))
+        return GLTFFile(doc, GLTFFile._load_buffers(doc, base, None), base)
+
+    @staticmethod
+    def from_memory(data: Union[dict, bytes, str]) -> "GLTFFile":
+        """In-memory glTF (ref LoadGLTFSceneFromMemory): JSON dict/str/bytes with
+        embedded data URIs, or a GLB byte blob."""
+        if isinstance(data, bytes) and data[:4] == b"glTF":
+            return GLTFFile._parse_glb(data, ".")
+        if isinstance(data, (bytes, str)):
+            doc = json.loads(data if isinstance(data, str) else data.decode("utf-8"))
+        else:
+            doc = data
+        return GLTFFile(doc, GLTFFile._load_buffers(doc, ".", None), ".")
+
+    @staticmethod
+    def _parse_glb(data: bytes, base: str) -> "GLTFFile":
+        magic, version, length = struct.unpack_from("<III", data, 0)
+        assert version == 2, f"unsupported GLB version {version}"
+        off = 12
+        doc = None
+        bin_chunk = None
+        while off < length:
+            clen, ctype = struct.unpack_from("<II", data, off)
+            payload = data[off + 8:off + 8 + clen]
+            if ctype == 0x4E4F534A:      # 'JSON'
+                doc = json.loads(payload.decode("utf-8"))
+            elif ctype == 0x004E4942:    # 'BIN'
+                bin_chunk = payload
+            off += 8 + clen
+        assert doc is not None, "GLB missing JSON chunk"
+        return GLTFFile(doc, GLTFFile._load_buffers(doc, base, bin_chunk), base)
+
+    @staticmethod
+    def _load_buffers(doc: dict, base: str, glb_bin: Optional[bytes]) -> List[bytes]:
+        out = []
+        for i, b in enumerate(doc.get("buffers", [])):
+            uri = b.get("uri")
+            if uri is None:
+                assert glb_bin is not None, "buffer without uri outside GLB"
+                out.append(glb_bin)
+            elif uri.startswith("data:"):
+                out.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                with open(os.path.join(base, uri), "rb") as f:
+                    out.append(f.read())
+        return out
+
+    def accessor(self, idx: int) -> np.ndarray:
+        """Decode accessor -> (count, comps) array (sparse not supported)."""
+        acc = self.doc["accessors"][idx]
+        n = acc["count"]
+        comps = _TYPE_COUNTS[acc["type"]]
+        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+        itemsize = np.dtype(dtype).itemsize * comps
+        if "bufferView" not in acc:
+            return np.zeros((n, comps), dtype)
+        bv = self.doc["bufferViews"][acc["bufferView"]]
+        buf = self.buffers[bv.get("buffer", 0)]
+        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride", itemsize)
+        if stride == itemsize:
+            arr = np.frombuffer(buf, dtype, count=n * comps, offset=start)
+            out = arr.reshape(n, comps)
+        else:
+            raw = np.frombuffer(buf, np.uint8)
+            idxs = start + stride * np.arange(n)[:, None] + np.arange(itemsize)[None, :]
+            out = raw[idxs].copy().view(dtype).reshape(n, comps)
+        if acc.get("normalized") and dtype != np.float32:
+            info = np.iinfo(dtype)
+            out = out.astype(np.float32) / float(info.max)
+        return np.asarray(out)
+
+
+def _mat_from_gltf(m: dict, name: str) -> Material:
+    pbr = m.get("pbrMetallicRoughness", {})
+    mat = Material(name=name)
+    mat.base_color = np.asarray(pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32)
+    mat.metallic = float(pbr.get("metallicFactor", 1.0))
+    mat.roughness = float(pbr.get("roughnessFactor", 1.0))
+    mat.emissive = np.asarray(m.get("emissiveFactor", [0, 0, 0]), np.float32)
+    mat.double_sided = bool(m.get("doubleSided", False))
+    am = m.get("alphaMode", "OPAQUE")
+    mat.alpha_mode = {"OPAQUE": ALPHA_OPAQUE, "MASK": ALPHA_MASKED,
+                      "BLEND": ALPHA_BLEND}.get(am, ALPHA_OPAQUE)
+    mat.alpha_cutoff = float(m.get("alphaCutoff", 0.5))
+    ext = m.get("extensions", {})
+    if "KHR_materials_emissive_strength" in ext:
+        mat.emissive_strength = float(
+            ext["KHR_materials_emissive_strength"].get("emissiveStrength", 1.0))
+    if "KHR_materials_transmission" in ext:
+        mat.transmission = float(
+            ext["KHR_materials_transmission"].get("transmissionFactor", 0.0))
+    if "KHR_materials_ior" in ext:
+        mat.ior = float(ext["KHR_materials_ior"].get("ior", 1.5))
+    if "KHR_materials_volume" in ext:
+        v = ext["KHR_materials_volume"]
+        mat.attenuation_color = np.asarray(v.get("attenuationColor", [1, 1, 1]), np.float32)
+        mat.attenuation_distance = float(v.get("attenuationDistance", 1e9))
+    # texture indices (resolved by the texture layer)
+    def tex_index(entry):
+        return -1 if entry is None else int(entry.get("index", -1))
+    mat.base_color_tex = tex_index(pbr.get("baseColorTexture"))
+    mat.orm_tex = tex_index(pbr.get("metallicRoughnessTexture"))
+    mat.normal_tex = tex_index(m.get("normalTexture"))
+    mat.emissive_tex = tex_index(m.get("emissiveTexture"))
+    return mat
+
+
+def _decompose_matrix(m: np.ndarray):
+    t = m[:3, 3].copy()
+    sx = np.linalg.norm(m[:3, 0])
+    sy = np.linalg.norm(m[:3, 1])
+    sz = np.linalg.norm(m[:3, 2])
+    if np.linalg.det(m[:3, :3]) < 0:
+        sx = -sx
+    r = m[:3, :3] / np.asarray([sx, sy, sz])[None, :]
+    # rotation matrix -> quaternion (x, y, z, w)
+    tr = np.trace(r)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.asarray([(r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s,
+                        (r[1, 0] - r[0, 1]) / s, 0.25 * s])
+    else:
+        i = int(np.argmax(np.diag(r)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + r[i, i] - r[j, j] - r[k, k], 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[j] = (r[j, i] + r[i, j]) / s
+        q[k] = (r[k, i] + r[i, k]) / s
+        q[3] = (r[k, j] - r[j, k]) / s
+    return (t.astype(np.float32), q.astype(np.float32),
+            np.asarray([sx, sy, sz], np.float32))
+
+
+def _build_scene(g: GLTFFile, cache_key: Optional[str], cache_dir: Optional[str]) -> Scene:
+    doc = g.doc
+    sc = Scene()
+
+    # materials (index 0 in Scene is the default; glTF ids shift by +1)
+    for i, m in enumerate(doc.get("materials", [])):
+        sc.add_material(_mat_from_gltf(m, m.get("name", f"material_{i}")))
+
+    def scene_mat(idx):
+        return 0 if idx is None else idx + 1
+
+    # meshes: cook every primitive (cache-aware)
+    prim_specs = []            # raw geometry for cooking
+    mesh_prim_ids: List[List[int]] = []   # glTF mesh -> list of scene prim ids
+    prim_mats: List[int] = []
+    for mesh in doc.get("meshes", []):
+        ids = []
+        for prim in mesh.get("primitives", []):
+            if prim.get("mode", 4) != 4:
+                continue  # only triangles
+            attrs = prim["attributes"]
+            pos = g.accessor(attrs["POSITION"]).astype(np.float32)
+            if "indices" in prim:
+                idx = g.accessor(prim["indices"]).astype(np.int64).reshape(-1)
+            else:
+                idx = np.arange(pos.shape[0], dtype=np.int64)
+            nrm = g.accessor(attrs["NORMAL"]).astype(np.float32) if "NORMAL" in attrs else None
+            uv = g.accessor(attrs["TEXCOORD_0"]).astype(np.float32) if "TEXCOORD_0" in attrs else None
+            tan = g.accessor(attrs["TANGENT"]).astype(np.float32) if "TANGENT" in attrs else None
+            prim_specs.append(dict(positions=pos, indices=idx, normals=nrm,
+                                   uvs=uv, tangents=tan))
+            ids.append(len(prim_specs) - 1)
+            prim_mats.append(scene_mat(prim.get("material")))
+        mesh_prim_ids.append(ids)
+
+    cooked = load_or_cook_meshes(prim_specs, cache_key=cache_key, cache_dir=cache_dir)
+    spec_to_scene = []
+    for ci, cm in enumerate(cooked):
+        spec_to_scene.append(sc.add_mesh(cm, material=prim_mats[ci]))
+
+    # lights (KHR_lights_punctual)
+    light_defs = (doc.get("extensions", {})
+                  .get("KHR_lights_punctual", {}).get("lights", []))
+
+    # nodes
+    gltf_nodes = doc.get("nodes", [])
+    for i, n in enumerate(gltf_nodes):
+        node = Node(name=n.get("name", f"node_{i}"))
+        if "matrix" in n:
+            m = np.asarray(n["matrix"], np.float32).reshape(4, 4).T  # column-major
+            node.translation, node.rotation, node.scale = _decompose_matrix(m)
+        else:
+            node.translation = np.asarray(n.get("translation", [0, 0, 0]), np.float32)
+            node.rotation = np.asarray(n.get("rotation", [0, 0, 0, 1]), np.float32)
+            node.scale = np.asarray(n.get("scale", [1, 1, 1]), np.float32)
+        if "mesh" in n:
+            node.mesh_primitives = [spec_to_scene[p] for p in mesh_prim_ids[n["mesh"]]]
+        sc.add_node(node)
+    # parents
+    for i, n in enumerate(gltf_nodes):
+        for c in n.get("children", []):
+            sc.nodes[c].parent = i
+
+    # second pass: cameras + lights attached to nodes (need world transforms)
+    sc._topo_sort()
+    sc.compute_world_transforms()
+    for i, n in enumerate(gltf_nodes):
+        world = sc.nodes[i].world
+        if "camera" in n:
+            cam = doc["cameras"][n["camera"]]
+            if cam.get("type") == "perspective":
+                p = cam.get("perspective", {})
+                fwd = -world[:3, 2]
+                desc = CameraDesc(name=cam.get("name", "camera"),
+                                  position=world[:3, 3].astype(np.float32),
+                                  fov_y=float(p.get("yfov", 1.0)),
+                                  znear=float(p.get("znear", 0.1)))
+                desc.pitch = float(np.arctan2(fwd[1], np.linalg.norm(fwd[[0, 2]])))
+                desc.yaw = float(np.arctan2(-fwd[0], -fwd[2]))
+                sc.cameras.append(desc)
+        lext = n.get("extensions", {}).get("KHR_lights_punctual")
+        if lext is not None:
+            ld = light_defs[lext["light"]]
+            ltype = {"directional": LIGHT_DIRECTIONAL, "point": LIGHT_POINT,
+                     "spot": LIGHT_SPOT}.get(ld.get("type"), LIGHT_POINT)
+            spot = ld.get("spot", {})
+            sc.add_light(Light(
+                type=ltype,
+                position=world[:3, 3].astype(np.float32),
+                direction=(-world[:3, 2]).astype(np.float32),  # -Z convention
+                color=np.asarray(ld.get("color", [1, 1, 1]), np.float32),
+                intensity=float(ld.get("intensity", 1.0)),
+                range=float(ld.get("range", 1e9)),
+                inner_cone=float(spot.get("innerConeAngle", 0.0)),
+                outer_cone=float(spot.get("outerConeAngle", np.pi / 4)),
+                name=ld.get("name", "light")))
+
+    # animations
+    for a in doc.get("animations", []):
+        anim = Animation(name=a.get("name", "anim"))
+        dur = 0.0
+        for ch in a.get("channels", []):
+            target = ch.get("target", {})
+            if target.get("node") is None:
+                continue
+            samp = a["samplers"][ch["sampler"]]
+            times = g.accessor(samp["input"]).reshape(-1).astype(np.float32)
+            values = g.accessor(samp["output"]).astype(np.float32)
+            anim.channels.append(AnimationChannel(
+                target_node=int(target["node"]),
+                path=target.get("path", "translation"),
+                times=times, values=values,
+                interpolation=samp.get("interpolation", "LINEAR")))
+            if len(times):
+                dur = max(dur, float(times[-1]))
+            if target.get("node") is not None:
+                sc.nodes[target["node"]].dynamic = True
+        anim.duration = dur
+        sc.animations.append(anim)
+
+    sc.finalize()
+    return sc
+
+
+def load_gltf_scene(path: str, cache_dir: Optional[str] = ".hr_cache") -> Scene:
+    """File entry point (ref SceneLoader::LoadGLTFScene)."""
+    g = GLTFFile.from_path(path)
+    key = os.path.abspath(path)
+    return _build_scene(g, cache_key=key, cache_dir=cache_dir)
+
+
+def load_gltf_from_memory(data: Union[dict, bytes, str]) -> Scene:
+    """In-memory entry point (ref LoadGLTFSceneFromMemory,
+    src/SceneLoader.cpp:2572) — the test-harness path; never cached."""
+    g = GLTFFile.from_memory(data)
+    return _build_scene(g, cache_key=None, cache_dir=None)

@@ -1,0 +1,164 @@
+"""glTF loader + cooked-cache tests (SURVEY.md §4: LoadGLTFSceneFromMemory-style
+in-memory scenes as the harness entry point)."""
+
+import base64
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from hobbyrenderer_tpu.scene.loader import load_gltf_from_memory, load_gltf_scene
+from hobbyrenderer_tpu.scene.scene import ALPHA_MASKED, LIGHT_POINT
+
+
+def _b64(arr: np.ndarray) -> str:
+    return "data:application/octet-stream;base64," + base64.b64encode(
+        arr.tobytes()).decode()
+
+
+def _tri_gltf(with_anim=True):
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    nrm = np.tile(np.asarray([[0, 0, 1]], np.float32), (4, 1))
+    uv = np.asarray([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    idx = np.asarray([0, 1, 2, 2, 1, 3], np.uint16)
+    anim_t = np.asarray([0.0, 2.0], np.float32)
+    anim_v = np.asarray([[0, 0, 0], [0, 3, 0]], np.float32)
+    buf = pos.tobytes() + nrm.tobytes() + uv.tobytes() + idx.tobytes() \
+        + anim_t.tobytes() + anim_v.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"name": "quad", "mesh": 0, "translation": [0, 0, 0]},
+            {"name": "lightnode", "translation": [0, 2, 0],
+             "extensions": {"KHR_lights_punctual": {"light": 0}}},
+        ],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3, "material": 0}]}],
+        "materials": [{
+            "name": "checker",
+            "pbrMetallicRoughness": {"baseColorFactor": [0.8, 0.2, 0.1, 1.0],
+                                     "metallicFactor": 0.25,
+                                     "roughnessFactor": 0.6},
+            "emissiveFactor": [0.1, 0.2, 0.3],
+            "alphaMode": "MASK", "alphaCutoff": 0.4, "doubleSided": True,
+            "extensions": {
+                "KHR_materials_emissive_strength": {"emissiveStrength": 5.0},
+                "KHR_materials_transmission": {"transmissionFactor": 0.5},
+                "KHR_materials_ior": {"ior": 1.33}},
+        }],
+        "extensions": {"KHR_lights_punctual": {"lights": [{
+            "type": "point", "color": [1.0, 0.5, 0.25], "intensity": 7.0,
+            "range": 12.0, "name": "pt"}]}},
+        "buffers": [{"uri": _b64(np.frombuffer(buf, np.uint8)), "byteLength": len(buf)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 128, "byteLength": 12},
+            {"buffer": 0, "byteOffset": 140, "byteLength": 8},
+            {"buffer": 0, "byteOffset": 148, "byteLength": 24},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            {"bufferView": 4, "componentType": 5126, "count": 2, "type": "SCALAR"},
+            {"bufferView": 5, "componentType": 5126, "count": 2, "type": "VEC3"},
+        ],
+    }
+    if with_anim:
+        doc["animations"] = [{
+            "name": "rise",
+            "samplers": [{"input": 4, "output": 5, "interpolation": "LINEAR"}],
+            "channels": [{"sampler": 0, "target": {"node": 0, "path": "translation"}}],
+        }]
+    return doc
+
+
+def test_load_from_memory():
+    sc = load_gltf_from_memory(_tri_gltf())
+    assert len(sc.meshes) == 1
+    assert sc.meshes[0].lods[0].indices.shape[0] == 2
+    m = sc.materials[1]
+    np.testing.assert_allclose(m.base_color, [0.8, 0.2, 0.1, 1.0])
+    assert m.alpha_mode == ALPHA_MASKED and m.alpha_cutoff == pytest.approx(0.4)
+    assert m.double_sided and m.emissive_strength == 5.0
+    assert m.transmission == 0.5 and m.ior == pytest.approx(1.33)
+    # light on a node, plus the default sun appended at finalize
+    pts = [l for l in sc.lights if l.type == LIGHT_POINT]
+    assert len(pts) == 1
+    np.testing.assert_allclose(pts[0].position, [0, 2, 0], atol=1e-6)
+    assert pts[0].intensity == 7.0 and pts[0].range == 12.0
+    # instances bucketed; material is masked
+    assert sc.instances[0].material == 1
+    # animation drives node 0
+    sc.update(1.0)
+    np.testing.assert_allclose(sc.nodes[0].world[:3, 3], [0, 1.5, 0], atol=1e-5)
+
+
+def test_load_from_glb_bytes():
+    doc = _tri_gltf(with_anim=False)
+    # convert the data-uri buffer into a GLB BIN chunk
+    uri = doc["buffers"][0]["uri"]
+    blob = base64.b64decode(uri.split(",", 1)[1])
+    doc["buffers"] = [{"byteLength": len(blob)}]
+    js = json.dumps(doc).encode()
+    js += b" " * (-len(js) % 4)
+    binpad = blob + b"\x00" * (-len(blob) % 4)
+    glb = (struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js) + 8 + len(binpad))
+           + struct.pack("<II", len(js), 0x4E4F534A) + js
+           + struct.pack("<II", len(binpad), 0x004E4942) + binpad)
+    sc = load_gltf_from_memory(glb)
+    assert len(sc.meshes) == 1
+    assert sc.meshes[0].num_vertices == 4
+
+
+def test_file_load_and_cache(tmp_path):
+    doc = _tri_gltf()
+    path = tmp_path / "quad.gltf"
+    path.write_text(json.dumps(doc))
+    cache_dir = str(tmp_path / "cache")
+    sc1 = load_gltf_scene(str(path), cache_dir=cache_dir)
+    cache_files = os.listdir(cache_dir)
+    assert len(cache_files) == 1, "cook must produce one cache file"
+    # second load: cache hit produces identical geometry
+    sc2 = load_gltf_scene(str(path), cache_dir=cache_dir)
+    np.testing.assert_array_equal(sc1.meshes[0].positions, sc2.meshes[0].positions)
+    np.testing.assert_array_equal(sc1.meshes[0].lods[0].indices,
+                                  sc2.meshes[0].lods[0].indices)
+    np.testing.assert_array_equal(sc1.meshes[0].normals_packed,
+                                  sc2.meshes[0].normals_packed)
+    # touching the source invalidates the cache (mtime check)
+    os.utime(path, (os.path.getmtime(path) + 10, os.path.getmtime(path) + 10))
+    sc3 = load_gltf_scene(str(path), cache_dir=cache_dir)
+    assert len(sc3.meshes) == 1
+
+
+def test_loaded_scene_renders():
+    import jax
+    from hobbyrenderer_tpu.config import RenderSettings
+    from hobbyrenderer_tpu.models.deferred import DeferredRenderer
+    from hobbyrenderer_tpu.scene import Camera
+    from hobbyrenderer_tpu.scene.gpu import build_scene_gpu
+    from hobbyrenderer_tpu.scene.procedural import camera_looking_at
+
+    sc = load_gltf_from_memory(_tri_gltf(with_anim=False))
+    # the fixture's strong blue emissive would dominate; isolate the albedo
+    sc.materials[1].emissive = np.zeros(3, np.float32)
+    sc.cameras.append(camera_looking_at(np.array([0.5, 0.5, 3.0], np.float32),
+                                        np.array([0.5, 0.5, 0.0], np.float32)))
+    gpu = build_scene_gpu(sc)
+    cam = Camera(sc.cameras[-1], 64, 48)
+    ldr, overflow = DeferredRenderer(gpu, 64, 48).render(
+        gpu, cam.view_constants(0), __import__(
+            "hobbyrenderer_tpu.config", fromlist=["RenderSettings"]
+        ).RenderSettings().as_pytree())
+    ldr = np.asarray(ldr)
+    center = ldr[24, 32].astype(np.int32)
+    assert center[0] > center[2], f"red quad expected at center: {center}"
