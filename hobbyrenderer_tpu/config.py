@@ -60,6 +60,9 @@ class RenderSettings:
     bloom_knee: float = 0.5
     bloom_threshold: float = 1.0
     taa_blend: float = 0.1                      # history feedback min
+    shadow_bias: float = 0.05                   # world-space shadow ray offset
+    #   (covers raster-LOD vs LOD0-BVH surface mismatch; ref normal-bias in
+    #    ShadowMask.hlsl per-cascade anisotropic bias)
     sharpness: float = 0.0
     ambient_scale: float = 1.0
     max_bounces: int = 8                        # ref src/Renderer.h:299 (STATIC: loop bound)
@@ -105,6 +108,7 @@ class Config:
     disable_aliasing: bool = False        # disable buffer donation (debugging)
     cache_dir: str = ".hr_cache"          # cooked mesh cache directory
     seed: int = 0
+    shadow_scale: int = 2                 # RT sun-shadow resolution divisor (STATIC)
     # Parallelism: framebuffer tile-sharding across the device mesh (SURVEY.md §5.8)
     num_devices: int = 0                  # 0 = all available
     settings: RenderSettings = field(default_factory=RenderSettings)

@@ -39,6 +39,7 @@ class FrameContext:
     config: Any               # static Config (hashable python data; not traced)
     frame_index: Any = 0
     dt: float = 1.0 / 60.0
+    rt: Any = None            # SceneRT (BVH snapshot) for ray-traced passes
 
 
 class AccessError(RuntimeError):

@@ -1,14 +1,14 @@
-"""Deferred rendering mode (the NormalBasic/Normal/IBL family).
+"""Deferred rendering mode (the Normal / NormalBasic / IBL family).
 
 Reference pass order (src/Renderer.cpp:1282-1313): Clear -> [TLAS] -> base pass
 (GPU culling + meshlet raster G-buffer) -> HZB -> shadows -> [RTXDI/SHARC | SSGI/
 DDGI] -> Deferred lighting -> Sky -> transparent -> TAA -> Bloom -> HDR post.
 
-This module builds the TPU pass graph for the deferred family. v1 slice implements:
-Culling -> Raster -> ResolveGBuffer -> DeferredLighting (all lights + hemisphere
-ambient) -> Sky -> AutoExposure (histogram) -> Bloom -> Tonemap. RT shadows, ReSTIR,
-SHARC, TAA etc. are added as passes in later milestones, slotting into the same
-graph."""
+Implemented graph: Culling (frustum + cone + optional prev-frame HZB occlusion) ->
+Raster -> HZBBuild -> ResolveGBuffer -> SunShadow (ray-traced, Normal/IBL modes,
+ref "ray-traced sun shadows" src/Renderer.cpp:1300-1313) -> DeferredLighting ->
+Sky -> TAA (FSR3-class accumulate-resolve) -> AutoExposure -> Bloom -> Tonemap.
+ReSTIR/SHARC/SSGI/DDGI slot in as additional passes."""
 
 from __future__ import annotations
 
@@ -18,25 +18,51 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from hobbyrenderer_tpu.config import RenderingMode
 from hobbyrenderer_tpu.graph.rendergraph import FrameContext, RenderGraph, render_pass
+from hobbyrenderer_tpu.ops import bvh as bvhops
 from hobbyrenderer_tpu.ops import culling as cullops
+from hobbyrenderer_tpu.ops import hzb as hzbops
 from hobbyrenderer_tpu.ops import post as postops
 from hobbyrenderer_tpu.ops import raster as rasterops
+from hobbyrenderer_tpu.ops import sampling as smp
 from hobbyrenderer_tpu.ops import shading as shadeops
 from hobbyrenderer_tpu.ops import sky as skyops
-from hobbyrenderer_tpu.scene.scene import ALPHA_BLEND
+from hobbyrenderer_tpu.ops import taa as taaops
+from hobbyrenderer_tpu.ops.intersect import offset_ray_origin
+from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
+
+
+def _sun_index(gpu):
+    lt = gpu.light_type
+    is_dir = (lt == 0) & (jnp.arange(lt.shape[0]) < gpu.light_count)
+    return jnp.argmax(is_dir), is_dir.any()
+
+
+def _scene_sun_dir(ctx):
+    """First directional light's direction (the sun), falling back to settings."""
+    idx, has = _sun_index(ctx.gpu)
+    return jnp.where(has, ctx.gpu.light_dir[idx],
+                     jnp.asarray(ctx.settings.sun_direction))
 
 
 def build_deferred_graph(width: int, height: int, visible_capacity: int,
-                         max_per_tile: int = 48) -> RenderGraph:
+                         mode: str = RenderingMode.NORMAL,
+                         with_rt_shadows: bool = True,
+                         occlusion_culling: bool = True,
+                         with_taa: bool = True) -> RenderGraph:
     g = RenderGraph()
+    h0, w0, hzb_levels = hzbops.hzb_sizes(width, height)
 
     @g.add
-    @render_pass("Culling", reads=(), writes=("visible_slots", "visible_count"))
+    @render_pass("Culling", reads=("hzb",),
+                 writes=("visible_slots", "visible_count"))
     def _culling(ctx: FrameContext, res):
         # opaque+masked buckets raster; transparent handled by a forward pass later
         alpha_ok = jnp.asarray([True, True, False])
-        cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
+        hzb = res["hzb"] if occlusion_culling else None
+        cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok,
+                                  hzb=hzb, hzb_levels=hzb_levels)
         slots, count = cullops.compact_mask(cull["mask"], visible_capacity)
         res["visible_slots"] = slots
         res["visible_count"] = count
@@ -54,6 +80,14 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         res["raster_aux"] = aux
 
     @g.add
+    @render_pass("HZBBuild", reads=("raster_depth",), writes=("hzb",),
+                 persistent=("hzb",))
+    def _hzb(ctx, res):
+        # persistent: next frame's culling tests against THIS frame's pyramid
+        # (temporal coherence, ref two-phase culling phase 1, GPUCulling.hlsl:9-21)
+        res["hzb"] = hzbops.build_hzb(res["raster_depth"], hzb_levels, h0, w0)
+
+    @g.add
     @render_pass("ResolveGBuffer", reads=("raster_depth", "raster_visid",
                                           "raster_aux", "visible_slots"),
                  writes=("gbuffer",))
@@ -65,15 +99,65 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                                                    aux=res["raster_aux"])
 
     @g.add
-    @render_pass("DeferredLighting", reads=("gbuffer",), writes=("hdr",))
+    @render_pass("SunShadow", reads=("gbuffer",), writes=("sun_shadow",))
+    def _sun_shadow(ctx, res):
+        """Ray-traced sun shadow mask (ref RT sun shadows + the ShadowMask R8
+        target). One cone-jittered shadow ray per shadow-res pixel through the
+        BVH; traced at reduced resolution (shadow_scale) and bilinearly
+        upsampled — TAA integrates the jitter over frames."""
+        gb = res["gbuffer"]
+        if ctx.rt is None:
+            res["sun_shadow"] = jnp.ones((height, width), jnp.float32)
+            return
+        s = int(getattr(ctx.config, "shadow_scale", 2) or 2) if ctx.config else 2
+        sh, sw = height // s, width // s
+        pos_s = gb.world_pos[::s, ::s][:sh, :sw]
+        gn_s = gb.geo_normal[::s, ::s][:sh, :sw]
+        valid_s = gb.valid[::s, ::s][:sh, :sw]
+        sun_dir = _scene_sun_dir(ctx)
+        to_sun = -sun_dir
+        pos = pos_s.reshape(-1, 3)
+        gn = gn_s.reshape(-1, 3)
+        pix = jnp.arange(pos.shape[0], dtype=jnp.uint32)
+        frame = jnp.broadcast_to(ctx.vc["frame_index"].astype(jnp.uint32), pix.shape)
+        bits = pcg3d(jnp.stack([pix, frame, jnp.full_like(pix, 77)], -1))
+        u1 = uniform_from_bits(bits[..., 0])
+        u2 = uniform_from_bits(bits[..., 1])
+        cos_max = jnp.cos(ctx.settings.sun_angular_radius)
+        L = smp.sample_cone(jnp.broadcast_to(to_sun, pos.shape), cos_max, u1, u2)
+        facing = (jnp.sum(L * gn, -1) > 0) & valid_s.reshape(-1)
+        bias = ctx.settings.shadow_bias
+        o = pos + gn * bias + L * bias
+        occ = bvhops.bvh_any_hit(ctx.rt.bvh, o, L,
+                                 t_max=jnp.where(facing, 1e8, 1e-4))
+        vis = jnp.where(facing, 1.0 - occ.astype(jnp.float32), 0.0)
+        vis = jnp.where(valid_s.reshape(-1), vis, 1.0).reshape(sh, sw)
+        if s > 1:
+            vis = jax.image.resize(vis, (height, width), method="bilinear")
+        res["sun_shadow"] = vis
+
+    if not (with_rt_shadows and mode in (RenderingMode.NORMAL, RenderingMode.IBL)):
+        g.get("SunShadow").enabled = False
+
+    @g.add
+    @render_pass("DeferredLighting", reads=("gbuffer", "sun_shadow"), writes=("hdr",))
     def _deferred(ctx, res):
         gb = res["gbuffer"]
         vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
         v = -vdir
         rough = gb.orm[..., 1]
         metal = gb.orm[..., 2]
+        sun_idx, _has = _sun_index(ctx.gpu)
+        if g.get("SunShadow").enabled:
+            mask = res["sun_shadow"]
+
+            def shadow_fn(i, L, dist):
+                return jnp.where(i == sun_idx, mask, 1.0)
+        else:
+            shadow_fn = None
         direct = shadeops.shade_all_lights(ctx.gpu, gb.world_pos, gb.normal, v,
-                                           gb.albedo, metal, rough)
+                                           gb.albedo, metal, rough,
+                                           shadow_fn=shadow_fn)
         sky_c = jnp.asarray([0.3, 0.42, 0.6], jnp.float32) * ctx.settings.ambient_scale
         gnd_c = jnp.asarray([0.12, 0.11, 0.10], jnp.float32) * ctx.settings.ambient_scale
         ambient = shadeops.ambient_hemisphere(gb.normal, gb.albedo, metal, rough,
@@ -86,9 +170,23 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     def _sky(ctx, res):
         gb = res["gbuffer"]
         vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
-        sun_dir = _scene_sun_dir(ctx)
-        sky = skyops.sky_radiance(vdir, sun_dir, ctx.settings)
+        sky = skyops.sky_radiance(vdir, _scene_sun_dir(ctx), ctx.settings)
         res["hdr"] = jnp.where(gb.valid[..., None], res["hdr"], sky)
+
+    @g.add
+    @render_pass("TAA", reads=("hdr", "gbuffer", "taa_history", "taa_valid"),
+                 writes=("hdr", "taa_history", "taa_valid"),
+                 persistent=("taa_history", "taa_valid"))
+    def _taa(ctx, res):
+        gb = res["gbuffer"]
+        out = taaops.taa_resolve(res["hdr"], res["taa_history"], gb.motion,
+                                 res["taa_valid"], ctx.settings)
+        res["hdr"] = out
+        res["taa_history"] = out
+        res["taa_valid"] = jnp.bool_(True)
+
+    if not with_taa:
+        g.get("TAA").enabled = False
 
     @g.add
     @render_pass("AutoExposure", reads=("hdr",), writes=("exposure", "histogram"),
@@ -112,43 +210,50 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     return g
 
 
-def _scene_sun_dir(ctx):
-    """First directional light's direction (the sun), falling back to settings."""
-    lt = ctx.gpu.light_type
-    is_dir = (lt == 0) & (jnp.arange(lt.shape[0]) < ctx.gpu.light_count)
-    idx = jnp.argmax(is_dir)
-    return jnp.where(is_dir.any(), ctx.gpu.light_dir[idx],
-                     jnp.asarray(ctx.settings.sun_direction))
-
-
 def initial_frame_state(width: int, height: int) -> Dict[str, jnp.ndarray]:
-    """Persistent resources seed (exposure starts at 1.0, like the reference's
-    exposure texture cleared on init)."""
-    return {"exposure": jnp.float32(1.0)}
+    """Persistent resources seed (ref persistent render-graph resources:
+    exposure, HZB, TAA history — src/CommonRenderers.cpp:22-184)."""
+    h0, w0, levels = hzbops.hzb_sizes(width, height)
+    return {
+        "exposure": jnp.float32(1.0),
+        "hzb": jnp.zeros((levels, h0, w0), jnp.float32),
+        "taa_history": jnp.zeros((height, width, 3), jnp.float32),
+        "taa_valid": jnp.bool_(False),
+    }
 
 
 class DeferredRenderer:
     """Host-side wrapper: builds the graph, jits the frame function, carries
     persistent FrameState (the 'persistent render-graph resources')."""
 
-    def __init__(self, gpu, width: int, height: int, config=None,
-                 max_per_tile: int = 48):
+    def __init__(self, gpu, width: int, height: int, config=None, rt=None,
+                 mode: str = RenderingMode.NORMAL,
+                 occlusion_culling: bool = False,
+                 with_taa: bool = True,
+                 with_rt_shadows: bool = None,
+                 max_per_tile: int = None):
         self.width, self.height = width, height
         cap = max(int(gpu.lod0_pair_capacity), 1)
-        self.graph = build_deferred_graph(width, height, cap, max_per_tile)
+        if with_rt_shadows is None:
+            with_rt_shadows = rt is not None
+        self.rt = rt
+        self.graph = build_deferred_graph(width, height, cap, mode=mode,
+                                          with_rt_shadows=with_rt_shadows and rt is not None,
+                                          occlusion_culling=occlusion_culling,
+                                          with_taa=with_taa)
         self.state = initial_frame_state(width, height)
         self.config = config
         self._jitted = None
 
-    def frame_fn(self, gpu, vc, settings, state, dt):
+    def frame_fn(self, gpu, rt, vc, settings, state, dt):
         ctx = FrameContext(gpu=gpu, vc=vc, settings=settings, config=self.config,
-                           dt=dt)
+                           dt=dt, rt=rt)
         out = self.graph.execute(ctx, state, outputs=("ldr", "raster_overflow"))
         return out["outputs"]["ldr"], out["outputs"]["raster_overflow"], out["state"]
 
     def render(self, gpu, vc, settings, dt: float = 1 / 60):
         if self._jitted is None:
-            self._jitted = jax.jit(self.frame_fn, donate_argnums=(3,))
-        ldr, overflow, self.state = self._jitted(gpu, vc, settings, self.state,
-                                                 jnp.float32(dt))
+            self._jitted = jax.jit(self.frame_fn, donate_argnums=(4,))
+        ldr, overflow, self.state = self._jitted(gpu, self.rt, vc, settings,
+                                                 self.state, jnp.float32(dt))
         return ldr, overflow

@@ -39,12 +39,61 @@ class SceneRT(NamedTuple):
 
     v1 is a flattened snapshot at LOD0 (matching the reference path tracer's
     always-LOD0); rebuilt on scene edit. The TLAS/BLAS split replaces this for
-    dynamic scenes (ops/tlas.py milestone)."""
+    dynamic scenes (ops/tlas.py milestone).
+
+    Oversized triangles are SUBDIVIDED before the BVH build (a giant triangle's
+    AABB poisons every ancestor's bounds: grazing rays were taking 16k lockstep
+    steps). BVH ids are split-triangle ids; split_to_orig/split_bary map hits
+    back to original triangles + barycentrics for attribute fetch."""
 
     bvh: bvhops.BVH
-    tri_gv: jnp.ndarray     # (T, 3) i32 global vertex ids
-    tri_inst: jnp.ndarray   # (T,) i32 instance id
-    tri_mat: jnp.ndarray    # (T,) i32 material id
+    tri_gv: jnp.ndarray        # (T, 3) i32 global vertex ids (ORIGINAL tris)
+    tri_inst: jnp.ndarray      # (T,) i32 instance id
+    tri_mat: jnp.ndarray       # (T,) i32 material id
+    split_to_orig: jnp.ndarray  # (Ts,) i32 split tri -> original tri
+    split_bary: jnp.ndarray    # (Ts, 3, 2) f32 original (u,v) of split verts
+
+
+def _subdivide_large(tri_verts: np.ndarray, max_rounds: int = 4,
+                     rel_threshold: float = 1.0 / 24.0):
+    """1->4 midpoint subdivision of triangles larger than rel_threshold x scene
+    diagonal. Returns (split_verts, split_to_orig, split_bary)."""
+    T = tri_verts.shape[0]
+    orig = np.arange(T, dtype=np.int32)
+    bary = np.tile(np.asarray([[[0, 0], [1, 0], [0, 1]]], np.float32), (T, 1, 1))
+    verts = tri_verts
+    lo = tri_verts.reshape(-1, 3).min(0)
+    hi = tri_verts.reshape(-1, 3).max(0)
+    thresh = float(np.linalg.norm(hi - lo)) * rel_threshold
+    for _ in range(max_rounds):
+        ext = verts.max(1) - verts.min(1)                # (Ts, 3)
+        big = np.linalg.norm(ext, axis=1) > thresh
+        if not big.any():
+            break
+        keep_v, keep_o, keep_b = verts[~big], orig[~big], bary[~big]
+        bv, bo, bb = verts[big], orig[big], bary[big]
+        m01v = 0.5 * (bv[:, 0] + bv[:, 1])
+        m12v = 0.5 * (bv[:, 1] + bv[:, 2])
+        m02v = 0.5 * (bv[:, 0] + bv[:, 2])
+        m01b = 0.5 * (bb[:, 0] + bb[:, 1])
+        m12b = 0.5 * (bb[:, 1] + bb[:, 2])
+        m02b = 0.5 * (bb[:, 0] + bb[:, 2])
+        child_v = np.concatenate([
+            np.stack([bv[:, 0], m01v, m02v], 1),
+            np.stack([m01v, bv[:, 1], m12v], 1),
+            np.stack([m02v, m12v, bv[:, 2]], 1),
+            np.stack([m01v, m12v, m02v], 1)], 0)
+        child_b = np.concatenate([
+            np.stack([bb[:, 0], m01b, m02b], 1),
+            np.stack([m01b, bb[:, 1], m12b], 1),
+            np.stack([m02b, m12b, bb[:, 2]], 1),
+            np.stack([m01b, m12b, m02b], 1)], 0)
+        child_o = np.tile(bo, 4)
+        verts = np.concatenate([keep_v, child_v], 0)
+        orig = np.concatenate([keep_o, child_o], 0)
+        bary = np.concatenate([keep_b, child_b], 0)
+    return (verts.astype(np.float32), orig.astype(np.int32),
+            bary.astype(np.float32))
 
 
 def build_scene_rt(scene, gpu) -> SceneRT:
@@ -65,11 +114,14 @@ def build_scene_rt(scene, gpu) -> SceneRT:
         insts.append(np.full(idx.shape[0], i, np.int32))
         mats.append(np.full(idx.shape[0], I.material, np.int32))
     tri_verts = np.concatenate(tris, 0).astype(np.float32)
-    bvh = bvhops.build_bvh(tri_verts)
+    split_verts, split_to_orig, split_bary = _subdivide_large(tri_verts)
+    bvh = bvhops.build_bvh(split_verts)
     return SceneRT(bvh=bvh,
                    tri_gv=jnp.asarray(np.concatenate(gvs, 0)),
                    tri_inst=jnp.asarray(np.concatenate(insts, 0)),
-                   tri_mat=jnp.asarray(np.concatenate(mats, 0)))
+                   tri_mat=jnp.asarray(np.concatenate(mats, 0)),
+                   split_to_orig=jnp.asarray(split_to_orig),
+                   split_bary=jnp.asarray(split_bary))
 
 
 def camera_rays(vc, height: int, width: int, jitter_uv):
@@ -92,11 +144,16 @@ def camera_rays(vc, height: int, width: int, jitter_uv):
 def _fetch_hit_attrs(gpu, rt: SceneRT, hit, o, d):
     """Interpolate attributes at hit points (ref quantized vertex fetch in
     RaytracingCommon.hlsli hit attribute path)."""
-    tri = jnp.maximum(hit.tri, 0)
+    stri = jnp.maximum(hit.tri, 0)
+    # map split-triangle hit -> original triangle + original barycentrics
+    tri = rt.split_to_orig[stri]
+    sb = rt.split_bary[stri]                    # (R, 3, 2)
+    uv_orig = (sb[:, 0] * (1.0 - hit.u - hit.v)[:, None]
+               + sb[:, 1] * hit.u[:, None] + sb[:, 2] * hit.v[:, None])
+    u, v = uv_orig[:, 0], uv_orig[:, 1]
     gv = rt.tri_gv[tri]                         # (R, 3)
     inst = rt.tri_inst[tri]
     mat = rt.tri_mat[tri]
-    u, v = hit.u, hit.v
     b = jnp.stack([1.0 - u - v, u, v], -1)      # (R, 3)
 
     n_obj, _s = hm.unpack_normal_oct(gpu.vnormals[gv], xp=jnp)   # (R, 3, 3)

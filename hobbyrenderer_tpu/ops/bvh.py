@@ -33,18 +33,27 @@ LEAF_SIZE = 4
 
 class BVH(NamedTuple):
     """Heap-layout BVH. L leaves (pow2), 2L-1 nodes; node i's children are
-    2i+1/2i+2; leaves are nodes >= L-1, leaf j holds sorted tris [j*K, (j+1)*K)."""
+    2i+1/2i+2; leaves are nodes >= L-1, leaf j holds sorted tris [j*K, (j+1)*K).
 
-    node_lo: jnp.ndarray     # (2L-1, 3) f32
-    node_hi: jnp.ndarray     # (2L-1, 3) f32
-    tri_v0: jnp.ndarray      # (L*K, 3) f32  sorted+padded triangle vertices
-    tri_e1: jnp.ndarray      # (L*K, 3) f32  v1-v0
-    tri_e2: jnp.ndarray      # (L*K, 3) f32  v2-v0
-    tri_id: jnp.ndarray      # (L*K,) i32 original triangle id (-1 = padding)
+    TPU memory layout: gathers cost ~20ns per ROW regardless of row width, so
+    every per-step fetch is ONE row:
+    - child_boxes[i] = both children's AABBs of interior node i (12 floats);
+    - leaf_rows[j]   = all K triangles of leaf j, 10 floats each
+                       (v0, e1, e2, tid-as-float; f32 holds ids < 2^24 exactly).
+    This cut traversal gathers per lockstep iteration from ~14 to 2."""
+
+    child_boxes: jnp.ndarray  # (L-1, 12) f32: c0.lo, c0.hi, c1.lo, c1.hi (or (1,12) if L==1)
+    leaf_rows: jnp.ndarray    # (L, K*10) f32
+    root_box: jnp.ndarray     # (6,) f32 scene bounds (lo, hi)
+    num_tris: int             # original triangle count
 
     @property
     def num_leaves(self) -> int:
-        return (self.node_lo.shape[0] + 1) // 2
+        return self.leaf_rows.shape[0]
+
+    @property
+    def leaf_size(self) -> int:
+        return self.leaf_rows.shape[1] // 10
 
     @property
     def depth(self) -> int:
@@ -68,26 +77,57 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
 def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
               device_put: bool = True) -> BVH:
-    """tri_verts: (T, 3, 3) float32 world/object-space triangles."""
+    """tri_verts: (T, 3, 3) float32 world/object-space triangles.
+
+    Partitioning: level-wise MEDIAN SPLIT along each node's widest centroid
+    axis — balanced (fits the implicit heap exactly) with good spatial
+    separation. (A Morton-ordered balanced tree had catastrophically
+    overlapping siblings: grazing rays visited 10k+ nodes.)"""
     tri_verts = np.asarray(tri_verts, np.float32)
     T = tri_verts.shape[0]
     assert T > 0, "empty BVH"
-    cent = tri_verts.mean(axis=1)
-    lo_all = cent.min(0)
-    ext = np.maximum(cent.max(0) - lo_all, 1e-12)
-    q = np.clip(((cent - lo_all) / ext) * 1023.0, 0, 1023).astype(np.uint64)
-    order = np.argsort(_morton3(q), kind="stable")
-    sorted_tris = tri_verts[order]
 
     L = 1
     while L * leaf_size < T:
         L *= 2
-    pad = L * leaf_size - T
+    N = L * leaf_size
+    pad = N - T
+    cent = tri_verts.mean(axis=1)
     if pad:
-        # padded triangles: degenerate at +inf-ish, never hit
-        padv = np.full((pad, 3, 3), 1e30, np.float32)
-        sorted_tris = np.concatenate([sorted_tris, padv], 0)
-    tri_id = np.concatenate([order.astype(np.int32), np.full(pad, -1, np.int32)])
+        # padding sorts to +inf: clusters into the rightmost leaves
+        cent = np.concatenate([cent, np.full((pad, 3), np.inf, np.float32)], 0)
+    order = np.arange(N)
+
+    n_levels = int(np.log2(L))
+    for lvl in range(n_levels):
+        seg_size = N >> lvl
+        starts = np.arange(0, N, seg_size)
+        c = cent[order]
+        cf = np.where(np.isfinite(c), c, np.nan)
+        seg_lo = np.full((len(starts), 3), np.inf, np.float32)
+        seg_hi = np.full((len(starts), 3), -np.inf, np.float32)
+        # nan-aware segment extents (padding ignored)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            for ax in range(3):
+                col = cf[:, ax].reshape(len(starts), seg_size)
+                seg_lo[:, ax] = np.nanmin(col, axis=1)
+                seg_hi[:, ax] = np.nanmax(col, axis=1)
+        seg_lo = np.where(np.isfinite(seg_lo), seg_lo, 0.0)
+        seg_hi = np.where(np.isfinite(seg_hi), seg_hi, 0.0)
+        axis = np.argmax(seg_hi - seg_lo, axis=1)                    # per segment
+        seg_of = np.arange(N) // seg_size
+        key = c[np.arange(N), axis[seg_of]]
+        key = np.where(np.isfinite(key), key, np.inf)
+        perm = np.lexsort((key, seg_of))
+        order = order[perm]
+
+    valid = order < T
+    sorted_tris = np.where(valid[:, None, None],
+                           tri_verts[np.minimum(order, T - 1)],
+                           np.float32(1e30))
+    tri_id = np.where(valid, order, -1).astype(np.int32)
 
     # leaf AABBs (padding leaves become inverted/huge but finite via masking)
     leaf_tris = sorted_tris.reshape(L, leaf_size, 3, 3)
@@ -118,11 +158,24 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
     v0 = sorted_tris[:, 0]
     e1 = sorted_tris[:, 1] - v0
     e2 = sorted_tris[:, 2] - v0
-    arrays = dict(node_lo=node_lo, node_hi=node_hi, tri_v0=v0,
-                  tri_e1=e1, tri_e2=e2, tri_id=tri_id)
+    # pack leaf rows: K tris x [v0(3), e1(3), e2(3), tid(1 as f32; -1 padding)]
+    tri_rec = np.concatenate([v0, e1, e2, tri_id.astype(np.float32)[:, None]],
+                             axis=1)                          # (L*K, 10)
+    leaf_rows = tri_rec.reshape(L, leaf_size * 10)
+    # pack interior rows: both children's boxes
+    if L > 1:
+        ch = np.arange(0, L - 1) * 2 + 1
+        child_boxes = np.concatenate(
+            [node_lo[ch], node_hi[ch], node_lo[ch + 1], node_hi[ch + 1]],
+            axis=1).astype(np.float32)                        # (L-1, 12)
+    else:
+        child_boxes = np.zeros((1, 12), np.float32)
+    root_box = np.concatenate([node_lo[0], node_hi[0]]).astype(np.float32)
+    arrays = dict(child_boxes=child_boxes, leaf_rows=leaf_rows,
+                  root_box=root_box)
     if device_put:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-    return BVH(**arrays)
+    return BVH(num_tris=T, **arrays)
 
 
 class HitRecord(NamedTuple):
@@ -145,9 +198,12 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
     SURVEY.md §7 with the stack optimized away."""
     R = o.shape[0]
     L = bvh.num_leaves
-    leaf_size = bvh.tri_v0.shape[0] // L
+    leaf_size = bvh.leaf_size
     if max_steps is None:
-        max_steps = 64 * bvh.depth + 4 * L  # loop exits when all lanes are done
+        # typical lockstep drain is < 256 steps with the median-split tree and
+        # subdivided giant triangles; the cap bounds worst-case dispatches so a
+        # pathological lane can never wedge the TPU worker (bias is ~1e-4 px)
+        max_steps = 1024
     if t_max is None:
         t_max = jnp.full((R,), INF)
     else:
@@ -170,29 +226,31 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
         node0 = node1.astype(jnp.int32) - 1
         is_leaf = node0 >= (L - 1)
 
-        # --- interior: test both children, pick near first ---
+        # --- interior: ONE row gather fetches both children's boxes ---
         c0 = jnp.clip(2 * node0 + 1, 0, 2 * L - 2)
-        c1 = jnp.clip(2 * node0 + 2, 0, 2 * L - 2)
-        h0, t0 = ray_aabb(o, inv_d, bvh.node_lo[c0], bvh.node_hi[c0], best_t)
-        h1, t1 = ray_aabb(o, inv_d, bvh.node_lo[c1], bvh.node_hi[c1], best_t)
+        c1 = c0 + 1
+        irow = bvh.child_boxes[jnp.clip(node0, 0, max(L - 2, 0))]   # (R, 12)
+        h0, t0 = ray_aabb(o, inv_d, irow[:, 0:3], irow[:, 3:6], best_t)
+        h1, t1 = ray_aabb(o, inv_d, irow[:, 6:9], irow[:, 9:12], best_t)
         h0 &= ~is_leaf & live
         h1 &= ~is_leaf & live
         both = h0 & h1
         near0 = jnp.where(both & (t1 < t0), c1, jnp.where(h1 & ~h0, c1, c0))
         any_child = h0 | h1
 
-        # --- leaf: test K triangles (predicated) ---
+        # --- leaf: ONE row gather fetches all K triangle records ---
         leaf_id = jnp.clip(node0 - (L - 1), 0, L - 1)
-        base = leaf_id * leaf_size
+        lrow = bvh.leaf_rows[leaf_id]                               # (R, K*10)
         lt, ltri, lu, lv, lf = best_t, best_tri, bu, bv, bf
         do_leaf = is_leaf & live
         for k in range(leaf_size):
-            idx = base + k
-            t, tu, tv, hit, front = _tri_hit(o, d, bvh.tri_v0[idx], bvh.tri_e1[idx],
-                                             bvh.tri_e2[idx], t_min, lt)
-            hit &= do_leaf & (bvh.tri_id[idx] >= 0)
+            rec = lrow[:, k * 10:(k + 1) * 10]
+            tid = rec[:, 9]
+            t, tu, tv, hit, front = _tri_hit(o, d, rec[:, 0:3], rec[:, 3:6],
+                                             rec[:, 6:9], t_min, lt)
+            hit &= do_leaf & (tid >= 0.0)
             lt = jnp.where(hit, t, lt)
-            ltri = jnp.where(hit, bvh.tri_id[idx], ltri)
+            ltri = jnp.where(hit, tid.astype(jnp.int32), ltri)
             lu = jnp.where(hit, tu, lu)
             lv = jnp.where(hit, tv, lv)
             lf = jnp.where(hit, front, lf)

@@ -69,8 +69,15 @@ class Renderer:
                                              cfg.render_height, config=cfg,
                                              scene=self.scene)
         else:
+            rt = None
+            if self.mode in (RenderingMode.NORMAL, RenderingMode.IBL):
+                # RT passes (sun shadows; later ReSTIR/SHARC) need the BVH
+                from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
+                with PROFILER.scope("Init/BVH"):
+                    rt = build_scene_rt(self.scene, self.gpu)
             self._model = DeferredRenderer(self.gpu, cfg.render_width,
-                                           cfg.render_height, config=cfg)
+                                           cfg.render_height, config=cfg,
+                                           rt=rt, mode=self.mode)
 
     def set_mode(self, mode: str):
         """Rendering-mode switch: rebuild the model graph (persistent state of the

@@ -40,19 +40,31 @@ def test_bvh_bounds_contain_triangles(rng):
     tris = _random_tris(rng, 100)
     bvh = bvhops.build_bvh(tris, device_put=False)
     # root bounds contain everything
-    np.testing.assert_array_compare(np.less_equal, np.asarray(bvh.node_lo[0]) - 1e-4,
-                                    tris.reshape(-1, 3).min(0))
-    np.testing.assert_array_compare(np.greater_equal, np.asarray(bvh.node_hi[0]) + 1e-4,
-                                    tris.reshape(-1, 3).max(0))
-    # parent boxes contain child boxes
+    root_lo, root_hi = np.asarray(bvh.root_box[:3]), np.asarray(bvh.root_box[3:])
+    assert (root_lo - 1e-4 <= tris.reshape(-1, 3).min(0)).all()
+    assert (root_hi + 1e-4 >= tris.reshape(-1, 3).max(0)).all()
+    # parent boxes contain child boxes (reconstruct node boxes from child rows)
     L = bvh.num_leaves
+    cb = np.asarray(bvh.child_boxes).reshape(-1, 2, 6)
+
+    def node_box(i):
+        if i == 0:
+            return root_lo, root_hi
+        p, side = (i - 1) // 2, (i - 1) % 2
+        return cb[p, side, :3], cb[p, side, 3:]
+
     for i in range(L - 1):
-        for c in (2 * i + 1, 2 * i + 2):
-            # skip empty (inverted) child boxes
-            if (bvh.node_lo[c] > bvh.node_hi[c]).any():
-                continue
-            assert (bvh.node_lo[i] <= bvh.node_lo[c] + 1e-5).all()
-            assert (bvh.node_hi[i] >= bvh.node_hi[c] - 1e-5).all()
+        lo_i, hi_i = node_box(i)
+        for side, c in ((0, 2 * i + 1), (1, 2 * i + 2)):
+            clo, chi = cb[i, side, :3], cb[i, side, 3:]
+            if (clo > chi).any():
+                continue  # empty (inverted) child box
+            assert (lo_i <= clo + 1e-5).all()
+            assert (hi_i >= chi - 1e-5).all()
+    # leaf rows reference valid triangle ids
+    tids = np.asarray(bvh.leaf_rows).reshape(L, -1, 10)[..., 9]
+    valid_ids = tids[tids >= 0].astype(np.int64)
+    assert sorted(valid_ids.tolist()) == list(range(tris.shape[0]))
 
 
 def test_bvh_matches_bruteforce(rng):
