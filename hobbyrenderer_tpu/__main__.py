@@ -34,11 +34,15 @@ def main(argv=None):
     p.add_argument("--timings", action="store_true",
                    help="print per-pass CPU timings after the run")
     p.add_argument("--execute-per-pass", action="store_true")
+    p.add_argument("--direct-mode", type=str, default="simple",
+                   choices=("simple", "restir"))
+    p.add_argument("--shadow-scale", type=int, default=2)
     a = p.parse_args(argv)
 
     cfg = Config(scene=a.scene, width=a.width, height=a.height, mode=a.mode,
                  cache_dir=a.cache_dir, seed=a.seed,
-                 execute_per_pass=a.execute_per_pass)
+                 execute_per_pass=a.execute_per_pass,
+                 direct_mode=a.direct_mode, shadow_scale=a.shadow_scale)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)
     if a.describe_graph:

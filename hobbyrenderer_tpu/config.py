@@ -109,6 +109,7 @@ class Config:
     cache_dir: str = ".hr_cache"          # cooked mesh cache directory
     seed: int = 0
     shadow_scale: int = 2                 # RT sun-shadow resolution divisor (STATIC)
+    direct_mode: str = "simple"           # "simple" analytic | "restir" (ReSTIR DI)
     # Parallelism: framebuffer tile-sharding across the device mesh (SURVEY.md §5.8)
     num_devices: int = 0                  # 0 = all available
     settings: RenderSettings = field(default_factory=RenderSettings)

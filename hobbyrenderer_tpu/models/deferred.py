@@ -50,7 +50,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          mode: str = RenderingMode.NORMAL,
                          with_rt_shadows: bool = True,
                          occlusion_culling: bool = True,
-                         with_taa: bool = True) -> RenderGraph:
+                         with_taa: bool = True,
+                         direct_mode: str = "simple") -> RenderGraph:
     g = RenderGraph()
     h0, w0, hzb_levels = hzbops.hzb_sizes(width, height)
 
@@ -136,28 +137,53 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             vis = jax.image.resize(vis, (height, width), method="bilinear")
         res["sun_shadow"] = vis
 
-    if not (with_rt_shadows and mode in (RenderingMode.NORMAL, RenderingMode.IBL)):
+    use_restir = (direct_mode == "restir"
+                  and mode in (RenderingMode.NORMAL, RenderingMode.IBL))
+    if use_restir or not (with_rt_shadows
+                          and mode in (RenderingMode.NORMAL, RenderingMode.IBL)):
         g.get("SunShadow").enabled = False
 
     @g.add
-    @render_pass("DeferredLighting", reads=("gbuffer", "sun_shadow"), writes=("hdr",))
+    @render_pass("RTXDI", reads=("gbuffer", "restir_reservoir"),
+                 writes=("restir_direct", "restir_reservoir"),
+                 persistent=("restir_reservoir",))
+    def _rtxdi(ctx, res):
+        """ReSTIR DI chain (ref RTXDIRenderer, SURVEY.md §2.6 #41)."""
+        from hobbyrenderer_tpu.ops import restir as restirops
+        direct, new_res = restirops.restir_di(
+            ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
+            res["restir_reservoir"], ctx.vc["frame_index"],
+            visibility=ctx.rt is not None)
+        res["restir_direct"] = direct
+        res["restir_reservoir"] = new_res
+
+    if not use_restir:
+        g.get("RTXDI").enabled = False
+
+    reads = ("gbuffer", "sun_shadow") + (("restir_direct",) if use_restir else ())
+
+    @g.add
+    @render_pass("DeferredLighting", reads=reads, writes=("hdr",))
     def _deferred(ctx, res):
         gb = res["gbuffer"]
         vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
         v = -vdir
         rough = gb.orm[..., 1]
         metal = gb.orm[..., 2]
-        sun_idx, _has = _sun_index(ctx.gpu)
-        if g.get("SunShadow").enabled:
-            mask = res["sun_shadow"]
-
-            def shadow_fn(i, L, dist):
-                return jnp.where(i == sun_idx, mask, 1.0)
+        if use_restir:
+            direct = res["restir_direct"]
         else:
-            shadow_fn = None
-        direct = shadeops.shade_all_lights(ctx.gpu, gb.world_pos, gb.normal, v,
-                                           gb.albedo, metal, rough,
-                                           shadow_fn=shadow_fn)
+            sun_idx, _has = _sun_index(ctx.gpu)
+            if g.get("SunShadow").enabled:
+                mask = res["sun_shadow"]
+
+                def shadow_fn(i, L, dist):
+                    return jnp.where(i == sun_idx, mask, 1.0)
+            else:
+                shadow_fn = None
+            direct = shadeops.shade_all_lights(ctx.gpu, gb.world_pos, gb.normal, v,
+                                               gb.albedo, metal, rough,
+                                               shadow_fn=shadow_fn)
         sky_c = jnp.asarray([0.3, 0.42, 0.6], jnp.float32) * ctx.settings.ambient_scale
         gnd_c = jnp.asarray([0.12, 0.11, 0.10], jnp.float32) * ctx.settings.ambient_scale
         ambient = shadeops.ambient_hemisphere(gb.normal, gb.albedo, metal, rough,
@@ -210,16 +236,21 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     return g
 
 
-def initial_frame_state(width: int, height: int) -> Dict[str, jnp.ndarray]:
+def initial_frame_state(width: int, height: int,
+                        direct_mode: str = "simple") -> Dict[str, jnp.ndarray]:
     """Persistent resources seed (ref persistent render-graph resources:
-    exposure, HZB, TAA history — src/CommonRenderers.cpp:22-184)."""
+    exposure, HZB, TAA history, light reservoirs — src/CommonRenderers.cpp)."""
     h0, w0, levels = hzbops.hzb_sizes(width, height)
-    return {
+    state = {
         "exposure": jnp.float32(1.0),
         "hzb": jnp.zeros((levels, h0, w0), jnp.float32),
         "taa_history": jnp.zeros((height, width, 3), jnp.float32),
         "taa_valid": jnp.bool_(False),
     }
+    if direct_mode == "restir":
+        from hobbyrenderer_tpu.ops.restir import reservoir_init
+        state["restir_reservoir"] = reservoir_init(height, width)
+    return state
 
 
 class DeferredRenderer:
@@ -231,17 +262,21 @@ class DeferredRenderer:
                  occlusion_culling: bool = False,
                  with_taa: bool = True,
                  with_rt_shadows: bool = None,
+                 direct_mode: str = None,
                  max_per_tile: int = None):
         self.width, self.height = width, height
         cap = max(int(gpu.lod0_pair_capacity), 1)
         if with_rt_shadows is None:
             with_rt_shadows = rt is not None
+        if direct_mode is None:
+            direct_mode = getattr(config, "direct_mode", "simple") or "simple"
         self.rt = rt
         self.graph = build_deferred_graph(width, height, cap, mode=mode,
                                           with_rt_shadows=with_rt_shadows and rt is not None,
                                           occlusion_culling=occlusion_culling,
-                                          with_taa=with_taa)
-        self.state = initial_frame_state(width, height)
+                                          with_taa=with_taa,
+                                          direct_mode=direct_mode)
+        self.state = initial_frame_state(width, height, direct_mode=direct_mode)
         self.config = config
         self._jitted = None
 
