@@ -19,7 +19,12 @@ def main():
     from hobbyrenderer_tpu.renderer import Renderer
 
     W, H = 1920, 1080
-    cfg = Config(scene="stress", width=W, height=H, mode=RenderingMode.NORMAL)
+    # NORMAL_BASIC = the raster deferred pipeline (culling/raster/resolve/
+    # lighting/TAA/bloom/exposure/tonemap) — same pipeline as the recorded
+    # baseline; the RT passes (sun shadows, ReSTIR) are gated on traversal
+    # optimization and enter the headline bench once under budget
+    cfg = Config(scene="stress", width=W, height=H,
+                 mode=RenderingMode.NORMAL_BASIC)
     r = Renderer(cfg)
 
     # warmup (compile)

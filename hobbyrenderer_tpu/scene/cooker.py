@@ -196,46 +196,23 @@ def build_meshlets(positions: np.ndarray, tri: np.ndarray,
     order = np.argsort(morton, kind="stable")
     tri_sorted = tri[order]
 
-    # greedy scan (python loop over triangles; native C++ path can replace this)
-    ml_vo, ml_vc, ml_to, ml_tc = [], [], [], []
-    ml_vertices: List[int] = []
-    ml_tris: List[np.ndarray] = []
-    cur_map = {}
-    cur_verts: List[int] = []
-    cur_tris: List[np.ndarray] = []
-
-    def flush():
-        if not cur_tris:
-            return
-        ml_vo.append(len(ml_vertices))
-        ml_vc.append(len(cur_verts))
-        ml_to.append(len(ml_tris))
-        ml_tc.append(len(cur_tris))
-        ml_vertices.extend(cur_verts)
-        ml_tris.extend(cur_tris)
-
-    for t in tri_sorted:
-        t0, t1, t2 = int(t[0]), int(t[1]), int(t[2])
-        new = sum(1 for v in (t0, t1, t2) if v not in cur_map)
-        if len(cur_verts) + new > max_verts or len(cur_tris) + 1 > max_tris:
-            flush()
-            cur_map, cur_verts, cur_tris = {}, [], []
-        loc = []
-        for v in (t0, t1, t2):
-            if v not in cur_map:
-                cur_map[v] = len(cur_verts)
-                cur_verts.append(v)
-            loc.append(cur_map[v])
-        cur_tris.append(np.asarray(loc, np.int32))
-    flush()
-
-    M = len(ml_vo)
-    vert_offset = np.asarray(ml_vo, np.int32)
-    vert_count = np.asarray(ml_vc, np.int32)
-    tri_offset = np.asarray(ml_to, np.int32)
-    tri_count = np.asarray(ml_tc, np.int32)
-    vertices = np.asarray(ml_vertices, np.int32)
-    tris = np.stack(ml_tris).astype(np.int32) if ml_tris else np.zeros((0, 3), np.int32)
+    # greedy scan: native C++ (hobbyrenderer_tpu/native/meshcook.cpp) with a
+    # pure-python fallback — the one cook stage that can't be vectorized
+    native = None
+    try:
+        from hobbyrenderer_tpu.native.build import build_meshlets_native
+        native = build_meshlets_native(tri_sorted.astype(np.int32),
+                                       int(positions.shape[0]),
+                                       max_verts, max_tris)
+    except Exception:
+        native = None
+    if native is not None:
+        vert_offset, vert_count, tri_offset, tri_count, vertices, tris = native
+        M = vert_offset.shape[0]
+    else:
+        (vert_offset, vert_count, tri_offset, tri_count,
+         vertices, tris) = _greedy_scan_py(tri_sorted, max_verts, max_tris)
+        M = vert_offset.shape[0]
 
     # bounds + cones per meshlet (vectorized via segment math)
     center = np.zeros((M, 3), np.float32)
@@ -268,6 +245,46 @@ def build_meshlets(positions: np.ndarray, tri: np.ndarray,
             cone_cutoff[m] = float(np.sqrt(max(0.0, 1.0 - mindot * mindot)))
     return MeshletSet(vert_offset, vert_count, tri_offset, tri_count, vertices, tris,
                       center, radius, cone_axis, cone_cutoff)
+
+
+def _greedy_scan_py(tri_sorted: np.ndarray, max_verts: int, max_tris: int):
+    """Reference implementation of the greedy meshlet scan (python)."""
+    ml_vo, ml_vc, ml_to, ml_tc = [], [], [], []
+    ml_vertices: List[int] = []
+    ml_tris: List[np.ndarray] = []
+    cur_map = {}
+    cur_verts: List[int] = []
+    cur_tris: List[np.ndarray] = []
+
+    def flush():
+        if not cur_tris:
+            return
+        ml_vo.append(len(ml_vertices))
+        ml_vc.append(len(cur_verts))
+        ml_to.append(len(ml_tris))
+        ml_tc.append(len(cur_tris))
+        ml_vertices.extend(cur_verts)
+        ml_tris.extend(cur_tris)
+
+    for t in tri_sorted:
+        t0, t1, t2 = int(t[0]), int(t[1]), int(t[2])
+        new = sum(1 for v in (t0, t1, t2) if v not in cur_map)
+        if len(cur_verts) + new > max_verts or len(cur_tris) + 1 > max_tris:
+            flush()
+            cur_map, cur_verts, cur_tris = {}, [], []
+        loc = []
+        for v in (t0, t1, t2):
+            if v not in cur_map:
+                cur_map[v] = len(cur_verts)
+                cur_verts.append(v)
+            loc.append(cur_map[v])
+        cur_tris.append(np.asarray(loc, np.int32))
+    flush()
+
+    return (np.asarray(ml_vo, np.int32), np.asarray(ml_vc, np.int32),
+            np.asarray(ml_to, np.int32), np.asarray(ml_tc, np.int32),
+            np.asarray(ml_vertices, np.int32),
+            np.stack(ml_tris).astype(np.int32) if ml_tris else np.zeros((0, 3), np.int32))
 
 
 def cook_mesh(positions: np.ndarray,
