@@ -160,7 +160,17 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_restir:
         g.get("RTXDI").enabled = False
 
-    reads = ("gbuffer", "sun_shadow") + (("restir_direct",) if use_restir else ())
+    @g.add
+    @render_pass("IBL", reads=(), writes=("sky_irradiance",))
+    def _ibl(ctx, res):
+        """Per-frame sky irradiance integration (ref CommonResources IBL
+        cubemaps; dynamic here because the env is the procedural sky)."""
+        from hobbyrenderer_tpu.ops import ibl as iblops
+        res["sky_irradiance"] = iblops.build_sky_irradiance(_scene_sun_dir(ctx),
+                                                            ctx.settings)
+
+    reads = ("gbuffer", "sun_shadow", "sky_irradiance") + (
+        ("restir_direct",) if use_restir else ())
 
     @g.add
     @render_pass("DeferredLighting", reads=reads, writes=("hdr",))
@@ -184,10 +194,14 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             direct = shadeops.shade_all_lights(ctx.gpu, gb.world_pos, gb.normal, v,
                                                gb.albedo, metal, rough,
                                                shadow_fn=shadow_fn)
-        sky_c = jnp.asarray([0.3, 0.42, 0.6], jnp.float32) * ctx.settings.ambient_scale
-        gnd_c = jnp.asarray([0.12, 0.11, 0.10], jnp.float32) * ctx.settings.ambient_scale
-        ambient = shadeops.ambient_hemisphere(gb.normal, gb.albedo, metal, rough,
-                                              sky_c, gnd_c)
+        from hobbyrenderer_tpu.ops import ibl as iblops
+        ibl_scale = ctx.settings.ibl_intensity * ctx.settings.ambient_scale
+        if mode == RenderingMode.IBL:
+            ibl_scale = ibl_scale * 2.0   # IBL-dominant mode (ref ApplyRenderingModeDefaults)
+        ambient = iblops.ibl_ambient(res["sky_irradiance"], gb.normal, v,
+                                     gb.albedo, metal, rough,
+                                     _scene_sun_dir(ctx), ctx.settings,
+                                     intensity=ibl_scale)
         hdr = direct + ambient + gb.emissive
         res["hdr"] = jnp.where(gb.valid[..., None], hdr, 0.0)
 

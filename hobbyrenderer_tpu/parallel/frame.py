@@ -71,13 +71,16 @@ def _shard_frame_fn(gpu, vc, settings, state, *, width, height, shard_h,
     metal = gb.orm[..., 2]
     direct = shadeops.shade_all_lights(gpu, gb.world_pos, gb.normal, v,
                                        gb.albedo, metal, rough)
-    sky_c = jnp.asarray([0.3, 0.42, 0.6], jnp.float32) * settings.ambient_scale
-    gnd_c = jnp.asarray([0.12, 0.11, 0.10], jnp.float32) * settings.ambient_scale
-    ambient = shadeops.ambient_hemisphere(gb.normal, gb.albedo, metal, rough,
-                                          sky_c, gnd_c)
+    from hobbyrenderer_tpu.ops import ibl as iblops
+    sun_dir = _sun_dir(gpu, settings)
+    irr = iblops.build_sky_irradiance(sun_dir, settings)   # replicated (cheap)
+    ambient = iblops.ibl_ambient(irr, gb.normal, v, gb.albedo, metal, rough,
+                                 sun_dir, settings,
+                                 intensity=settings.ibl_intensity
+                                 * settings.ambient_scale)
     hdr = jnp.where(gb.valid[..., None],
                     direct + ambient + gb.emissive,
-                    skyops.sky_radiance(vdir, _sun_dir(gpu, settings), settings))
+                    skyops.sky_radiance(vdir, sun_dir, settings))
 
     # exposure: partial histogram + psum (ICI collective)
     hist = postops.luminance_histogram(hdr)
