@@ -144,6 +144,22 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         g.get("SunShadow").enabled = False
 
     @g.add
+    @render_pass("ShadowCSM", reads=("gbuffer",), writes=("sun_shadow",))
+    def _shadow_csm(ctx, res):
+        """NormalBasic sun shadows: 4-cascade depth raster from the light +
+        fullscreen PCF mask (ref ShadowRenderer + ShadowMaskRenderer)."""
+        from hobbyrenderer_tpu.ops import csm as csmops
+        gb = res["gbuffer"]
+        sun_dir = _scene_sun_dir(ctx)
+        data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, visible_capacity)
+        res["sun_shadow"] = csmops.csm_shadow_mask(data, ctx.vc, gb.world_pos,
+                                                   gb.geo_normal, gb.valid,
+                                                   sun_dir)
+
+    if mode != RenderingMode.NORMAL_BASIC:
+        g.get("ShadowCSM").enabled = False
+
+    @g.add
     @render_pass("RTXDI", reads=("gbuffer", "restir_reservoir"),
                  writes=("restir_direct", "restir_reservoir"),
                  persistent=("restir_reservoir",))
@@ -184,7 +200,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             direct = res["restir_direct"]
         else:
             sun_idx, _has = _sun_index(ctx.gpu)
-            if g.get("SunShadow").enabled:
+            if g.get("SunShadow").enabled or g.get("ShadowCSM").enabled:
                 mask = res["sun_shadow"]
 
                 def shadow_fn(i, L, dist):

@@ -1,0 +1,162 @@
+"""Cascaded shadow maps (the NormalBasic sun-shadow path).
+
+Reference: src/ShadowRenderer.cpp (4-cascade 2048^2 D32 depth raster with
+sphere-fit rotation-invariant cascade bounds + texel snapping, split distances
+log/uniform-blended — src/Renderer.cpp:1093-1261) + src/ShadowMaskRenderer.cpp
+(fullscreen PCF evaluation with per-cascade normal bias into an R8 mask).
+
+TPU build: each cascade reuses the SAME software meshlet rasterizer from the
+light's orthographic view (depth only); the mask pass selects a cascade per
+pixel, projects, and PCF-filters. Matrices are built in jnp inside the frame
+(dynamic sun)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hobbyrenderer_tpu.ops import culling as cullops
+from hobbyrenderer_tpu.ops import raster as rasterops
+from hobbyrenderer_tpu.utils import math as hm
+
+NUM_CASCADES = 4        # ref src/Renderer.cpp:1288
+SHADOW_RES = 1024       # ref 2048^2; 1024 bounds the raster cost
+SPLIT_LAMBDA = 0.6      # log/uniform blend
+
+
+class CSMData(NamedTuple):
+    view_proj: jnp.ndarray   # (C, 4, 4) light clip from world
+    depth: jnp.ndarray       # (C, S, S) reversed-Z light depth (1 = near light)
+    splits: jnp.ndarray      # (C,) far split view distances
+
+
+def _look_at_j(eye, center, up):
+    fwd = (center - eye)
+    fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-8)
+    right = jnp.cross(fwd, up)
+    right = right / jnp.maximum(jnp.linalg.norm(right), 1e-8)
+    u = jnp.cross(right, fwd)
+    m = jnp.eye(4)
+    m = m.at[0, :3].set(right).at[1, :3].set(u).at[2, :3].set(-fwd)
+    t = -m[:3, :3] @ eye
+    return m.at[:3, 3].set(t)
+
+
+def _ortho_j(r, near, far):
+    """Symmetric ortho box [-r, r]^2, reversed-Z depth in [0,1]."""
+    m = jnp.eye(4)
+    m = m.at[0, 0].set(1.0 / r).at[1, 1].set(1.0 / r)
+    m = m.at[2, 2].set(1.0 / (far - near)).at[2, 3].set(far / (far - near))
+    return m
+
+
+def cascade_matrices(vc, sun_dir, max_distance: float = 60.0):
+    """Sphere-fit cascade view-proj matrices + split distances.
+
+    Split scheme: blend of logarithmic and uniform (ref lambda-blended splits);
+    each cascade slice gets a bounding sphere on the camera view ray (rotation-
+    invariant => stable under camera rotation, ref sphere-fit bounds) and a
+    texel-snapped ortho frame (ref texel snapping)."""
+    near = vc["znear"]
+    cam = vc["camera_pos"]
+    fwd = -vc["view"][2, :3]
+    up = jnp.where(jnp.abs(sun_dir[1]) > 0.95,
+                   jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+
+    i = jnp.arange(NUM_CASCADES + 1, dtype=jnp.float32) / NUM_CASCADES
+    log_split = near * (max_distance / near) ** i
+    uni_split = near + (max_distance - near) * i
+    splits = SPLIT_LAMBDA * log_split + (1 - SPLIT_LAMBDA) * uni_split  # (C+1,)
+
+    # inverse tan of half fov for slice extents
+    inv_p11 = 1.0 / vc["proj11"]
+    inv_p00 = 1.0 / vc["proj00"]
+
+    vps = []
+    for c in range(NUM_CASCADES):
+        n_d, f_d = splits[c], splits[c + 1]
+        # slice corner radius at far plane
+        rx = f_d * inv_p00
+        ry = f_d * inv_p11
+        center = cam + fwd * (0.5 * (n_d + f_d))
+        radius = jnp.sqrt((0.5 * (f_d - n_d)) ** 2 + rx * rx + ry * ry)
+        # texel snap: quantize the light-space center to the texel grid
+        texel = (2.0 * radius) / SHADOW_RES
+        eye = center - sun_dir * (radius * 2.0)
+        V = _look_at_j(eye, center, up)
+        c_ls = V[:3, :3] @ center + V[:3, 3]
+        snap = jnp.round(c_ls[:2] / texel) * texel - c_ls[:2]
+        V = V.at[:2, 3].add(snap)
+        P = _ortho_j(radius, 0.0, radius * 4.0)
+        vps.append(P @ V)
+    return jnp.stack(vps), splits[1:]
+
+
+def render_cascades(gpu, vc, sun_dir, visible_capacity: int,
+                    max_distance: float = 60.0) -> CSMData:
+    """Depth-only meshlet raster per cascade (ref per-cascade GPU culling +
+    meshlet raster for opaque+masked, src/ShadowRenderer.cpp)."""
+    vps, splits = cascade_matrices(vc, sun_dir, max_distance)
+    sel = cullops.select_instance_lods(gpu, vc)  # LODs from the MAIN camera
+    depths = []
+    for c in range(NUM_CASCADES):
+        vp = vps[c]
+        planes = hm.extract_frustum_planes(vp, xp=jnp)
+        inst = gpu.pair_inst
+        ml = gpu.pair_meshlet
+        mask = gpu.pair_lod == sel[inst]
+        mask &= gpu.inst_alpha_mode[inst] < 2  # opaque + masked cast shadows
+        W = gpu.inst_transform[inst]
+        c_w = jnp.einsum("dij,dj->di", W[:, :3, :3], gpu.ml_center[ml]) + W[:, :3, 3]
+        r_w = gpu.ml_radius[ml] * gpu.inst_scale_max[inst]
+        mask &= hm.sphere_in_frustum(planes, c_w, r_w, xp=jnp)
+        slots, _cnt = cullops.compact_mask(mask, visible_capacity)
+        vc_c = dict(vc)
+        vc_c["view_proj"] = vp
+        vc_c["viewport"] = jnp.asarray([SHADOW_RES, SHADOW_RES], jnp.float32)
+        ro, _aux = rasterops.rasterize(gpu, vc_c, slots, SHADOW_RES, SHADOW_RES,
+                                       double_sided_all=True)
+        depths.append(ro.depth)
+    return CSMData(view_proj=vps, depth=jnp.stack(depths), splits=splits)
+
+
+def csm_shadow_mask(csm: CSMData, vc, world_pos, normal, valid,
+                    sun_dir, bias_scale: float = 1.0) -> jnp.ndarray:
+    """Fullscreen CSM evaluation -> visibility mask (ref ShadowMask.hlsl PCF
+    with per-cascade normal bias)."""
+    H, W = world_pos.shape[0], world_pos.shape[1]
+    V = vc["view"]
+    p_view = jnp.einsum("ij,hwj->hwi", V[:3, :3], world_pos) + V[:3, 3]
+    dist = -p_view[..., 2]
+    # cascade select: first cascade whose far split exceeds the view distance
+    cidx = jnp.sum((dist[..., None] > csm.splits[None, None, :]).astype(jnp.int32),
+                   axis=-1)
+    cidx = jnp.clip(cidx, 0, NUM_CASCADES - 1)
+    vp = csm.view_proj[cidx]                                  # (H, W, 4, 4)
+
+    # normal offset against acne (ref anisotropic normal bias)
+    ndl = jnp.abs(jnp.sum(normal * (-sun_dir), -1, keepdims=True))
+    texel_world = (4.0 * csm.splits[-1] / NUM_CASCADES) / SHADOW_RES
+    p = world_pos + normal * (texel_world * 2.0 * bias_scale * (1.0 + (1.0 - ndl)))
+
+    clip = jnp.einsum("hwij,hwj->hwi", vp[..., :3, :3], p) + vp[..., :3, 3]
+    u = jnp.clip(clip[..., 0] * 0.5 + 0.5, 0.0, 1.0)
+    v = jnp.clip(0.5 - clip[..., 1] * 0.5, 0.0, 1.0)
+    z = clip[..., 2]                                          # reversed-Z light depth
+
+    x = jnp.clip((u * SHADOW_RES).astype(jnp.int32), 0, SHADOW_RES - 1)
+    y = jnp.clip((v * SHADOW_RES).astype(jnp.int32), 0, SHADOW_RES - 1)
+    # 2x2 PCF
+    vis = jnp.zeros((H, W))
+    depth_bias = 2e-3 * bias_scale
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = jnp.minimum(x + dx, SHADOW_RES - 1)
+            yi = jnp.minimum(y + dy, SHADOW_RES - 1)
+            sd = csm.depth[cidx, yi, xi]
+            # occluded when a NEARER-to-light surface exists (larger depth)
+            vis += jnp.where(sd > z + depth_bias, 0.0, 1.0)
+    vis = vis * 0.25
+    return jnp.where(valid, vis, 1.0)

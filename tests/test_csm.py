@@ -1,0 +1,65 @@
+"""CSM correctness: a box floating over a plane must shadow the region below
+it (straight-down sun), and lit areas must stay unshadowed."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hobbyrenderer_tpu.config import RenderSettings
+from hobbyrenderer_tpu.ops import csm as csmops
+from hobbyrenderer_tpu.ops import culling as cullops
+from hobbyrenderer_tpu.ops import raster as rasterops
+from hobbyrenderer_tpu.scene import Camera
+from hobbyrenderer_tpu.scene.cooker import cook_mesh
+from hobbyrenderer_tpu.scene.gpu import build_scene_gpu
+from hobbyrenderer_tpu.scene.procedural import (camera_looking_at, cube_geometry,
+                                                plane_geometry)
+from hobbyrenderer_tpu.scene.scene import Light, LIGHT_DIRECTIONAL, Material, Node, Scene
+
+W, H = 96, 64
+
+
+def test_csm_box_shadows_plane():
+    sc = Scene()
+    m = sc.add_material(Material(name="w", base_color=np.array([1, 1, 1, 1], np.float32),
+                                 roughness=1.0))
+    pos, nrm, uv, idx = plane_geometry(5.0)
+    plane = sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv), material=m)
+    sc.add_node(Node(name="plane", mesh_primitives=[plane]))
+    cpos, cnrm, cuv, cidx = cube_geometry()
+    cube = sc.add_mesh(cook_mesh(cpos, cidx, normals=cnrm, uvs=cuv), material=m)
+    sc.add_node(Node(name="cube", mesh_primitives=[cube],
+                     translation=np.array([0, 1.5, 0], np.float32)))
+    sun = np.array([0, -1, 0], np.float32)  # straight down
+    sc.add_light(Light(type=LIGHT_DIRECTIONAL, direction=sun, intensity=5.0))
+    sc.cameras.append(camera_looking_at(np.array([0, 4, 5], np.float32), np.zeros(3)))
+    sc.finalize()
+    gpu = build_scene_gpu(sc)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    @jax.jit
+    def run(gpu, vc):
+        cu = cullops.cull_pairs(gpu, vc, alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+        gb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+        data = csmops.render_cascades(gpu, vc, jnp.asarray(sun), cap,
+                                      max_distance=30.0)
+        mask = csmops.csm_shadow_mask(data, vc, gb.world_pos, gb.geo_normal,
+                                      gb.valid, jnp.asarray(sun))
+        return gb, mask
+
+    gb, mask = run(gpu, vc)
+    mask = np.asarray(mask)
+    wp = np.asarray(gb.world_pos)
+    valid = np.asarray(gb.valid)
+    on_plane = valid & (np.abs(wp[..., 1]) < 0.05)
+    under_box = on_plane & (np.abs(wp[..., 0]) < 0.4) & (np.abs(wp[..., 2]) < 0.4)
+    far_lit = on_plane & (np.maximum(np.abs(wp[..., 0]), np.abs(wp[..., 2])) > 1.5) \
+        & (np.maximum(np.abs(wp[..., 0]), np.abs(wp[..., 2])) < 4.0)
+    assert under_box.sum() > 10 and far_lit.sum() > 50
+    assert mask[under_box].mean() < 0.2, f"under box should be shadowed: {mask[under_box].mean()}"
+    assert mask[far_lit].mean() > 0.85, f"open plane should be lit: {mask[far_lit].mean()}"
