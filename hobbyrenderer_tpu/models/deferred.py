@@ -177,6 +177,22 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         g.get("RTXDI").enabled = False
 
     @g.add
+    @render_pass("Denoise", reads=("restir_direct", "gbuffer", "denoise_state"),
+                 writes=("restir_direct", "denoise_state"),
+                 persistent=("denoise_state",))
+    def _denoise(ctx, res):
+        """RELAX-class denoise of the stochastic direct signal (ref
+        NrdIntegration, SURVEY.md §2.6 #53)."""
+        from hobbyrenderer_tpu.ops import denoise as dnops
+        out, st = dnops.denoise(res["restir_direct"], res["gbuffer"],
+                                res["denoise_state"])
+        res["restir_direct"] = out
+        res["denoise_state"] = st
+
+    if not use_restir:
+        g.get("Denoise").enabled = False
+
+    @g.add
     @render_pass("IBL", reads=(), writes=("sky_irradiance",))
     def _ibl(ctx, res):
         """Per-frame sky irradiance integration (ref CommonResources IBL
@@ -279,7 +295,9 @@ def initial_frame_state(width: int, height: int,
     }
     if direct_mode == "restir":
         from hobbyrenderer_tpu.ops.restir import reservoir_init
+        from hobbyrenderer_tpu.ops.denoise import denoise_init
         state["restir_reservoir"] = reservoir_init(height, width)
+        state["denoise_state"] = denoise_init(height, width)
     return state
 
 
