@@ -37,12 +37,15 @@ def main(argv=None):
     p.add_argument("--direct-mode", type=str, default="simple",
                    choices=("simple", "restir"))
     p.add_argument("--shadow-scale", type=int, default=2)
+    p.add_argument("--indirect-mode", type=str, default="none",
+                   choices=("none", "sharc"))
     a = p.parse_args(argv)
 
     cfg = Config(scene=a.scene, width=a.width, height=a.height, mode=a.mode,
                  cache_dir=a.cache_dir, seed=a.seed,
                  execute_per_pass=a.execute_per_pass,
-                 direct_mode=a.direct_mode, shadow_scale=a.shadow_scale)
+                 direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,
+                 indirect_mode=a.indirect_mode)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)
     if a.describe_graph:

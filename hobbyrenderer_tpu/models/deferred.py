@@ -51,7 +51,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          with_rt_shadows: bool = True,
                          occlusion_culling: bool = True,
                          with_taa: bool = True,
-                         direct_mode: str = "simple") -> RenderGraph:
+                         direct_mode: str = "simple",
+                         indirect_mode: str = "none") -> RenderGraph:
     g = RenderGraph()
     h0, w0, hzb_levels = hzbops.hzb_sizes(width, height)
 
@@ -192,6 +193,70 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_restir:
         g.get("Denoise").enabled = False
 
+    use_sharc = (indirect_mode == "sharc"
+                 and mode in (RenderingMode.NORMAL, RenderingMode.IBL))
+
+    @g.add
+    @render_pass("SHARC", reads=("gbuffer", "sharc_cache"),
+                 writes=("sharc_cache", "sharc_indirect"),
+                 persistent=("sharc_cache",))
+    def _sharc(ctx, res):
+        """SHARC radiance cache: sparse secondary-bounce update + resolve +
+        full-res query (ref SHARCRenderer, SURVEY.md §2.6 #42)."""
+        from hobbyrenderer_tpu.ops import sharc as sharcops
+        gb = res["gbuffer"]
+        cache = res["sharc_cache"]
+        cam = ctx.vc["camera_pos"]
+        if ctx.rt is not None:
+            s = 4  # sparse update: quarter-res sample grid
+            sh, sw = height // s, width // s
+            pos = gb.world_pos[::s, ::s][:sh, :sw].reshape(-1, 3)
+            nrm = gb.normal[::s, ::s][:sh, :sw].reshape(-1, 3)
+            gn = gb.geo_normal[::s, ::s][:sh, :sw].reshape(-1, 3)
+            alb = gb.albedo[::s, ::s][:sh, :sw].reshape(-1, 3)
+            val = gb.valid[::s, ::s][:sh, :sw].reshape(-1)
+            R = pos.shape[0]
+            pix = jnp.arange(R, dtype=jnp.uint32)
+            frame = ctx.vc["frame_index"].astype(jnp.uint32)
+            bits = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
+                                    jnp.full_like(pix, 55)], -1))
+            u1 = uniform_from_bits(bits[..., 0])
+            u2 = uniform_from_bits(bits[..., 1])
+            d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
+            o = offset_ray_origin(pos, gn, d) + gn * ctx.settings.shadow_bias
+            hit = bvhops.bvh_closest_hit(ctx.rt.bvh, o, d)
+            from hobbyrenderer_tpu.models.pathtracer import _fetch_hit_attrs
+            from hobbyrenderer_tpu.scene.gpu import (MAT_BASE_COLOR, MAT_EMISSIVE,
+                                                     MAT_METALLIC, MAT_ROUGHNESS)
+            hpos, hn, hgn, _huv, hmat, _hi = _fetch_hit_attrs(ctx.gpu, ctx.rt,
+                                                              hit, o, d)
+            mf = ctx.gpu.mat_f[hmat]
+            h_alb = mf[:, MAT_BASE_COLOR:MAT_BASE_COLOR + 3]
+            h_emis = mf[:, MAT_EMISSIVE:MAT_EMISSIVE + 3]
+            # one-sample direct light at the hit (sun, unshadowed — cheap bias)
+            sun_idx, _ = _sun_index(ctx.gpu)
+            Lh, radh, _dh = shadeops.light_incident(
+                ctx.gpu.light_type[sun_idx], ctx.gpu.light_pos[sun_idx],
+                ctx.gpu.light_dir[sun_idx], ctx.gpu.light_color[sun_idx],
+                ctx.gpu.light_range[sun_idx], ctx.gpu.light_cone[sun_idx], hpos)
+            ndl = jnp.maximum(jnp.sum(hn * Lh, -1), 0.0)
+            L_hit = h_emis + h_alb / jnp.pi * radh * ndl[..., None]
+            # cosine-sampled bounce: indirect irradiance/pi estimate = albedo*L
+            sample = alb * L_hit
+            miss = hit.tri < 0
+            sky = skyops.sky_radiance(d, _scene_sun_dir(ctx), ctx.settings,
+                                      with_sun_disk=False)
+            sample = jnp.where(miss[..., None], alb * sky, sample)
+            cache = sharcops.sharc_update(cache, pos, nrm, sample, val, cam)
+        cache = sharcops.sharc_resolve(cache)
+        res["sharc_cache"] = cache
+        ind, hit_mask = sharcops.sharc_query(
+            cache, gb.world_pos.reshape(-1, 3), gb.normal.reshape(-1, 3), cam)
+        res["sharc_indirect"] = ind.reshape(height, width, 3)
+
+    if not use_sharc:
+        g.get("SHARC").enabled = False
+
     @g.add
     @render_pass("IBL", reads=(), writes=("sky_irradiance",))
     def _ibl(ctx, res):
@@ -201,8 +266,9 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         res["sky_irradiance"] = iblops.build_sky_irradiance(_scene_sun_dir(ctx),
                                                             ctx.settings)
 
-    reads = ("gbuffer", "sun_shadow", "sky_irradiance") + (
-        ("restir_direct",) if use_restir else ())
+    reads = ("gbuffer", "sun_shadow", "sky_irradiance") \
+        + (("restir_direct",) if use_restir else ()) \
+        + (("sharc_indirect",) if use_sharc else ())
 
     @g.add
     @render_pass("DeferredLighting", reads=reads, writes=("hdr",))
@@ -235,6 +301,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                                      _scene_sun_dir(ctx), ctx.settings,
                                      intensity=ibl_scale)
         hdr = direct + ambient + gb.emissive
+        if use_sharc:
+            hdr = hdr + res["sharc_indirect"]
         res["hdr"] = jnp.where(gb.valid[..., None], hdr, 0.0)
 
     @g.add
@@ -283,7 +351,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
 
 
 def initial_frame_state(width: int, height: int,
-                        direct_mode: str = "simple") -> Dict[str, jnp.ndarray]:
+                        direct_mode: str = "simple",
+                        indirect_mode: str = "none") -> Dict[str, jnp.ndarray]:
     """Persistent resources seed (ref persistent render-graph resources:
     exposure, HZB, TAA history, light reservoirs — src/CommonRenderers.cpp)."""
     h0, w0, levels = hzbops.hzb_sizes(width, height)
@@ -298,6 +367,9 @@ def initial_frame_state(width: int, height: int,
         from hobbyrenderer_tpu.ops.denoise import denoise_init
         state["restir_reservoir"] = reservoir_init(height, width)
         state["denoise_state"] = denoise_init(height, width)
+    if indirect_mode == "sharc":
+        from hobbyrenderer_tpu.ops.sharc import sharc_init
+        state["sharc_cache"] = sharc_init()
     return state
 
 
@@ -311,6 +383,7 @@ class DeferredRenderer:
                  with_taa: bool = True,
                  with_rt_shadows: bool = None,
                  direct_mode: str = None,
+                 indirect_mode: str = None,
                  max_per_tile: int = None):
         self.width, self.height = width, height
         cap = max(int(gpu.lod0_pair_capacity), 1)
@@ -318,13 +391,17 @@ class DeferredRenderer:
             with_rt_shadows = rt is not None
         if direct_mode is None:
             direct_mode = getattr(config, "direct_mode", "simple") or "simple"
+        if indirect_mode is None:
+            indirect_mode = getattr(config, "indirect_mode", "none") or "none"
         self.rt = rt
         self.graph = build_deferred_graph(width, height, cap, mode=mode,
                                           with_rt_shadows=with_rt_shadows and rt is not None,
                                           occlusion_culling=occlusion_culling,
                                           with_taa=with_taa,
-                                          direct_mode=direct_mode)
-        self.state = initial_frame_state(width, height, direct_mode=direct_mode)
+                                          direct_mode=direct_mode,
+                                          indirect_mode=indirect_mode)
+        self.state = initial_frame_state(width, height, direct_mode=direct_mode,
+                                         indirect_mode=indirect_mode)
         self.config = config
         self._jitted = None
 
