@@ -193,6 +193,15 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_restir:
         g.get("Denoise").enabled = False
 
+    @g.add
+    @render_pass("IBL", reads=(), writes=("sky_irradiance",))
+    def _ibl(ctx, res):
+        """Per-frame sky irradiance integration (ref CommonResources IBL
+        cubemaps; dynamic here because the env is the procedural sky)."""
+        from hobbyrenderer_tpu.ops import ibl as iblops
+        res["sky_irradiance"] = iblops.build_sky_irradiance(_scene_sun_dir(ctx),
+                                                            ctx.settings)
+
     use_sharc = (indirect_mode == "sharc"
                  and mode in (RenderingMode.NORMAL, RenderingMode.IBL))
 
@@ -243,10 +252,9 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             L_hit = h_emis + h_alb / jnp.pi * radh * ndl[..., None]
             # cosine-sampled bounce: indirect irradiance/pi estimate = albedo*L
             sample = alb * L_hit
+            # miss -> 0: sky visibility is covered by the IBL ambient term
             miss = hit.tri < 0
-            sky = skyops.sky_radiance(d, _scene_sun_dir(ctx), ctx.settings,
-                                      with_sun_disk=False)
-            sample = jnp.where(miss[..., None], alb * sky, sample)
+            sample = jnp.where(miss[..., None], 0.0, sample)
             cache = sharcops.sharc_update(cache, pos, nrm, sample, val, cam)
         cache = sharcops.sharc_resolve(cache)
         res["sharc_cache"] = cache
@@ -257,18 +265,33 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_sharc:
         g.get("SHARC").enabled = False
 
+    use_ssgi = indirect_mode == "ssgi"
+
     @g.add
-    @render_pass("IBL", reads=(), writes=("sky_irradiance",))
-    def _ibl(ctx, res):
-        """Per-frame sky irradiance integration (ref CommonResources IBL
-        cubemaps; dynamic here because the env is the procedural sky)."""
-        from hobbyrenderer_tpu.ops import ibl as iblops
-        res["sky_irradiance"] = iblops.build_sky_irradiance(_scene_sun_dir(ctx),
-                                                            ctx.settings)
+    @render_pass("SSGI", reads=("gbuffer", "sky_irradiance", "taa_history",
+                                "ssgi_state"),
+                 writes=("ssgi_indirect", "ssgi_state"),
+                 persistent=("ssgi_state",))
+    def _ssgi(ctx, res):
+        """Screen-space GI (ref SSGIRenderer, SURVEY.md §2.6 #43): half-res
+        march + temporal accumulation via the RELAX temporal stage."""
+        from hobbyrenderer_tpu.ops import ssgi as ssgiops
+        from hobbyrenderer_tpu.ops import denoise as dnops
+        gb = res["gbuffer"]
+        raw = ssgiops.ssgi_half_res(gb, ctx.vc, res["taa_history"],
+                                    res["sky_irradiance"], ctx.settings,
+                                    ctx.vc["frame_index"])
+        color, var, st = dnops.temporal_accumulate(raw, gb, res["ssgi_state"])
+        res["ssgi_indirect"] = dnops.atrous_filter(color, var, gb, iterations=2)
+        res["ssgi_state"] = st
+
+    if not use_ssgi:
+        g.get("SSGI").enabled = False
 
     reads = ("gbuffer", "sun_shadow", "sky_irradiance") \
         + (("restir_direct",) if use_restir else ()) \
-        + (("sharc_indirect",) if use_sharc else ())
+        + (("sharc_indirect",) if use_sharc else ()) \
+        + (("ssgi_indirect",) if use_ssgi else ())
 
     @g.add
     @render_pass("DeferredLighting", reads=reads, writes=("hdr",))
@@ -303,6 +326,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         hdr = direct + ambient + gb.emissive
         if use_sharc:
             hdr = hdr + res["sharc_indirect"]
+        if use_ssgi:
+            hdr = hdr + res["ssgi_indirect"]
         res["hdr"] = jnp.where(gb.valid[..., None], hdr, 0.0)
 
     @g.add
@@ -370,6 +395,9 @@ def initial_frame_state(width: int, height: int,
     if indirect_mode == "sharc":
         from hobbyrenderer_tpu.ops.sharc import sharc_init
         state["sharc_cache"] = sharc_init()
+    if indirect_mode == "ssgi":
+        from hobbyrenderer_tpu.ops.denoise import denoise_init
+        state["ssgi_state"] = denoise_init(height, width)
     return state
 
 

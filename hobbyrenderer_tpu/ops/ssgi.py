@@ -1,0 +1,80 @@
+"""SSGI: screen-space global illumination (the NormalBasic indirect path).
+
+Reference: src/SSGIRenderer.cpp + src/shaders/SSGI.hlsl — half-res screen-space
+ray march against the depth buffer, temporal reprojection, edge-aware denoise,
+compose (SURVEY.md §2.6 #43).
+
+TPU design: one cosine-sampled march per half-res pixel per frame (temporal
+accumulation integrates), marched as K fixed world-space steps projected to
+screen against the reversed-Z depth buffer; hits fetch bounce radiance from the
+previous frame's lit HDR (the TAA history buffer), misses fall back to sky
+irradiance. All taps are bilinear screen-space fetches — regular VPU work."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hobbyrenderer_tpu.ops import ibl as iblops
+from hobbyrenderer_tpu.ops import sampling as smp
+from hobbyrenderer_tpu.utils import math as hm
+from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
+
+MARCH_STEPS = 8
+MARCH_DISTANCE = 4.0      # world units
+THICKNESS = 0.35          # relative depth-gap acceptance
+
+
+def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2):
+    """Returns (H, W, 3) indirect radiance (upsampled from half res)."""
+    H, W = gb.depth.shape
+    sh, sw = H // scale, W // scale
+    pos = gb.world_pos[::scale, ::scale][:sh, :sw].reshape(-1, 3)
+    nrm = gb.normal[::scale, ::scale][:sh, :sw].reshape(-1, 3)
+    alb = gb.albedo[::scale, ::scale][:sh, :sw].reshape(-1, 3)
+    valid = gb.valid[::scale, ::scale][:sh, :sw].reshape(-1)
+    R = pos.shape[0]
+    pix = jnp.arange(R, dtype=jnp.uint32)
+    frame = jnp.asarray(frame_index).astype(jnp.uint32)
+    bits = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
+                            jnp.full_like(pix, 91)], -1))
+    u1 = uniform_from_bits(bits[..., 0])
+    u2 = uniform_from_bits(bits[..., 1])
+    d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
+
+    VP = vc["view_proj_no_jitter"]
+
+    def project(p):
+        w = p @ VP[3, :3] + VP[3, 3]
+        w = jnp.maximum(w, 1e-6)
+        clip = p @ VP[:3, :3].T + VP[:3, 3]
+        ndc = clip / w[..., None]
+        x = (ndc[..., 0] * 0.5 + 0.5) * W
+        y = (0.5 - ndc[..., 1] * 0.5) * H
+        return x, y, ndc[..., 2]
+
+    hit_col = jnp.zeros((R, 3))
+    found = jnp.zeros(R, bool)
+    # geometric step schedule biased toward the origin
+    for k in range(MARCH_STEPS):
+        t = MARCH_DISTANCE * ((k + 1) / MARCH_STEPS) ** 2 + 0.05
+        p = pos + d * t
+        x, y, z = project(p)
+        on = (x >= 0) & (x < W) & (y >= 0) & (y < H) & (z > 0)
+        xi = jnp.clip(x.astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(y.astype(jnp.int32), 0, H - 1)
+        zbuf = gb.depth[yi, xi]
+        # reversed-Z: buffer nearer than the ray point -> potential occluder
+        hit = on & (zbuf > z) & (zbuf < z * (1.0 + THICKNESS)) & ~found
+        col = prev_hdr[yi, xi]
+        hit_col = jnp.where(hit[..., None], col, hit_col)
+        found = found | hit
+
+    # miss -> no contribution: sky visibility is already covered by the IBL
+    # ambient term (adding sky here would double-count it)
+    radiance = jnp.where(found[..., None], hit_col, 0.0)
+    # cosine-sampled single bounce: indirect ~= albedo * E[L] (pdf cancels cos/pi)
+    ind = jnp.where(valid[..., None], alb * radiance, 0.0).reshape(sh, sw, 3)
+    if scale > 1:
+        ind = jax.image.resize(ind, (H, W, 3), method="bilinear")
+    return ind
