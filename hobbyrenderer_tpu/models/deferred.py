@@ -436,12 +436,24 @@ class DeferredRenderer:
     def frame_fn(self, gpu, rt, vc, settings, state, dt):
         ctx = FrameContext(gpu=gpu, vc=vc, settings=settings, config=self.config,
                            dt=dt, rt=rt)
-        out = self.graph.execute(ctx, state, outputs=("ldr", "raster_overflow"))
-        return out["outputs"]["ldr"], out["outputs"]["raster_overflow"], out["state"]
+        out = self.graph.execute(ctx, state,
+                                 outputs=("ldr", "raster_overflow",
+                                          "visible_count", "exposure"))
+        o = out["outputs"]
+        stats = {"raster_overflow": o["raster_overflow"],
+                 "visible_pairs": o["visible_count"],
+                 "exposure": o["exposure"]}
+        return o["ldr"], stats, out["state"]
 
     def render(self, gpu, vc, settings, dt: float = 1 / 60):
         if self._jitted is None:
             self._jitted = jax.jit(self.frame_fn, donate_argnums=(4,))
-        ldr, overflow, self.state = self._jitted(gpu, self.rt, vc, settings,
-                                                 self.state, jnp.float32(dt))
-        return ldr, overflow
+        ldr, stats, self.state = self._jitted(gpu, self.rt, vc, settings,
+                                              self.state, jnp.float32(dt))
+        self.last_stats = stats
+        return ldr, stats["raster_overflow"]
+
+    def reload(self):
+        """Shader hot-reload analogue (ref F5 ReloadShaders): drop the compiled
+        frame so the next render re-traces + re-compiles current code."""
+        self._jitted = None

@@ -11,6 +11,7 @@ window/ImGui layer of the reference maps to the stats/introspection API here
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -22,6 +23,7 @@ from hobbyrenderer_tpu.config import Config, RenderingMode
 from hobbyrenderer_tpu.models.deferred import DeferredRenderer
 from hobbyrenderer_tpu.scene import Camera, make_default_cube_scene, make_stress_scene
 from hobbyrenderer_tpu.scene.gpu import build_scene_gpu, update_instance_transforms
+from hobbyrenderer_tpu.scene.camera_state import CameraStateManager
 from hobbyrenderer_tpu.utils.image import write_png
 from hobbyrenderer_tpu.utils.timing import PROFILER
 
@@ -57,6 +59,13 @@ class Renderer:
         self.frame_index = 0
         self.last_frame = None
         self.time_s = 0.0
+        # camera persistence (ref CameraStateManager, 1 Hz async JSON save)
+        self._scene_key = cfg.scene or "default"
+        self.camera_state = CameraStateManager(
+            path=os.path.join(cfg.cache_dir, "camera_state.json"))
+        os.makedirs(cfg.cache_dir, exist_ok=True)
+        self.camera_state.restore(self.camera, self._scene_key)
+        self.camera_state.start()
         self._build_model()
 
     # -- mode / model management (ApplyRenderingModeDefaults analogue) -------
@@ -101,6 +110,7 @@ class Renderer:
             out = self._model.render(self.gpu, vc, settings, dt)
             ldr = out[0] if isinstance(out, tuple) else out
         self.camera.end_frame()
+        self.camera_state.publish(self.camera, self._scene_key)
         self.frame_index += 1
         self.last_frame = ldr
         PROFILER.end_frame()
@@ -125,6 +135,24 @@ class Renderer:
         write_png(path, np.asarray(self.last_frame))
 
     # -- observability -------------------------------------------------------
+
+    def reload_shaders(self):
+        """Hot-reload analogue (ref F5 LoadShaders/ReloadShaders): re-trace and
+        re-compile the frame function from current python code."""
+        if hasattr(self._model, "reload"):
+            self._model.reload()
+
+    def shutdown(self):
+        """Flush camera persistence (ref Renderer::Shutdown)."""
+        self.camera_state.stop(flush=True)
+
+    def stats(self) -> dict:
+        """Per-frame pipeline statistics (ref pipeline statistics queries)."""
+        s = getattr(self._model, "last_stats", None)
+        if s is None:
+            return {}
+        import numpy as np
+        return {k: np.asarray(v).item() for k, v in s.items()}
 
     def describe_graph(self) -> str:
         return self._model.graph.describe() if hasattr(self._model, "graph") else "(no graph)"

@@ -1,0 +1,65 @@
+"""Runtime features: camera persistence, pipeline stats, hot reload, mode switch."""
+
+import json
+import os
+
+import numpy as np
+
+from hobbyrenderer_tpu.config import Config, RenderingMode
+from hobbyrenderer_tpu.renderer import Renderer
+from hobbyrenderer_tpu.scene.camera_state import CameraStateManager
+
+
+def test_camera_state_roundtrip(tmp_path):
+    path = str(tmp_path / "cam.json")
+    mgr = CameraStateManager(path=path, interval_s=0.05)
+
+    class FakeCam:
+        position = np.array([1, 2, 3], np.float32)
+        yaw = 0.5
+        pitch = -0.25
+        fov_y = 1.0
+
+    mgr.publish(FakeCam, "sceneA")
+    mgr.stop(flush=True)  # no thread started; flush directly
+    assert os.path.exists(path)
+    data = json.load(open(path))
+    assert data["sceneA"]["yaw"] == 0.5
+
+    cam2 = FakeCam()
+    cam2.position = np.zeros(3, np.float32)
+    cam2.yaw = 0.0
+    assert mgr.restore(cam2, "sceneA")
+    np.testing.assert_allclose(cam2.position, [1, 2, 3])
+    assert cam2.yaw == 0.5 and cam2.pitch == -0.25
+    assert not mgr.restore(cam2, "sceneB")
+
+
+def test_renderer_stats_and_reload(tmp_path):
+    cfg = Config(scene="cube", width=64, height=48,
+                 mode=RenderingMode.NORMAL_BASIC, cache_dir=str(tmp_path))
+    r = Renderer(cfg)
+    r.render_frame()
+    s = r.stats()
+    assert s["visible_pairs"] >= 1
+    assert s["raster_overflow"] == 0
+    assert s["exposure"] > 0
+    # hot reload: next frame re-compiles but produces identical output
+    a = np.asarray(r.render_frame())
+    r.reload_shaders()
+    # same frame_index inputs won't repeat (jitter advances); just ensure it runs
+    b = np.asarray(r.render_frame())
+    assert b.shape == a.shape
+    r.shutdown()
+    assert os.path.exists(os.path.join(str(tmp_path), "camera_state.json"))
+
+
+def test_mode_switch(tmp_path):
+    cfg = Config(scene="cube", width=48, height=32,
+                 mode=RenderingMode.NORMAL_BASIC, cache_dir=str(tmp_path))
+    r = Renderer(cfg)
+    r.render_frame()
+    r.set_mode(RenderingMode.PATH_TRACER)
+    ldr = r.render_frame()
+    assert np.asarray(ldr).shape == (32, 48, 3)
+    r.shutdown()
