@@ -150,12 +150,16 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         """NormalBasic sun shadows: 4-cascade depth raster from the light +
         fullscreen PCF mask (ref ShadowRenderer + ShadowMaskRenderer)."""
         from hobbyrenderer_tpu.ops import csm as csmops
+        from hobbyrenderer_tpu.ops import sss as sssops
         gb = res["gbuffer"]
         sun_dir = _scene_sun_dir(ctx)
         data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, visible_capacity)
-        res["sun_shadow"] = csmops.csm_shadow_mask(data, ctx.vc, gb.world_pos,
-                                                   gb.geo_normal, gb.valid,
-                                                   sun_dir)
+        mask = csmops.csm_shadow_mask(data, ctx.vc, gb.world_pos,
+                                      gb.geo_normal, gb.valid, sun_dir)
+        # Bend-style screen-space contact shadows multiplied in
+        # (ref ShadowMaskRenderer: bend_sss march * CSM mask)
+        mask = mask * sssops.screen_space_shadows(gb, ctx.vc, sun_dir)
+        res["sun_shadow"] = mask
 
     if mode != RenderingMode.NORMAL_BASIC:
         g.get("ShadowCSM").enabled = False
@@ -337,6 +341,61 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
         sky = skyops.sky_radiance(vdir, _scene_sun_dir(ctx), ctx.settings)
         res["hdr"] = jnp.where(gb.valid[..., None], res["hdr"], sky)
+
+    @g.add
+    @render_pass("Transparent", reads=("gbuffer", "hdr", "sky_irradiance"),
+                 writes=("hdr",))
+    def _transparent(ctx, res):
+        """Forward transparency (ref TransparentPassRenderer: forward shading
+        into the HDR target, depth-read-no-write, Fresnel split, Beer-Lambert
+        tint of the background). Single nearest transparent layer per pixel
+        (no per-pixel sorting; depth peeling = future work)."""
+        from hobbyrenderer_tpu.scene.gpu import (MAT_ATTEN_COLOR, MAT_BASE_COLOR,
+                                                 MAT_METALLIC, MAT_ROUGHNESS,
+                                                 MAT_TRANSMISSION)
+        gb = res["gbuffer"]
+        alpha_ok = jnp.asarray([False, False, True])
+        cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
+        slots, _cnt = cullops.compact_mask(cull["mask"], visible_capacity)
+        ro, aux = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width, height,
+                                      double_sided_all=False)
+        # depth-READ against the opaque depth: keep fragments strictly nearer
+        nearer = ro.depth > gb.depth
+        ro = rasterops.RasterOutput(depth=jnp.where(nearer, ro.depth, 0.0),
+                                    visid=jnp.where(nearer, ro.visid, -1),
+                                    overflow=ro.overflow)
+        tgb = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro, slots, aux=aux)
+        vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
+        v = -vdir
+        rough = tgb.orm[..., 1]
+        metal = tgb.orm[..., 2]
+        direct = shadeops.shade_all_lights(ctx.gpu, tgb.world_pos, tgb.normal, v,
+                                           tgb.albedo, metal, rough)
+        from hobbyrenderer_tpu.ops import ibl as iblops
+        ambient = iblops.ibl_ambient(res["sky_irradiance"], tgb.normal, v,
+                                     tgb.albedo, metal, rough,
+                                     _scene_sun_dir(ctx), ctx.settings,
+                                     intensity=ctx.settings.ibl_intensity)
+        shaded = direct + ambient + tgb.emissive
+        # coverage/transmission from the material table
+        Mt = ctx.gpu.mat_f.shape[0]
+        mat = jnp.maximum(tgb.material, 0)
+        moh = (mat[..., None] == jnp.arange(Mt)).astype(jnp.float32)
+        mf = jnp.einsum("hwm,mf->hwf", moh, ctx.gpu.mat_f)
+        alpha = mf[..., MAT_BASE_COLOR + 3]
+        transmission = mf[..., MAT_TRANSMISSION]
+        atten = mf[..., MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3]
+        # Beer-Lambert-style tint of the background through the surface
+        bg = res["hdr"] * (atten * transmission[..., None]
+                           + (1.0 - transmission[..., None]))
+        coverage = jnp.clip(alpha * (1.0 - transmission) + transmission * 0.04,
+                            0.0, 1.0)[..., None]
+        out = bg * (1.0 - coverage) + shaded * coverage
+        res["hdr"] = jnp.where(tgb.valid[..., None], out, res["hdr"])
+
+    has_transparent = True  # cheap when the bucket is empty (0 work items)
+    if not has_transparent:
+        g.get("Transparent").enabled = False
 
     @g.add
     @render_pass("TAA", reads=("hdr", "gbuffer", "taa_history", "taa_valid"),

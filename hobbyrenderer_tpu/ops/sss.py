@@ -1,0 +1,48 @@
+"""Screen-space contact shadows (Bend-style sun march).
+
+Reference: vendored external/bend_sss_{cpu,gpu}.h used by ShadowMaskRenderer —
+a 60-sample screen-space march toward the sun multiplied into the CSM mask
+(src/ShadowMaskRenderer.cpp). Captures small-scale contact occlusion that
+shadow maps miss.
+
+TPU build: fixed-step world-space march toward the sun projected against the
+reversed-Z depth buffer; soft accumulation over the thickness window."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+STEPS = 12
+MAX_DISTANCE = 0.6      # world units of the contact march
+THICKNESS = 0.02        # relative depth window counted as an occluder
+
+
+def screen_space_shadows(gb, vc, sun_dir):
+    """(H, W) visibility in [0,1] from a short march toward the sun."""
+    H, W = gb.depth.shape
+    VP = vc["view_proj_no_jitter"]
+    to_sun = -sun_dir
+
+    def project(p):
+        w = p @ VP[3, :3] + VP[3, 3]
+        w = jnp.maximum(w, 1e-6)
+        clip = p @ VP[:3, :3].T + VP[:3, 3]
+        ndc = clip / w[..., None]
+        x = (ndc[..., 0] * 0.5 + 0.5) * W
+        y = (0.5 - ndc[..., 1] * 0.5) * H
+        return x, y, ndc[..., 2]
+
+    pos = gb.world_pos
+    occ = jnp.zeros((H, W))
+    for k in range(STEPS):
+        t = MAX_DISTANCE * (k + 1) / STEPS
+        p = pos + to_sun * t
+        x, y, z = project(p.reshape(-1, 3))
+        on = (x >= 0) & (x < W) & (y >= 0) & (y < H) & (z > 0)
+        xi = jnp.clip(x.astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(y.astype(jnp.int32), 0, H - 1)
+        zbuf = gb.depth[yi, xi]
+        hit = on & (zbuf > z) & (zbuf < z * (1.0 + THICKNESS))
+        occ = jnp.maximum(occ, hit.astype(jnp.float32).reshape(H, W))
+    vis = 1.0 - occ
+    return jnp.where(gb.valid, vis, 1.0)

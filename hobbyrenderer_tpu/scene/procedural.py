@@ -129,6 +129,12 @@ def make_stress_scene(grid: int = 12, seed: int = 7, with_lights: bool = True,
         if i % 7 == 6:
             m.alpha_mode = ALPHA_MASKED
             m.alpha_cutoff = 0.5
+        if i % 11 == 9:
+            from hobbyrenderer_tpu.scene.scene import ALPHA_BLEND
+            m.alpha_mode = ALPHA_BLEND
+            m.base_color[3] = 0.35
+            m.transmission = 0.6
+            m.attenuation_color = np.clip(m.base_color[:3] * 1.4, 0, 1)
         mats.append(sc.add_material(m))
 
     # register one (geometry, material) primitive per use to mirror glTF primitives
