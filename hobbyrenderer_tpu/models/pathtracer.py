@@ -27,8 +27,10 @@ from hobbyrenderer_tpu.ops import sampling as smp
 from hobbyrenderer_tpu.ops import shading as shadeops
 from hobbyrenderer_tpu.ops import sky as skyops
 from hobbyrenderer_tpu.ops.intersect import INF, offset_ray_origin
-from hobbyrenderer_tpu.scene.gpu import (MAT_ALPHA_CUTOFF, MAT_BASE_COLOR, MAT_EMISSIVE,
-                                         MAT_METALLIC, MAT_ROUGHNESS)
+from hobbyrenderer_tpu.scene.gpu import (MAT_ATTEN_COLOR, MAT_ATTEN_DIST,
+                                         MAT_BASE_COLOR, MAT_EMISSIVE,
+                                         MAT_IOR, MAT_METALLIC, MAT_ROUGHNESS,
+                                         MAT_TRANSMISSION)
 from hobbyrenderer_tpu.scene.scene import LIGHT_DIRECTIONAL
 from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
@@ -177,6 +179,31 @@ def _fetch_hit_attrs(gpu, rt: SceneRT, hit, o, d):
     return pos, n, gn, uv, mat, inst
 
 
+def _fresnel_dielectric(cos_i, eta):
+    """Exact unpolarized dielectric Fresnel (ref exact dielectric Fresnel in
+    PathTracer.hlsl:19-255). cos_i >= 0, eta = n_transmitted / n_incident."""
+    cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    sin2_t = (1.0 / (eta * eta)) * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-8)
+    rp = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-8)
+    F = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, F)
+
+
+def _refract(d, n, eta_rel):
+    """Snell refraction of d about n (n opposes d). eta_rel = n_in / n_out.
+    Falls back to mirror reflection on total internal reflection."""
+    cos_i = -jnp.sum(d * n, -1, keepdims=True)
+    sin2_t = eta_rel * eta_rel * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    refr = eta_rel * d + (eta_rel * cos_i - cos_t) * n
+    refl = d + 2.0 * cos_i * n
+    return jnp.where(tir, refl, refr), tir[..., 0]
+
+
 def _sun_index(gpu):
     lt = gpu.light_type
     is_dir = (lt == LIGHT_DIRECTIONAL) & (jnp.arange(lt.shape[0]) < gpu.light_count)
@@ -208,10 +235,15 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
     sun_idx, has_sun = _sun_index(gpu)
 
     def bounce_body(carry, bounce):
-        o, d, radiance, throughput, active = carry
+        o, d, radiance, throughput, active, inside, sigma_t = carry
         dim = 1 + bounce * 8
         hit = bvhops.bvh_closest_hit(rt.bvh, o, d)
         miss = (hit.tri < 0) & active
+        # Beer-Lambert attenuation through the current medium (ref interior
+        # media, PathTracer.hlsl Beer-Lambert)
+        seg_t = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
+        throughput = throughput * jnp.where(
+            inside[..., None], jnp.exp(-sigma_t * seg_t[..., None]), 1.0)
         # sky on miss (sun disk only on primary — NEE covers it after bounces)
         if sky_fn is not None:
             sky = sky_fn(d, bounce)
@@ -230,6 +262,7 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         metallic = mf[:, MAT_METALLIC]
         rough = jnp.clip(mf[:, MAT_ROUGHNESS], shadeops.MIN_ROUGHNESS, 1.0)
         emissive = mf[:, MAT_EMISSIVE:MAT_EMISSIVE + 3]
+        trans = mf[:, MAT_TRANSMISSION]
         if sample_textures is not None:
             albedo, rough, metallic, emissive = sample_textures(
                 gpu, mat, uv, albedo, rough, metallic, emissive)
@@ -250,7 +283,9 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         cos_max = jnp.cos(settings.sun_angular_radius)
         L_sun = smp.sample_cone(L, cos_max, u1, u2)
         L = jnp.where(is_sun[..., None], L_sun, L)
-        f = shadeops.eval_brdf(n, v, L, albedo, metallic, rough)
+        # transmissive energy is carried by the transmission lobe, not NEE
+        f = shadeops.eval_brdf(n, v, L, albedo * (1.0 - trans)[..., None],
+                               metallic, rough)
         ndl_ok = (jnp.sum(L * gn, -1) > 0) & (jnp.sum(L * n, -1) > 0)
         nee_active = active & ndl_ok & (jnp.max(rad, -1) > 0)
         so = offset_ray_origin(pos, gn, L)
@@ -266,10 +301,33 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         active = active & (u_rr < p_cont)
         throughput = throughput / p_cont[..., None]
 
+        # ---- transmission lobe (dielectric Fresnel + refraction) ----
+        ior = jnp.maximum(mf[:, MAT_IOR], 1.01)
+        atten_c = jnp.clip(mf[:, MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3], 1e-4, 1.0)
+        atten_d = jnp.maximum(mf[:, MAT_ATTEN_DIST], 1e-3)
+        cos_i = jnp.maximum(jnp.sum(v * n, -1), 0.0)
+        eta_tr = jnp.where(inside, 1.0 / ior, ior)       # n_transmitted/n_incident
+        F_d = _fresnel_dielectric(cos_i, eta_tr)
+        p_transmit = jnp.clip(trans * (1.0 - F_d), 0.0, 0.98)
+        u_t, _ = rand2(dim + 4)
+        do_transmit = active & (u_t < p_transmit)
+        eta_rel = jnp.where(inside, ior, 1.0 / ior)[..., None]  # n_i/n_t
+        d_refr, tir = _refract(d, n, eta_rel)
+        # estimator: prob p_transmit, contribution trans*(1-F)*tint -> weight=tint
+        tint = albedo
+        new_inside = jnp.where(do_transmit & ~tir, ~inside, inside)
+        sigma_new = -jnp.log(atten_c) / atten_d[..., None]
+        sigma_t = jnp.where((do_transmit & new_inside & ~inside)[..., None],
+                            sigma_new, sigma_t)
+        inside = new_inside
+
         # ---- BRDF sampling: diffuse (cosine) or specular (GGX-VNDF) ----
         u_sel, us1 = rand2(dim + 2)
         ud1, ud2 = rand2(dim + 3)
         diffuse_c, f0, alpha = shadeops.brdf_params(albedo, metallic, rough)
+        # transmissive materials route their non-Fresnel energy through the
+        # transmission lobe; the reflection side keeps only (1-trans) diffuse
+        diffuse_c = diffuse_c * (1.0 - trans)[..., None]
         w_spec = hm.luminance(f0, xp=jnp) + 1e-4
         w_diff = hm.luminance(diffuse_c, xp=jnp) + 1e-4
         p_spec = w_spec / (w_spec + w_diff)
@@ -294,16 +352,23 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         weight = jnp.where(choose_spec[..., None],
                            w_s / jnp.maximum(p_spec, 1e-4)[..., None],
                            w_d / jnp.maximum(1 - p_spec, 1e-4)[..., None])
+        # reflection lobes are selected with prob (1 - p_transmit)
+        weight = weight / jnp.maximum(1.0 - p_transmit, 0.02)[..., None]
         ok = ndl > 1e-5
+        # transmission overrides the reflection lobe
+        ok = ok | do_transmit
         active = active & ok
+        weight = jnp.where(do_transmit[..., None], tint, weight)
         throughput = throughput * jnp.where(ok[..., None], weight, 0.0)
         throughput = jnp.minimum(throughput, 64.0)  # firefly clamp (ref clamps too)
 
-        o = offset_ray_origin(pos, gn, l_world)
-        d = l_world
-        return (o, d, radiance, throughput, active), None
+        d_new = jnp.where(do_transmit[..., None], d_refr, l_world)
+        o = offset_ray_origin(pos, gn, d_new)
+        d = d_new
+        return (o, d, radiance, throughput, active, inside, sigma_t), None
 
-    carry = (o, d, jnp.zeros((R, 3)), jnp.ones((R, 3)), jnp.ones((R,), bool))
+    carry = (o, d, jnp.zeros((R, 3)), jnp.ones((R, 3)), jnp.ones((R,), bool),
+             jnp.zeros((R,), bool), jnp.zeros((R, 3)))
     carry, _ = jax.lax.scan(bounce_body, carry,
                             jnp.arange(max_bounces, dtype=jnp.int32))
     return carry[2]

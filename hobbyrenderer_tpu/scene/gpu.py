@@ -97,9 +97,10 @@ class SceneGPU:
     pair_lod: Any           # (D,) i32
 
     # materials (SoA: floats + ints)
-    mat_f: Any              # (Mat, 16) f32: base_color(4), metallic, roughness,
+    mat_f: Any              # (Mat, 20) f32: base_color(4), metallic, roughness,
     #                         emissive(3)*strength, alpha_cutoff, transmission, ior,
-    #                         attenuation_color(3)... packed per MAT_F_* layout
+    #                         attenuation_color(3), uv_scale, atten_distance, pad
+    #                         (packed per MAT_* layout below)
     mat_i: Any              # (Mat, 8) i32: alpha_mode, double_sided, tex ids (4), pad
     # lights
     light_type: Any         # (L,) i32
@@ -145,6 +146,7 @@ MAT_TRANSMISSION = 10
 MAT_IOR = 11
 MAT_ATTEN_COLOR = 12    # 3
 MAT_UV_SCALE = 15
+MAT_ATTEN_DIST = 16
 # int layout
 MATI_ALPHA_MODE = 0
 MATI_DOUBLE_SIDED = 1
@@ -303,7 +305,7 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
 
     # --- materials ---
     Mt = max(len(scene.materials), 1)
-    mat_f = np.zeros((Mt, 16), np.float32)
+    mat_f = np.zeros((Mt, 20), np.float32)
     mat_i = np.full((Mt, 8), -1, np.int32)
     for mi, m in enumerate(scene.materials):
         mat_f[mi, MAT_BASE_COLOR:MAT_BASE_COLOR + 4] = m.base_color
@@ -315,6 +317,7 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
         mat_f[mi, MAT_IOR] = m.ior
         mat_f[mi, MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3] = m.attenuation_color
         mat_f[mi, MAT_UV_SCALE] = m.uv_scale
+        mat_f[mi, MAT_ATTEN_DIST] = min(m.attenuation_distance, 1e6)
         mat_i[mi, MATI_ALPHA_MODE] = m.alpha_mode
         mat_i[mi, MATI_DOUBLE_SIDED] = 1 if m.double_sided else 0
         mat_i[mi, MATI_BASE_TEX] = m.base_color_tex

@@ -192,3 +192,35 @@ def test_pt_deterministic():
     np.testing.assert_array_equal(a, b)
     c = np.asarray(step(jnp.int32(4)))
     assert not np.array_equal(a, c), "different accumulation index -> different sample"
+
+
+def test_furnace_glass_sphere():
+    """Transmissive albedo-1 sphere (clear glass, atten=1) under constant env:
+    energy conservation must hold through refraction + Fresnel reflection."""
+    import jax
+    sc = _furnace_scene(1.0)
+    sc.materials[1].transmission = 1.0
+    sc.materials[1].ior = 1.5
+    sc.materials[1].attenuation_color = np.ones(3, np.float32)
+    sc.materials[1].attenuation_distance = 1e6
+    sc.materials[1].roughness = 0.05
+    from hobbyrenderer_tpu.scene.gpu import build_scene_gpu as _b
+    gpu = _b(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], 48, 32)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    Lsky = 0.5
+    sky_fn = lambda d, bounce: jnp.full((d.shape[0], 3), Lsky)
+    step = jax.jit(lambda i: trace_paths(gpu, rt, vc, settings, 32, 48, i,
+                                         max_bounces=16, rr_start=6,
+                                         sky_fn=sky_fn))
+    acc = 0.0
+    n_s = 8
+    for i in range(n_s):
+        acc = acc + np.asarray(step(jnp.int32(i))).reshape(32, 48, 3)
+    img = acc / n_s
+    err = np.abs(img - Lsky) / Lsky
+    # refraction paths are longer; allow a looser tolerance than the diffuse furnace
+    assert err.mean() < 0.12, f"glass furnace mean err {err.mean():.3f}"
