@@ -117,7 +117,7 @@ def render_cascades(gpu, vc, sun_dir, visible_capacity: int,
         vc_c["view_proj"] = vp
         vc_c["viewport"] = jnp.asarray([SHADOW_RES, SHADOW_RES], jnp.float32)
         ro, _aux = rasterops.rasterize(gpu, vc_c, slots, SHADOW_RES, SHADOW_RES,
-                                       double_sided_all=True)
+                                       double_sided_all=True, depth_only=True)
         depths.append(ro.depth)
     return CSMData(view_proj=vps, depth=jnp.stack(depths), splits=splits)
 

@@ -223,6 +223,7 @@ def rasterize(gpu, vc, slots, width: int, height: int,
               tri_chunk: int = MESHLET_MAX_TRIS,
               double_sided_all: bool = False,
               y0: int = 0, shard_height: int = None,
+              depth_only: bool = False,
               max_per_tile: int = None) -> RasterOutput:
     """Rasterize visible meshlet slots into a visibility buffer.
 
@@ -263,8 +264,8 @@ def rasterize(gpu, vc, slots, width: int, height: int,
     tv = tri_feats[..., 0:2]
     tz = tri_feats[..., 2]
     tok = (tri_feats[..., 3] > 0.5).all(-1) & tri_valid
-    aux = build_raster_aux(gpu, vc, slots, slot_valid, screen, zndc, w, vert_ok,
-                           ml, p_world, onehot)
+    aux = None if depth_only else build_raster_aux(
+        gpu, vc, slots, slot_valid, screen, zndc, w, vert_ok, ml, p_world, onehot)
 
     # single-sided backface cull (glTF CCW front in RH; screen y-down flips sign)
     e1 = tv[:, :, 1] - tv[:, :, 0]
@@ -354,11 +355,14 @@ def rasterize(gpu, vc, slots, width: int, height: int,
     depth_t = jax.ops.segment_max(depth_w, work_tile, num_segments=T + 1,
                                   indices_are_sorted=True)[:T]
     depth_t = jnp.maximum(depth_t, 0.0)                             # empty tiles -> far
-    final_rows = depth_t[jnp.minimum(work_tile, T - 1)]             # (Wcap, P) rows
-    vis_w = jnp.where((depth_w == final_rows) & (depth_w > 0.0), tid_w, -1)
-    vis_t = jax.ops.segment_max(vis_w, work_tile, num_segments=T + 1,
-                                indices_are_sorted=True)[:T]
-    vis_t = jnp.maximum(vis_t, -1)                                  # empty tiles -> -1
+    if depth_only:
+        vis_t = jnp.full((T, PIX), -1, jnp.int32)   # shadow passes: depth suffices
+    else:
+        final_rows = depth_t[jnp.minimum(work_tile, T - 1)]         # (Wcap, P) rows
+        vis_w = jnp.where((depth_w == final_rows) & (depth_w > 0.0), tid_w, -1)
+        vis_t = jax.ops.segment_max(vis_w, work_tile, num_segments=T + 1,
+                                    indices_are_sorted=True)[:T]
+        vis_t = jnp.maximum(vis_t, -1)                              # empty tiles -> -1
 
     # un-tile: (T, P) -> (shard_height, W) (tiles may extend past the band; crop)
     Hp, Wp = ty * TILE, tx * TILE
