@@ -10,6 +10,7 @@ reversed-Z depth buffer; soft accumulation over the thickness window."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 STEPS = 12
@@ -17,8 +18,12 @@ MAX_DISTANCE = 0.6      # world units of the contact march
 THICKNESS = 0.02        # relative depth window counted as an occluder
 
 
-def screen_space_shadows(gb, vc, sun_dir):
-    """(H, W) visibility in [0,1] from a short march toward the sun."""
+def screen_space_shadows(gb, vc, sun_dir, scale: int = 2):
+    """(H, W) visibility in [0,1] from a short march toward the sun.
+
+    Marched at 1/scale resolution (the bounce taps still read the full-res
+    depth buffer) and bilinearly upsampled — contact shadows are low frequency
+    enough, and the march is gather-bound on TPU."""
     H, W = gb.depth.shape
     VP = vc["view_proj_no_jitter"]
     to_sun = -sun_dir
@@ -32,8 +37,10 @@ def screen_space_shadows(gb, vc, sun_dir):
         y = (0.5 - ndc[..., 1] * 0.5) * H
         return x, y, ndc[..., 2]
 
-    pos = gb.world_pos
-    occ = jnp.zeros((H, W))
+    sh, sw = H // scale, W // scale
+    pos = gb.world_pos[::scale, ::scale][:sh, :sw]
+    valid_s = gb.valid[::scale, ::scale][:sh, :sw]
+    occ = jnp.zeros((sh, sw))
     for k in range(STEPS):
         t = MAX_DISTANCE * (k + 1) / STEPS
         p = pos + to_sun * t
@@ -43,6 +50,8 @@ def screen_space_shadows(gb, vc, sun_dir):
         yi = jnp.clip(y.astype(jnp.int32), 0, H - 1)
         zbuf = gb.depth[yi, xi]
         hit = on & (zbuf > z) & (zbuf < z * (1.0 + THICKNESS))
-        occ = jnp.maximum(occ, hit.astype(jnp.float32).reshape(H, W))
-    vis = 1.0 - occ
+        occ = jnp.maximum(occ, hit.astype(jnp.float32).reshape(sh, sw))
+    vis = jnp.where(valid_s, 1.0 - occ, 1.0)
+    if scale > 1:
+        vis = jax.image.resize(vis, (H, W), method="bilinear")
     return jnp.where(gb.valid, vis, 1.0)
