@@ -116,6 +116,8 @@ class RenderGraph:
     def __init__(self, passes: Optional[List[RenderPass]] = None):
         self.passes: List[RenderPass] = list(passes or [])
         self.last_run_log: List[Dict[str, Any]] = []
+        self.last_pass_timings: List[Dict[str, Any]] = []
+        self._pass_jits: Dict[str, Any] = {}
 
     def add(self, p: RenderPass):
         if any(q.name == p.name for q in self.passes):
@@ -155,11 +157,68 @@ class RenderGraph:
                 continue
             guard = _GuardedResources(store, set(p.reads), set(p.writes), p.name)
             p.fn(ctx, guard)
+            # a pass that silently fails to write a declared output would
+            # surface later as a confusing read-before-write — fail here
+            # (Compile()-style validation, ref RenderGraph.cpp:436-846).
+            # Writes already present in the store (persistent carry-in) are
+            # allowed to pass through unmodified.
             missing = p.writes - set(guard.written) - set(store)
+            if missing:
+                raise AccessError(
+                    f"pass '{p.name}' declared writes {sorted(missing)} "
+                    f"but never wrote them")
             store.update(guard.written)
             log.append({"pass": p.name, "enabled": True,
                         "wrote": sorted(guard.written)})
         self.last_run_log = log
+        result = {}
+        for name in outputs:
+            if name not in store:
+                raise AccessError(f"requested output '{name}' was never written")
+            result[name] = store[name]
+        new_state = {k: store[k] for k in self.persistent_names if k in store}
+        return {"outputs": result, "state": new_state}
+
+    def execute_per_pass(self, ctx: FrameContext, frame_state: Dict[str, Any],
+                         outputs: Sequence[str]) -> Dict[str, Any]:
+        """Bisection/profiling mode (--execute-per-pass; ref Config.h:13-14
+        --execute-per-pass-and-wait + the per-pass GPU timer queries,
+        RenderGraph.cpp:329-349): each pass is jitted SEPARATELY and blocked,
+        so a fault is attributable to one pass and per-pass device time is
+        measurable. Results land in self.last_pass_timings (ms, includes the
+        compile on the first frame — run >=2 frames for steady-state numbers)."""
+        import time as _time
+        store: Dict[str, Any] = dict(frame_state)
+        timings: List[Dict[str, Any]] = []
+        for p in self.passes:
+            if not p.enabled:
+                continue
+            needed = {k: store[k] for k in (p.reads | p.writes) if k in store}
+            fn = self._pass_jits.get(p.name)
+            if fn is None:
+                def make(p=p):
+                    def run(gpu, rt, vc, settings, dt, res_in):
+                        c = dataclasses.replace(ctx, gpu=gpu, rt=rt, vc=vc,
+                                                settings=settings, dt=dt)
+                        guard = _GuardedResources(dict(res_in), set(p.reads),
+                                                  set(p.writes), p.name)
+                        p.fn(c, guard)
+                        return guard.written
+                    return run
+                fn = jax.jit(make())
+                self._pass_jits[p.name] = fn
+            t0 = _time.perf_counter()
+            written = fn(ctx.gpu, ctx.rt, ctx.vc, ctx.settings, ctx.dt, needed)
+            jax.block_until_ready(written)
+            timings.append({"pass": p.name,
+                            "ms": (_time.perf_counter() - t0) * 1e3})
+            missing = p.writes - set(written) - set(store)
+            if missing:
+                raise AccessError(
+                    f"pass '{p.name}' declared writes {sorted(missing)} "
+                    f"but never wrote them")
+            store.update(written)
+        self.last_pass_timings = timings
         result = {}
         for name in outputs:
             if name not in store:

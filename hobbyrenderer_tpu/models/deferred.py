@@ -505,6 +505,19 @@ class DeferredRenderer:
         return o["ldr"], stats, out["state"]
 
     def render(self, gpu, vc, settings, dt: float = 1 / 60):
+        if self.config is not None and getattr(self.config, "execute_per_pass", False):
+            # bisection/per-pass-timing mode: each pass jitted + blocked
+            ctx = FrameContext(gpu=gpu, vc=vc, settings=settings,
+                               config=self.config, dt=jnp.float32(dt), rt=self.rt)
+            out = self.graph.execute_per_pass(
+                ctx, self.state, outputs=("ldr", "raster_overflow",
+                                          "visible_count", "exposure"))
+            o = out["outputs"]
+            self.state = out["state"]
+            self.last_stats = {"raster_overflow": o["raster_overflow"],
+                               "visible_pairs": o["visible_count"],
+                               "exposure": o["exposure"]}
+            return o["ldr"], o["raster_overflow"]
         if self._jitted is None:
             self._jitted = jax.jit(self.frame_fn, donate_argnums=(4,))
         ldr, stats, self.state = self._jitted(gpu, self.rt, vc, settings,

@@ -81,12 +81,15 @@ def ibl_ambient(irr, n, v, albedo, metallic, roughness, sun_dir, settings,
     from hobbyrenderer_tpu.ops.shading import brdf_params, fresnel_schlick
     diffuse_c, f0, alpha = brdf_params(albedo, metallic, roughness)
     irr_n = sample_irradiance(irr, n)
-    diffuse = diffuse_c * irr_n * jnp.pi  # irr stored as irradiance/pi
+    # irr stores irradiance/pi, so Lambert outgoing radiance (albedo/pi)*E
+    # is exactly diffuse_c * irr_n — no extra pi factor.
+    diffuse = diffuse_c * irr_n
 
     r = hm.reflect(-v, n, xp=jnp)
     env_r = skyops.sky_radiance(r, sun_dir, settings, with_sun_disk=False)
     rough = jnp.clip(roughness, 0.0, 1.0)[..., None]
-    spec_env = env_r * (1 - rough) + sample_irradiance(irr, r) * jnp.pi * rough
+    # fully-rough prefiltered radiance ~ E/pi = the stored irradiance quantity
+    spec_env = env_r * (1 - rough) + sample_irradiance(irr, r) * rough
     ndv = jnp.maximum(jnp.sum(n * v, -1, keepdims=True), 1e-4)
     # Schlick-roughness environment Fresnel
     f90 = jnp.maximum(1.0 - rough, f0)

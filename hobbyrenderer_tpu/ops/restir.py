@@ -143,6 +143,19 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     M = M + jnp.where(t_ok, tM, 0.0)
 
     # ---- spatial reuse (SpatialResampling): merge K jittered neighbors ----
+    # Snapshot the post-temporal reservoir with each pixel's contribution
+    # weight W evaluated at ITS OWN surface (ping-pong, like the reference's
+    # spatial pass reading the previous stage's buffer). The merge then
+    # reweights the neighbor's sample by p-hat at the CURRENT surface:
+    #   cand_w = ph_here(y_n) * W_n * M_n
+    # where W_n = w_sum_n / (M_n * ph_n(y_n)) uses the NEIGHBOR's p-hat —
+    # evaluating both at the current surface would cancel algebraically.
+    ph_s, _, _ = p_hat_of(jnp.maximum(y, 0))
+    W_snap = jnp.where((y >= 0) & (ph_s > 0),
+                       w_sum / jnp.maximum(M * ph_s, 1e-20), 0.0)
+    y_snap2 = jnp.reshape(y, (H, W))
+    W_snap2 = jnp.reshape(W_snap, (H, W))
+    M_snap2 = jnp.reshape(M, (H, W))
     for k in range(spatial_taps):
         u_a, u_b, u_c = _rand(pix, frame, 300 + k)
         ang = u_a * (2 * jnp.pi)
@@ -158,15 +171,9 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         similar = ((jnp.sum(n_n * n, -1) > 0.9)
                    & (jnp.abs(d_n - d_c) < 0.1 * jnp.maximum(d_c, 1e-3))
                    & valid & gb.valid[ny_, nx])
-        # merge the neighbor's running reservoir at this pixel's surface
-        # (one-pass sequential spatial reuse over the post-temporal state —
-        # the biased variant; ref RTXDI supports biased + unbiased)
-        yy = jnp.reshape(y, (H, W))[ny_, nx]
-        ws = jnp.reshape(w_sum, (H, W))[ny_, nx]
-        mm = jnp.reshape(M, (H, W))[ny_, nx]
-        ph_y_n = jnp.where(yy >= 0,
-                           jnp.reshape(_safe_ph(p_hat_of, yy), (R,)), 0.0)
-        W_n = jnp.where(ph_y_n > 0, ws / jnp.maximum(mm * ph_y_n, 1e-20), 0.0)
+        yy = y_snap2[ny_, nx]
+        W_n = W_snap2[ny_, nx]
+        mm = M_snap2[ny_, nx]
         ph_here, _, _ = p_hat_of(jnp.maximum(yy, 0))
         w_n = jnp.where(similar & (yy >= 0), ph_here * W_n * mm, 0.0)
         y, w_sum, _ = _res_update(y, w_sum, M, yy, w_n, u_c)
@@ -198,8 +205,3 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     new_res = Reservoir(y=y.reshape(H, W), w_sum=w_sum.reshape(H, W),
                         M=M.reshape(H, W), W=Wgt.reshape(H, W))
     return contrib.reshape(H, W, 3), new_res
-
-
-def _safe_ph(p_hat_of, li):
-    ph, _, _ = p_hat_of(jnp.maximum(li, 0))
-    return ph

@@ -59,9 +59,8 @@ def taa_resolve(hdr: jnp.ndarray, history: jnp.ndarray, motion: jnp.ndarray,
     alpha = jnp.where(on_screen[..., None], settings.taa_blend, 1.0)
     alpha = jnp.where(valid_history, alpha, 1.0)
     out = hist + (hdr - hist) * alpha
-    if True:
-        # optional sharpen (ref sharpness param)
-        blur = jax.lax.reduce_window(out, 0.0, jax.lax.add,
-                                     (3, 3, 1), (1, 1, 1), "SAME") / 9.0
-        out = out + (out - blur) * settings.sharpness
+    # sharpen (ref sharpness param); settings.sharpness == 0 disables
+    blur = jax.lax.reduce_window(out, 0.0, jax.lax.add,
+                                 (3, 3, 1), (1, 1, 1), "SAME") / 9.0
+    out = out + (out - blur) * settings.sharpness
     return jnp.maximum(out, 0.0)

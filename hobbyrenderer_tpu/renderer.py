@@ -158,4 +158,10 @@ class Renderer:
         return self._model.graph.describe() if hasattr(self._model, "graph") else "(no graph)"
 
     def timings(self) -> str:
-        return PROFILER.table()
+        out = PROFILER.table()
+        g = getattr(self._model, "graph", None)
+        if g is not None and g.last_pass_timings:
+            rows = "\n".join(f"  {t['pass']:20s} {t['ms']:9.2f} ms"
+                             for t in g.last_pass_timings)
+            out += "\nPer-pass device time (--execute-per-pass):\n" + rows
+        return out

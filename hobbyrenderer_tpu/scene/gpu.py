@@ -376,27 +376,38 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
 def update_instance_transforms(gpu: SceneGPU, scene: Scene) -> SceneGPU:
     """Upload dirty instance transforms (ref UploadDirtyInstanceTransforms,
     src/Renderer.cpp:915-972). Rebuilds the transform arrays host-side for dirty
-    ranges; cheap for small dirty sets."""
+    ranges; cheap for small dirty sets.
+
+    prev-transform discipline matches the reference (prev = current is copied
+    EVERY frame): an instance that moves once and then goes static must produce
+    zero motion vectors from the next frame on, or TAA/denoiser/ReSTIR
+    reprojection stays permanently corrupted."""
+    import dataclasses as dc
+    prev = gpu.inst_transform  # aliased under jit; cheap
     if not scene.dirty_instances:
-        return gpu
+        if gpu.inst_prev_transform is gpu.inst_transform:
+            return gpu
+        return dc.replace(gpu, inst_prev_transform=prev)
     idx = np.asarray(sorted(scene.dirty_instances), np.int32)
     tr = np.stack([scene.nodes[scene.instances[i].node].world for i in idx])
     nm = np.stack([np.linalg.inv(t[:3, :3]).T for t in tr])
-    centers, radii = [], []
+    centers, radii, scale_max = [], [], []
     for i in idx:
         I = scene.instances[i]
         mesh = scene.meshes[I.prim]
         w = scene.nodes[I.node].world
         centers.append(hm.transform_points(w, mesh.center[None])[0])
-        radii.append(mesh.radius * float(np.max(np.linalg.norm(w[:3, :3], axis=0))))
-    import dataclasses as dc
+        smax = float(np.max(np.linalg.norm(w[:3, :3], axis=0)))
+        radii.append(mesh.radius * smax)
+        scale_max.append(smax)  # feeds meshlet cull radius + projected LOD error
     gpu = dc.replace(
         gpu,
-        inst_prev_transform=gpu.inst_transform,
+        inst_prev_transform=prev,
         inst_transform=gpu.inst_transform.at[idx].set(jnp.asarray(tr.astype(np.float32))),
         inst_normal_mat=gpu.inst_normal_mat.at[idx].set(jnp.asarray(nm.astype(np.float32))),
         inst_center=gpu.inst_center.at[idx].set(jnp.asarray(np.stack(centers).astype(np.float32))),
         inst_radius=gpu.inst_radius.at[idx].set(jnp.asarray(np.asarray(radii, np.float32))),
+        inst_scale_max=gpu.inst_scale_max.at[idx].set(jnp.asarray(np.asarray(scale_max, np.float32))),
     )
     scene.dirty_instances.clear()
     return gpu
