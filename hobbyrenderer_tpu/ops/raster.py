@@ -217,6 +217,16 @@ def build_worklist(screen, vert_ok, slot_valid, width, height,
     return tile[order], work_slot[order], jnp.minimum(count, capacity), overflow
 
 
+RASTER_BACKEND = "auto"   # "auto" | "pallas" | "xla" (auto: pallas on TPU)
+
+
+def _use_pallas(backend):
+    b = backend or RASTER_BACKEND
+    if b == "auto":
+        return jax.default_backend() == "tpu"
+    return b == "pallas"
+
+
 def rasterize(gpu, vc, slots, width: int, height: int,
               worklist_capacity: int = None,
               batch: int = 256,
@@ -224,7 +234,8 @@ def rasterize(gpu, vc, slots, width: int, height: int,
               double_sided_all: bool = False,
               y0: int = 0, shard_height: int = None,
               depth_only: bool = False,
-              max_per_tile: int = None) -> RasterOutput:
+              max_per_tile: int = None,
+              backend: str = None) -> RasterOutput:
     """Rasterize visible meshlet slots into a visibility buffer.
 
     TPU-first architecture (v3): a flat TILE-SORTED (tile, meshlet) work list
@@ -311,6 +322,22 @@ def rasterize(gpu, vc, slots, width: int, height: int,
     # with a single (B, R, P) temp instead of materializing ~10 edge-function
     # intermediates (the previous form was HBM-bound on those temps).
     coeff = _tri_affine_coeffs(tv, tz, inv_a2, tok)                 # (C, 96, 10)
+
+    if _use_pallas(backend):
+        # Pallas tile kernel: depth/vis accumulators live in VMEM; per-item
+        # records stream via double-buffered DMA (see ops/raster_pallas.py)
+        from hobbyrenderer_tpu.ops import raster_pallas as rp
+        records = rp.build_tri_records(coeff)
+        depth_t, vis_t = rp.raster_tiles(
+            records, work_tile, work_slot, tiles=T, tx=tx, ty0=ty0,
+            depth_only=depth_only,
+            interpret=jax.default_backend() != "tpu")
+        Hp, Wp = ty * TILE, tx * TILE
+        depth_img = depth_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
+        vis_img = vis_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
+        out = RasterOutput(depth_img[:shard_height, :width],
+                           vis_img[:shard_height, :width], overflow)
+        return out, aux
 
     def item_depth_id(s, bvalid, px):
         """(best depth, best triangle id) per pixel across the item's triangles."""
