@@ -72,14 +72,18 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     @g.add
     @render_pass("Raster", reads=("visible_slots",),
                  writes=("raster_depth", "raster_visid", "raster_overflow",
-                         "raster_aux"))
+                         "raster_aux", "raster_attr"))
     def _raster(ctx, res):
-        out, aux = rasterops.rasterize(ctx.gpu, ctx.vc, res["visible_slots"],
-                                       width, height)
+        out, aux, attr = rasterops.rasterize(ctx.gpu, ctx.vc,
+                                             res["visible_slots"],
+                                             width, height, resolve_attrs=True)
         res["raster_depth"] = out.depth
         res["raster_visid"] = out.visid
         res["raster_overflow"] = out.overflow
-        res["raster_aux"] = aux
+        # pallas backend resolves attributes in-kernel (raster_attr);
+        # the XLA backend resolves later from the per-triangle aux records
+        res["raster_aux"] = aux if attr is None else jnp.int32(0)
+        res["raster_attr"] = attr if attr is not None else jnp.int32(0)
 
     @g.add
     @render_pass("HZBBuild", reads=("raster_depth",), writes=("hzb",),
@@ -91,14 +95,18 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
 
     @g.add
     @render_pass("ResolveGBuffer", reads=("raster_depth", "raster_visid",
-                                          "raster_aux", "visible_slots"),
+                                          "raster_aux", "raster_attr",
+                                          "visible_slots"),
                  writes=("gbuffer",))
     def _resolve(ctx, res):
         ro = rasterops.RasterOutput(res["raster_depth"], res["raster_visid"],
                                     jnp.int32(0))
+        attr = res["raster_attr"]
+        attr = None if attr.ndim == 0 else attr
+        aux = res["raster_aux"] if attr is None else None
         res["gbuffer"] = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro,
                                                    res["visible_slots"],
-                                                   aux=res["raster_aux"])
+                                                   aux=aux, attr_img=attr)
 
     @g.add
     @render_pass("SunShadow", reads=("gbuffer",), writes=("sun_shadow",))
@@ -357,14 +365,16 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         alpha_ok = jnp.asarray([False, False, True])
         cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
         slots, _cnt = cullops.compact_mask(cull["mask"], visible_capacity)
-        ro, aux = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width, height,
-                                      double_sided_all=False)
+        ro, aux, attr = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width,
+                                            height, double_sided_all=False,
+                                            resolve_attrs=True)
         # depth-READ against the opaque depth: keep fragments strictly nearer
         nearer = ro.depth > gb.depth
         ro = rasterops.RasterOutput(depth=jnp.where(nearer, ro.depth, 0.0),
                                     visid=jnp.where(nearer, ro.visid, -1),
                                     overflow=ro.overflow)
-        tgb = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro, slots, aux=aux)
+        tgb = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro, slots, aux=aux,
+                                        attr_img=attr)
         vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
         v = -vdir
         rough = tgb.orm[..., 1]

@@ -235,7 +235,8 @@ def rasterize(gpu, vc, slots, width: int, height: int,
               y0: int = 0, shard_height: int = None,
               depth_only: bool = False,
               max_per_tile: int = None,
-              backend: str = None) -> RasterOutput:
+              backend: str = None,
+              resolve_attrs: bool = False) -> RasterOutput:
     """Rasterize visible meshlet slots into a visibility buffer.
 
     TPU-first architecture (v3): a flat TILE-SORTED (tile, meshlet) work list
@@ -327,16 +328,29 @@ def rasterize(gpu, vc, slots, width: int, height: int,
         # Pallas tile kernel: depth/vis accumulators live in VMEM; per-item
         # records stream via double-buffered DMA (see ops/raster_pallas.py)
         from hobbyrenderer_tpu.ops import raster_pallas as rp
-        records = rp.build_tri_records(coeff)
-        depth_t, vis_t = rp.raster_tiles(
-            records, work_tile, work_slot, tiles=T, tx=tx, ty0=ty0,
-            depth_only=depth_only,
-            interpret=jax.default_backend() != "tpu")
+        interp = jax.default_backend() != "tpu"
         Hp, Wp = ty * TILE, tx * TILE
+        if resolve_attrs and not depth_only:
+            records = rp.build_full_records(coeff, aux.tri_screen, aux.tri_attr)
+            depth_t, vis_t, attr_t = rp.raster_resolve_tiles(
+                records, work_tile, work_slot, tiles=T, tx=tx, ty0=ty0,
+                interpret=interp)
+            attr_img = (attr_t.reshape(ty, tx, rp.ATTR_ROWS, TILE, TILE)
+                        .transpose(0, 3, 1, 4, 2)
+                        .reshape(Hp, Wp, rp.ATTR_ROWS)
+                        [:shard_height, :width])
+        else:
+            records = rp.build_tri_records(coeff)
+            depth_t, vis_t = rp.raster_tiles(
+                records, work_tile, work_slot, tiles=T, tx=tx, ty0=ty0,
+                depth_only=depth_only, interpret=interp)
+            attr_img = None
         depth_img = depth_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
         vis_img = vis_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
         out = RasterOutput(depth_img[:shard_height, :width],
                            vis_img[:shard_height, :width], overflow)
+        if resolve_attrs:
+            return out, aux, attr_img
         return out, aux
 
     def item_depth_id(s, bvalid, px):
@@ -397,6 +411,8 @@ def rasterize(gpu, vc, slots, width: int, height: int,
     vis_img = vis_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
     out = RasterOutput(depth_img[:shard_height, :width],
                        vis_img[:shard_height, :width], overflow)
+    if resolve_attrs:
+        return out, aux, None   # XLA path resolves from aux row-gathers
     return out, aux
 
 
@@ -463,63 +479,77 @@ class GBuffer(NamedTuple):
 
 
 def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
-                    sample_textures=None, y0: int = 0) -> GBuffer:
+                    sample_textures=None, y0: int = 0,
+                    attr_img=None) -> GBuffer:
     """Per-pixel attribute resolve from the visibility buffer.
 
-    Interpolates perspective-correct attributes from the per-slot-triangle
-    records in ``aux`` (the reference does this in the raster pixel shader,
-    BasePass.hlsl:271-518). Per pixel there are exactly TWO contiguous row
-    gathers (tri_screen, tri_attr) + pure FMAs; material constants come from a
-    one-hot matmul against the (small) material table.
+    Two sources (the reference does this in the raster pixel shader,
+    BasePass.hlsl:271-518):
+    - ``attr_img`` (H, W, 16): already-interpolated attributes from the fused
+      Pallas raster+resolve kernel (ops/raster_pallas.py layout) — the fast
+      path; only material lookup / motion vectors / texturing remain here.
+    - ``aux``: per-slot-triangle records; interpolation happens here with TWO
+      contiguous row gathers per pixel (tri_screen, tri_attr) + pure FMAs.
     """
-    assert aux is not None, "resolve_gbuffer requires RasterAux from rasterize()"
     H, W = raster.depth.shape
     visid = raster.visid
     valid = visid >= 0
-    vid0 = jnp.where(valid, visid, 0)
 
-    C = aux.tri_screen.shape[0]
-    scr = aux.tri_screen.reshape(C * MESHLET_MAX_TRIS, 3, 4)[vid0]   # (H,W,3,4)
-    attr = aux.tri_attr.reshape(C * MESHLET_MAX_TRIS, 3, 12)[vid0]   # (H,W,3,12)
+    if attr_img is not None:
+        pos_w = attr_img[..., 0:3]
+        n_shade = hm.normalize(attr_img[..., 3:6], xp=jnp)
+        uv_pix = attr_img[..., 6:8]
+        prev_pos = attr_img[..., 8:11]
+        mat = jnp.round(attr_img[..., 11]).astype(jnp.int32)
+        gn = hm.normalize(attr_img[..., 12:15], xp=jnp)
+        flip = jnp.sum(gn * n_shade, -1, keepdims=True) < 0
+        gn = jnp.where(flip, -gn, gn)
+    else:
+        assert aux is not None, "resolve_gbuffer requires RasterAux or attr_img"
+        vid0 = jnp.where(valid, visid, 0)
 
-    # screen-space barycentrics at the pixel center (global pixel coords)
-    pxc = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
-                                 jnp.arange(H, dtype=jnp.float32) + y0 + 0.5,
-                                 indexing="xy"), -1)              # (H, W, 2)
-    va, vb, vc2 = scr[..., 0, 0:2], scr[..., 1, 0:2], scr[..., 2, 0:2]
-    e1 = vb - va
-    e2 = vc2 - va
-    a2 = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]
-    a2 = jnp.where(jnp.abs(a2) < 1e-12, 1e-12, a2)
+        C = aux.tri_screen.shape[0]
+        scr = aux.tri_screen.reshape(C * MESHLET_MAX_TRIS, 3, 4)[vid0]   # (H,W,3,4)
+        attr = aux.tri_attr.reshape(C * MESHLET_MAX_TRIS, 3, 12)[vid0]   # (H,W,3,12)
 
-    def edge(p0, p1):
-        d = p1 - p0
-        r = pxc - p0
-        return d[..., 0] * r[..., 1] - d[..., 1] * r[..., 0]
+        # screen-space barycentrics at the pixel center (global pixel coords)
+        pxc = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
+                                     jnp.arange(H, dtype=jnp.float32) + y0 + 0.5,
+                                     indexing="xy"), -1)              # (H, W, 2)
+        va, vb, vc2 = scr[..., 0, 0:2], scr[..., 1, 0:2], scr[..., 2, 0:2]
+        e1 = vb - va
+        e2 = vc2 - va
+        a2 = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]
+        a2 = jnp.where(jnp.abs(a2) < 1e-12, 1e-12, a2)
 
-    l0 = edge(vb, vc2) / a2
-    l1 = edge(vc2, va) / a2
-    l2 = edge(va, vb) / a2
-    # perspective-correct weights (invw precomputed in tri_screen[..., 3])
-    iw = scr[..., 3]
-    denom = l0 * iw[..., 0] + l1 * iw[..., 1] + l2 * iw[..., 2]
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    bary = jnp.stack([l0 * iw[..., 0], l1 * iw[..., 1], l2 * iw[..., 2]],
-                     -1) / denom[..., None]
+        def edge(p0, p1):
+            d = p1 - p0
+            r = pxc - p0
+            return d[..., 0] * r[..., 1] - d[..., 1] * r[..., 0]
 
-    interp = jnp.einsum("hwv,hwvf->hwf", bary, attr)              # (H,W,12)
-    pos_w = interp[..., 0:3]
-    n_shade = hm.normalize(interp[..., 3:6], xp=jnp)
-    uv_pix = interp[..., 6:8]
-    prev_pos = interp[..., 8:11]
-    mat = jnp.round(attr[..., 0, 11]).astype(jnp.int32)
+        l0 = edge(vb, vc2) / a2
+        l1 = edge(vc2, va) / a2
+        l2 = edge(va, vb) / a2
+        # perspective-correct weights (invw precomputed in tri_screen[..., 3])
+        iw = scr[..., 3]
+        denom = l0 * iw[..., 0] + l1 * iw[..., 1] + l2 * iw[..., 2]
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        bary = jnp.stack([l0 * iw[..., 0], l1 * iw[..., 1], l2 * iw[..., 2]],
+                         -1) / denom[..., None]
 
-    # geometric normal from the world-space triangle, oriented along shading n
-    gn = jnp.cross(attr[..., 1, 0:3] - attr[..., 0, 0:3],
-                   attr[..., 2, 0:3] - attr[..., 0, 0:3])
-    gn = hm.normalize(gn, xp=jnp)
-    flip = jnp.sum(gn * n_shade, -1, keepdims=True) < 0
-    gn = jnp.where(flip, -gn, gn)
+        interp = jnp.einsum("hwv,hwvf->hwf", bary, attr)              # (H,W,12)
+        pos_w = interp[..., 0:3]
+        n_shade = hm.normalize(interp[..., 3:6], xp=jnp)
+        uv_pix = interp[..., 6:8]
+        prev_pos = interp[..., 8:11]
+        mat = jnp.round(attr[..., 0, 11]).astype(jnp.int32)
+
+        # geometric normal from the world-space triangle, oriented along shading n
+        gn = jnp.cross(attr[..., 1, 0:3] - attr[..., 0, 0:3],
+                       attr[..., 2, 0:3] - attr[..., 0, 0:3])
+        gn = hm.normalize(gn, xp=jnp)
+        flip = jnp.sum(gn * n_shade, -1, keepdims=True) < 0
+        gn = jnp.where(flip, -gn, gn)
 
     # material constants: one-hot matmul against the small material table
     Mt = gpu.mat_f.shape[0]

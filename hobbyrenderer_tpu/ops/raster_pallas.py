@@ -42,19 +42,84 @@ MAX_TRIS = 96
 REC_LANES = 128
 
 
-def build_tri_records(coeff: jnp.ndarray) -> jnp.ndarray:
-    """(C, 96, 10) affine coeffs + ok flag -> (C, 96, 16) kernel records.
+N_PLANES = 16          # 11 perspective numerators + 1/w + mat + gn (constants)
+ATTR_ROWS = 16         # kernel attr output rows per pixel
 
-    coeff layout per ops.raster._tri_affine_coeffs:
-    [l1x,l1y,l1c, l2x,l2y,l2c, zx,zy,zc, ok]."""
-    C = coeff.shape[0]
+
+def _raster_body(coeff: jnp.ndarray) -> jnp.ndarray:
+    """(C, 96, 10) affine coeffs + ok flag -> (C, 96, 9) raster plane lanes."""
     ok = coeff[..., 9:10] > 0.5
     body = jnp.where(ok, coeff[..., 0:9], 0.0)
     # invalid: l1 = -1e9 everywhere -> fails `l1 >= 0` for every pixel
     l1c = jnp.where(ok[..., 0], body[..., 2], -1e9)
-    body = body.at[..., 2].set(l1c)
+    return body.at[..., 2].set(l1c)
+
+
+def build_tri_records(coeff: jnp.ndarray) -> jnp.ndarray:
+    """(C, 96, 10) affine coeffs + ok flag -> (C, 96, 128) raster-only records.
+
+    coeff layout per ops.raster._tri_affine_coeffs:
+    [l1x,l1y,l1c, l2x,l2y,l2c, zx,zy,zc, ok]. Lanes 0:9 = raster planes."""
+    C = coeff.shape[0]
+    body = _raster_body(coeff)
     pad = jnp.zeros((C, MAX_TRIS, REC_LANES - 9), coeff.dtype)
     return jnp.concatenate([body, pad], axis=-1)
+
+
+def build_full_records(coeff: jnp.ndarray, tri_screen: jnp.ndarray,
+                       tri_attr: jnp.ndarray) -> jnp.ndarray:
+    """Records carrying both raster planes AND attribute-interpolation planes.
+
+    tri_screen (C, 96, 3, 4): screen x, y, z_ndc, 1/w per vertex.
+    tri_attr (C, 96, 3, 12): pos3, nrm3, uv2, prevpos3, mat per vertex
+    (ops.raster.RasterAux layout).
+
+    Perspective-correct interpolation of attribute a: both a·(1/w) and 1/w are
+    affine in screen space, so each becomes a plane; the kernel evaluates all
+    planes at the pixel and divides (BasePass.hlsl does the same via the HW
+    interpolators). Constant-per-tri quantities (material id, geometric
+    normal) are stored as x=y=0 planes.
+
+    Lane layout (128): [0:9 raster planes][16:64 = 16 x-coeffs | 16 y | 16 c]:
+      planes 0..10: numerators a*invw for pos3, nrm3, uv2, prev3
+      plane 11: invw (denominator)
+      plane 12: material id (const)
+      planes 13..15: geometric normal (const, unnormalized)
+    """
+    C = coeff.shape[0]
+    body = _raster_body(coeff)                             # (C, 96, 9)
+    l1x, l1y, l1c = coeff[..., 0], coeff[..., 1], coeff[..., 2]
+    l2x, l2y, l2c = coeff[..., 3], coeff[..., 4], coeff[..., 5]
+
+    iw = tri_screen[..., 3]                                # (C, 96, 3)
+    a_iw = tri_attr[..., 0:11] * iw[..., None]             # (C, 96, 3, 11)
+    vals = jnp.concatenate([a_iw, iw[..., None]], -1)      # (C, 96, 3, 12)
+    v0, v1, v2 = vals[..., 0, :], vals[..., 1, :], vals[..., 2, :]
+    d1 = v1 - v0                                           # (C, 96, 12)
+    d2 = v2 - v0
+    # plane(x,y) = v0 + l1(x,y)*d1 + l2(x,y)*d2  (l planes affine)
+    px_ = l1x[..., None] * d1 + l2x[..., None] * d2
+    py_ = l1y[..., None] * d1 + l2y[..., None] * d2
+    pc_ = v0 + l1c[..., None] * d1 + l2c[..., None] * d2
+
+    # constant planes: material id + geometric normal from world verts
+    mat = tri_attr[..., 0, 11]                             # (C, 96)
+    p0, p1, p2 = (tri_attr[..., 0, 0:3], tri_attr[..., 1, 0:3],
+                  tri_attr[..., 2, 0:3])
+    gn = jnp.cross(p1 - p0, p2 - p0)                       # unnormalized
+    zc = jnp.zeros_like(mat)
+    cx = jnp.stack([zc, zc, zc, zc], -1)                   # (C, 96, 4)
+    cc = jnp.concatenate([mat[..., None], gn], -1)         # (C, 96, 4)
+
+    plane_x = jnp.concatenate([px_, cx], -1)               # (C, 96, 16)
+    plane_y = jnp.concatenate([py_, cx], -1)
+    plane_c = jnp.concatenate([pc_, cc], -1)
+    # grouped [16 x | 16 y | 16 c] so the kernel slices contiguous sublanes
+    planes = jnp.concatenate([plane_x, plane_y, plane_c], -1)  # (C, 96, 48)
+
+    pad0 = jnp.zeros((C, MAX_TRIS, 16 - 9), coeff.dtype)
+    pad1 = jnp.zeros((C, MAX_TRIS, REC_LANES - 64), coeff.dtype)
+    return jnp.concatenate([body, pad0, planes, pad1], -1)
 
 
 def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref, vis_ref,
@@ -145,6 +210,136 @@ def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref, vis_ref,
         vis_ref[:] = id_none.reshape(1, 8, 128)
 
 
+def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
+                           vis_ref, attr_ref, rec_s, sem, *, tx: int, ty0: int):
+    """Raster + attribute resolve fused: loop 1 finds the winning (depth, id)
+    per pixel; loop 2 re-streams only the records whose meshlet won any pixel
+    and interpolates its perspective-correct attribute planes (the reference
+    does this in the raster pixel shader, BasePass.hlsl:271-518; the round-1
+    XLA resolve did it with 2 HBM row-gathers per pixel — ~195 ms at 1080p)."""
+    t = pl.program_id(0)
+    s0 = tile_start_ref[t]
+    s1 = tile_start_ref[t + 1]
+    n = s1 - s0
+
+    ox = (t % tx) * TILE
+    oy = (t // tx + ty0) * TILE
+    oxf = ox.astype(jnp.float32) + 0.5
+    oyf = oy.astype(jnp.float32) + 0.5
+    lane9 = jax.lax.broadcasted_iota(jnp.int32, (9, 3 * PIX), 1)
+    row9 = jax.lax.broadcasted_iota(jnp.int32, (9, 3 * PIX), 0)
+    p_in = lane9 % PIX
+    grp = lane9 // PIX
+    pxf = (p_in % TILE).astype(jnp.float32)
+    pyf = (p_in // TILE).astype(jnp.float32)
+    kind = row9 - grp * 3
+    Pm = jnp.where(kind == 0, pxf,
+                   jnp.where(kind == 1, pyf,
+                             jnp.where(kind == 2, 1.0, 0.0)))
+
+    # global pixel coords for the attribute plane eval (exact f32 on VPU)
+    pg = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    pxg = (pg % TILE).astype(jnp.float32) + oxf
+    pyg = (pg // TILE).astype(jnp.float32) + oyf
+
+    def get_dma(buf, j):
+        return pltpu.make_async_copy(recs_hbm.at[wslot_ref[s0 + j]],
+                                     rec_s.at[buf], sem.at[buf])
+
+    z_far = jnp.zeros((1, PIX), jnp.float32)
+    id_none = jnp.full((1, PIX), -1, jnp.int32)
+    attr_zero = jnp.zeros((ATTR_ROWS, PIX), jnp.float32)
+
+    def both_spans():
+        # ---- loop 1: depth + winner id ----
+        get_dma(0, 0).start()
+
+        def body(j, carry):
+            z_acc, id_acc = carry
+            cur = j % 2
+
+            @pl.when(j + 1 < n)
+            def _():
+                get_dma((j + 1) % 2, j + 1).start()
+
+            get_dma(cur, j).wait()
+            A = rec_s[cur][:, 0:9]
+
+            def adj(k):
+                return (A[:, k + 0:k + 1] * oxf + A[:, k + 1:k + 2] * oyf
+                        + A[:, k + 2:k + 3])
+
+            Aloc = jnp.concatenate(
+                [A[:, 0:2], adj(0), A[:, 3:5], adj(3), A[:, 6:8], adj(6)],
+                axis=1)
+            L = jax.lax.dot_general(Aloc, Pm, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            l1 = L[:, 0:PIX]
+            l2 = L[:, PIX:2 * PIX]
+            z = L[:, 2 * PIX:3 * PIX]
+            inside = (l1 >= 0.0) & (l2 >= 0.0) & (l1 + l2 <= 1.0)
+            zm = jnp.where(inside, z, -1.0)
+            best = jnp.max(zm, axis=0, keepdims=True)
+            upd = best > z_acc
+            z_acc = jnp.where(upd, best, z_acc)
+            tri_i = jax.lax.broadcasted_iota(jnp.int32, (MAX_TRIS, PIX), 0)
+            ids = jnp.where(zm == best, tri_i, jnp.int32(0x7FFFFFFF))
+            bid = jnp.min(ids, axis=0, keepdims=True)
+            gid = wslot_ref[s0 + j] * MAX_TRIS + bid
+            id_acc = jnp.where(upd & (best > 0.0), gid, id_acc)
+            return z_acc, id_acc
+
+        zf, idf = jax.lax.fori_loop(0, n, body, (z_far, id_none))
+        idf = jnp.where(zf > 0.0, idf, -1)
+        depth_ref[:] = jnp.maximum(zf, 0.0).reshape(1, 8, 128)
+        vis_ref[:] = idf.reshape(1, 8, 128)
+
+        # ---- loop 2: attribute planes for winning meshlets only ----
+        win_slot = jnp.where(idf >= 0, idf // MAX_TRIS, -1)   # (1, PIX)
+        get_dma(0, 0).start()
+
+        def body2(j, attr_acc):
+            cur = j % 2
+
+            @pl.when(j + 1 < n)
+            def _():
+                get_dma((j + 1) % 2, j + 1).start()
+
+            get_dma(cur, j).wait()
+            slot = wslot_ref[s0 + j]
+            pxmask = win_slot == slot                          # (1, PIX)
+
+            def interp(acc):
+                local = jnp.where(pxmask, idf - slot * MAX_TRIS, -1)
+                tri_i = jax.lax.broadcasted_iota(jnp.int32, (MAX_TRIS, PIX), 0)
+                onehot = (tri_i == local).astype(jnp.float32)  # (96, PIX)
+                cofs = rec_s[cur][:, 16:64]                    # (96, 48)
+                csel = jax.lax.dot_general(
+                    cofs, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (48, PIX)
+                vals = (csel[0:16] * pxg + csel[16:32] * pyg
+                        + csel[32:48])                         # (16, PIX)
+                inv_w = 1.0 / jnp.maximum(vals[11:12], 1e-12)
+                out = jnp.concatenate(
+                    [vals[0:11] * inv_w, vals[12:16],
+                     jnp.zeros((1, PIX), jnp.float32)], axis=0)  # (16, PIX)
+                return jnp.where(pxmask, out, acc)
+
+            return jax.lax.cond(jnp.any(pxmask), interp, lambda a: a, attr_acc)
+
+        attr_ref[:] = jax.lax.fori_loop(0, n, body2, attr_zero)[None]
+
+    @pl.when(n > 0)
+    def _():
+        both_spans()
+
+    @pl.when(n <= 0)
+    def _():
+        depth_ref[:] = z_far.reshape(1, 8, 128)
+        vis_ref[:] = id_none.reshape(1, 8, 128)
+        attr_ref[:] = attr_zero[None]
+
+
 @functools.partial(jax.jit, static_argnames=("tiles", "tx", "ty0", "depth_only",
                                              "interpret"))
 def raster_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
@@ -185,3 +380,45 @@ def raster_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
             dimension_semantics=("arbitrary",)),
     )(tile_start, work_slot, records)
     return depth.reshape(T, PIX), vis.reshape(T, PIX)
+
+
+@functools.partial(jax.jit, static_argnames=("tiles", "tx", "ty0", "interpret"))
+def raster_resolve_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
+                         ty0: int = 0, interpret: bool = False):
+    """Fused raster + attribute resolve (records from build_full_records).
+
+    Returns depth (T, 1024) f32, visid (T, 1024) i32, attrs (T, 16, 1024) f32:
+    rows 0:3 world pos, 3:6 shading normal (unnormalized), 6:8 uv, 8:11 prev
+    world pos, 11 material id, 12:15 geometric normal (unnormalized), 15 pad."""
+    T = tiles
+    tile_start = jnp.searchsorted(work_tile, jnp.arange(T + 1, dtype=jnp.int32)
+                                  ).astype(jnp.int32)
+    kern = functools.partial(_raster_resolve_kernel, tx=tx, ty0=ty0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ATTR_ROWS, PIX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, MAX_TRIS, REC_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, vis, attr = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((T, 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((T, 8, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((T, ATTR_ROWS, PIX), jnp.float32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(tile_start, work_slot, records)
+    return depth.reshape(T, PIX), vis.reshape(T, PIX), attr
