@@ -162,8 +162,15 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         gb = res["gbuffer"]
         sun_dir = _scene_sun_dir(ctx)
         data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, visible_capacity)
-        mask = csmops.csm_shadow_mask(data, ctx.vc, gb.world_pos,
-                                      gb.geo_normal, gb.valid, sun_dir)
+        # mask evaluated at half res (PCF table lookups are gather-bound on
+        # TPU); PCF + bilinear upsample + TAA hide the resolution
+        s = 2
+        sh, sw = height // s, width // s
+        mask = csmops.csm_shadow_mask(
+            data, ctx.vc, gb.world_pos[::s, ::s][:sh, :sw],
+            gb.geo_normal[::s, ::s][:sh, :sw],
+            gb.valid[::s, ::s][:sh, :sw], sun_dir)
+        mask = jax.image.resize(mask, (height, width), method="bilinear")
         # Bend-style screen-space contact shadows multiplied in
         # (ref ShadowMaskRenderer: bend_sss march * CSM mask)
         mask = mask * sssops.screen_space_shadows(gb, ctx.vc, sun_dir)
