@@ -25,10 +25,15 @@ LOG_LUM_MAX = 20.0
 
 
 def luminance_histogram(hdr: jnp.ndarray, min_log: float = LOG_LUM_MIN,
-                        max_log: float = LOG_LUM_MAX) -> jnp.ndarray:
+                        max_log: float = LOG_LUM_MAX,
+                        stride: int = 2) -> jnp.ndarray:
     """256-bin log2-luminance histogram (ref LuminanceHistogram.hlsl).
 
-    Bin 0 collects near-black pixels, like the reference."""
+    Bin 0 collects near-black pixels, like the reference. Samples every
+    `stride`-th pixel — auto-exposure needs a luminance DISTRIBUTION, not
+    every pixel, and segment_sum cost scales with element count."""
+    if stride > 1 and hdr.ndim == 3:
+        hdr = hdr[::stride, ::stride]
     lum = hm.luminance(hdr, xp=jnp)
     loglum = jnp.log2(jnp.maximum(lum, 1e-12))
     t = (loglum - min_log) / (max_log - min_log)
