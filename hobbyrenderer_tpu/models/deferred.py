@@ -52,7 +52,9 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          occlusion_culling: bool = True,
                          with_taa: bool = True,
                          direct_mode: str = "simple",
-                         indirect_mode: str = "none") -> RenderGraph:
+                         indirect_mode: str = "none",
+                         has_masked: bool = True,
+                         has_transparent: bool = True) -> RenderGraph:
     g = RenderGraph()
     h0, w0, hzb_levels = hzbops.hzb_sizes(width, height)
 
@@ -60,8 +62,9 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     @render_pass("Culling", reads=("hzb",),
                  writes=("visible_slots", "visible_count"))
     def _culling(ctx: FrameContext, res):
-        # opaque+masked buckets raster; transparent handled by a forward pass later
-        alpha_ok = jnp.asarray([True, True, False])
+        # opaque bucket; masked gets its own alpha-tested layer below,
+        # transparent a forward pass later (ref alpha-mode instance buckets)
+        alpha_ok = jnp.asarray([True, not has_masked, False])
         hzb = res["hzb"] if occlusion_culling else None
         cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok,
                                   hzb=hzb, hzb_levels=hzb_levels)
@@ -107,6 +110,35 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         res["gbuffer"] = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro,
                                                    res["visible_slots"],
                                                    aux=aux, attr_img=attr)
+
+    @g.add
+    @render_pass("MaskedLayer", reads=("gbuffer",), writes=("gbuffer",))
+    def _masked_layer(ctx, res):
+        """Alpha-tested (MASK) geometry as a second visibility layer: raster
+        the masked bucket, sample base-color alpha at resolve, and merge
+        pixels that pass the cutoff and are nearer than the opaque layer
+        (ref MaskedPassRenderer's _AlphaTest PS permutation,
+        src/BasePassRenderer.cpp:606-692 — the HW discards in-raster; a
+        visibility buffer applies the test at resolve, one layer deep)."""
+        gb = res["gbuffer"]
+        alpha_ok = jnp.asarray([False, True, False])
+        cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
+        slots, _cnt = cullops.compact_mask(cull["mask"], visible_capacity)
+        ro, aux, attr = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width,
+                                            height, resolve_attrs=True)
+        mgb = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro, slots, aux=aux,
+                                        attr_img=attr)
+        keep = mgb.valid & (mgb.alpha >= 0.0) & (mgb.depth > gb.depth)
+
+        def merge(m, g_):
+            k = keep[..., None] if m.ndim == 3 else keep
+            return jnp.where(k, m, g_)
+
+        merged = rasterops.GBuffer(*[merge(m, g_) for m, g_ in zip(mgb, gb)])
+        res["gbuffer"] = merged._replace(valid=gb.valid | keep)
+
+    if not has_masked:
+        g.get("MaskedLayer").enabled = False
 
     @g.add
     @render_pass("SunShadow", reads=("gbuffer",), writes=("sun_shadow",))
@@ -399,7 +431,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         mat = jnp.maximum(tgb.material, 0)
         moh = (mat[..., None] == jnp.arange(Mt)).astype(jnp.float32)
         mf = jnp.einsum("hwm,mf->hwf", moh, ctx.gpu.mat_f)
-        alpha = mf[..., MAT_BASE_COLOR + 3]
+        # textured alpha from the resolve (cutoff = 0 for BLEND materials)
+        alpha = jnp.clip(tgb.alpha, 0.0, 1.0)
         transmission = mf[..., MAT_TRANSMISSION]
         atten = mf[..., MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3]
         # Beer-Lambert-style tint of the background through the surface
@@ -410,7 +443,6 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         out = bg * (1.0 - coverage) + shaded * coverage
         res["hdr"] = jnp.where(tgb.valid[..., None], out, res["hdr"])
 
-    has_transparent = True  # cheap when the bucket is empty (0 work items)
     if not has_transparent:
         g.get("Transparent").enabled = False
 
@@ -498,12 +530,16 @@ class DeferredRenderer:
         if indirect_mode is None:
             indirect_mode = getattr(config, "indirect_mode", "none") or "none"
         self.rt = rt
+        import numpy as _np
+        alpha_modes = _np.asarray(gpu.inst_alpha_mode)
         self.graph = build_deferred_graph(width, height, cap, mode=mode,
                                           with_rt_shadows=with_rt_shadows and rt is not None,
                                           occlusion_culling=occlusion_culling,
                                           with_taa=with_taa,
                                           direct_mode=direct_mode,
-                                          indirect_mode=indirect_mode)
+                                          indirect_mode=indirect_mode,
+                                          has_masked=bool((alpha_modes == 1).any()),
+                                          has_transparent=bool((alpha_modes == 2).any()))
         self.state = initial_frame_state(width, height, direct_mode=direct_mode,
                                          indirect_mode=indirect_mode)
         self.config = config

@@ -263,12 +263,42 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         rough = jnp.clip(mf[:, MAT_ROUGHNESS], shadeops.MIN_ROUGHNESS, 1.0)
         emissive = mf[:, MAT_EMISSIVE:MAT_EMISSIVE + 3]
         trans = mf[:, MAT_TRANSMISSION]
-        if sample_textures is not None:
-            albedo, rough, metallic, emissive = sample_textures(
-                gpu, mat, uv, albedo, rough, metallic, emissive)
+        alpha_v = mf[:, MAT_BASE_COLOR + 3]
+
+        # texture sampling (ref bindless sampling at PT hits; LOD via a
+        # ray-cone footprint approximation — the reference uses LOD 0 geometry
+        # with HW-sampled textures)
+        if gpu.tex_table.shape[0] > gpu.mat_f.shape[0]:
+            from hobbyrenderer_tpu.ops import texture as texops
+            from hobbyrenderer_tpu.scene.gpu import (MAT_TEX_BASE_HI,
+                                                     MAT_TEX_BASE_LO,
+                                                     MAT_TEX_SIZE, MAT_UV_SCALE)
+            tex_size = mf[:, MAT_TEX_SIZE]
+            tex_base = (jnp.round(mf[:, MAT_TEX_BASE_HI]).astype(jnp.int32) * 4096
+                        + jnp.round(mf[:, MAT_TEX_BASE_LO]).astype(jnp.int32))
+            uv_s = uv * jnp.maximum(mf[:, MAT_UV_SCALE:MAT_UV_SCALE + 1], 1e-6)
+            spread = 2.0 / (vc["proj11"] * height)    # pixel angular footprint
+            foot = jnp.where(jnp.isfinite(hit.t), hit.t, 1.0) * spread
+            lod = jnp.log2(jnp.maximum(tex_size * foot, 1e-6))
+            bits = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
+                                    jnp.full_like(pix, dim + 5)], -1))
+            ts = texops.sample_material(gpu, tex_size, tex_base, uv_s, lod, bits)
+            albedo = albedo * ts.albedo
+            alpha_v = alpha_v * ts.alpha
+            rough = jnp.clip(rough * ts.roughness, shadeops.MIN_ROUGHNESS, 1.0)
+            metallic = metallic * ts.metallic
+            emissive = emissive * ts.emissive
+
+        # alpha test (MASK materials only carry a nonzero cutoff): a failed
+        # hit becomes a straight pass-through (costs one bounce — a bounded
+        # approximation of the reference's any-hit re-trace,
+        # RaytracingCommon.hlsli:138-199)
+        from hobbyrenderer_tpu.scene.gpu import MAT_ALPHA_CUTOFF
+        alpha_fail = active & (alpha_v < mf[:, MAT_ALPHA_CUTOFF])
+        shade_ok = active & ~alpha_fail
 
         # emitted light (emissive surfaces are not in the NEE light set -> no double count)
-        radiance = radiance + jnp.where(active[..., None], throughput * emissive, 0.0)
+        radiance = radiance + jnp.where(shade_ok[..., None], throughput * emissive, 0.0)
 
         v = -d
         # ---- NEE: sample one light uniformly (estimator weight = light_count) ----
@@ -287,7 +317,7 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         f = shadeops.eval_brdf(n, v, L, albedo * (1.0 - trans)[..., None],
                                metallic, rough)
         ndl_ok = (jnp.sum(L * gn, -1) > 0) & (jnp.sum(L * n, -1) > 0)
-        nee_active = active & ndl_ok & (jnp.max(rad, -1) > 0)
+        nee_active = shade_ok & ndl_ok & (jnp.max(rad, -1) > 0)
         so = offset_ray_origin(pos, gn, L)
         occluded = bvhops.bvh_any_hit(rt.bvh, so, L,
                                       t_max=jnp.where(nee_active, dist - 2e-3, 1e-4))
@@ -310,7 +340,7 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         F_d = _fresnel_dielectric(cos_i, eta_tr)
         p_transmit = jnp.clip(trans * (1.0 - F_d), 0.0, 0.98)
         u_t, _ = rand2(dim + 4)
-        do_transmit = active & (u_t < p_transmit)
+        do_transmit = shade_ok & (u_t < p_transmit)
         eta_rel = jnp.where(inside, ior, 1.0 / ior)[..., None]  # n_i/n_t
         d_refr, tir = _refract(d, n, eta_rel)
         # estimator: prob p_transmit, contribution trans*(1-F)*tint -> weight=tint
@@ -355,15 +385,20 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         # reflection lobes are selected with prob (1 - p_transmit)
         weight = weight / jnp.maximum(1.0 - p_transmit, 0.02)[..., None]
         ok = ndl > 1e-5
-        # transmission overrides the reflection lobe
-        ok = ok | do_transmit
+        # transmission / alpha pass-through override the reflection lobe
+        ok = ok | do_transmit | alpha_fail
         active = active & ok
         weight = jnp.where(do_transmit[..., None], tint, weight)
+        weight = jnp.where(alpha_fail[..., None], 1.0, weight)
         throughput = throughput * jnp.where(ok[..., None], weight, 0.0)
         throughput = jnp.minimum(throughput, 64.0)  # firefly clamp (ref clamps too)
 
         d_new = jnp.where(do_transmit[..., None], d_refr, l_world)
-        o = offset_ray_origin(pos, gn, d_new)
+        d_new = jnp.where(alpha_fail[..., None], d, d_new)
+        # alpha pass-through continues BEHIND the surface (offset along -gn)
+        o = jnp.where(alpha_fail[..., None],
+                      offset_ray_origin(pos, -gn, d_new),
+                      offset_ray_origin(pos, gn, d_new))
         d = d_new
         return (o, d, radiance, throughput, active, inside, sigma_t), None
 

@@ -32,6 +32,7 @@ from hobbyrenderer_tpu.scene.cooker import MESHLET_MAX_TRIS, MESHLET_MAX_VERTS
 from hobbyrenderer_tpu.scene.gpu import (MAT_ALPHA_CUTOFF, MAT_BASE_COLOR, MAT_EMISSIVE,
                                          MAT_METALLIC, MAT_ROUGHNESS, MATI_DOUBLE_SIDED)
 from hobbyrenderer_tpu.utils import math as hm
+from hobbyrenderer_tpu.utils.rng import pcg3d
 
 TILE = 32            # pixels per tile side
 TRI_CHUNK = 16       # triangles evaluated per scan step
@@ -476,11 +477,12 @@ class GBuffer(NamedTuple):
     depth: jnp.ndarray       # (H, W) reversed-Z
     material: jnp.ndarray    # (H, W) i32 material id (-1 = sky)
     valid: jnp.ndarray       # (H, W) bool (stencil==1 analogue)
+    alpha: jnp.ndarray = None  # (H, W) alpha margin (sampled alpha - cutoff)
 
 
 def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
                     sample_textures=None, y0: int = 0,
-                    attr_img=None) -> GBuffer:
+                    attr_img=None, textured: bool = True) -> GBuffer:
     """Per-pixel attribute resolve from the visibility buffer.
 
     Two sources (the reference does this in the raster pixel shader,
@@ -556,9 +558,43 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
     moh = (mat[..., None] == jnp.arange(Mt, dtype=jnp.int32)).astype(jnp.float32)
     mf = jnp.einsum("hwm,mf->hwf", moh, gpu.mat_f)
     albedo = mf[..., MAT_BASE_COLOR:MAT_BASE_COLOR + 3]
+    alpha = mf[..., MAT_BASE_COLOR + 3]
     metallic = mf[..., MAT_METALLIC]
     rough = mf[..., MAT_ROUGHNESS]
     emissive = mf[..., MAT_EMISSIVE:MAT_EMISSIVE + 3]
+    occlusion = jnp.ones((H, W), jnp.float32)
+
+    # texture sampling (BasePass.hlsl:271-518 bindless material sampling):
+    # one stochastic-trilinear row gather per pixel, modulating the factors.
+    # An all-untextured scene's table has exactly one 1x1 neutral texel per
+    # material — skip the whole path statically then.
+    if textured and gpu.tex_table.shape[0] > gpu.mat_f.shape[0]:
+        from hobbyrenderer_tpu.ops import texture as texops
+        from hobbyrenderer_tpu.scene.gpu import (MAT_TEX_BASE_HI, MAT_TEX_BASE_LO,
+                                                 MAT_TEX_SIZE, MAT_UV_SCALE)
+        tex_size = mf[..., MAT_TEX_SIZE]
+        tex_base = (jnp.round(mf[..., MAT_TEX_BASE_HI]).astype(jnp.int32) * 4096
+                    + jnp.round(mf[..., MAT_TEX_BASE_LO]).astype(jnp.int32))
+        uv_s = uv_pix * jnp.maximum(mf[..., MAT_UV_SCALE:MAT_UV_SCALE + 1], 1e-6)
+        lod = texops.uv_lod(uv_s, tex_size)
+        pix = (jnp.arange(H * W, dtype=jnp.uint32).reshape(H, W)
+               + jnp.uint32(y0) * jnp.uint32(max(W, 1)))
+        frame = vc["frame_index"].astype(jnp.uint32)
+        key = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
+                               jnp.full_like(pix, 311)], -1))
+        ts = texops.sample_material(gpu, tex_size, tex_base, uv_s, lod, key)
+        albedo = albedo * ts.albedo
+        alpha = alpha * ts.alpha
+        rough = rough * ts.roughness
+        metallic = metallic * ts.metallic
+        emissive = emissive * ts.emissive
+        occlusion = ts.occlusion
+        n_shade = texops.apply_normal_map(n_shade, pos_w, uv_s, ts.normal_ts)
+
+    # alpha margin: sampled alpha minus the material cutoff (>= 0 passes the
+    # alpha test; cutoff is 0 for opaque/blend so margin == alpha there)
+    alpha_margin = alpha - mf[..., MAT_ALPHA_CUTOFF]
+
     if sample_textures is not None:
         albedo, rough, metallic, emissive, n_shade = sample_textures(
             gpu, mat, uv_pix, albedo, rough, metallic, emissive, n_shade, gn)
@@ -589,11 +625,12 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
         albedo=jnp.where(vmask, albedo, zero3),
         normal=jnp.where(vmask, n_shade, zero3),
         geo_normal=jnp.where(vmask, gn, zero3),
-        orm=jnp.where(vmask, jnp.stack([jnp.ones_like(rough), rough, metallic], -1), zero3),
+        orm=jnp.where(vmask, jnp.stack([occlusion, rough, metallic], -1), zero3),
         emissive=jnp.where(vmask, emissive, zero3),
         motion=jnp.where(vmask, motion, jnp.zeros((H, W, 2), jnp.float32)),
         world_pos=jnp.where(vmask, pos_w, zero3),
         depth=jnp.where(valid, raster.depth, z),
         material=jnp.where(valid, mat, -1),
         valid=valid,
+        alpha=jnp.where(valid, alpha_margin, 0.0),
     )

@@ -102,6 +102,13 @@ class SceneGPU:
     #                         attenuation_color(3), uv_scale, atten_distance, pad
     #                         (packed per MAT_* layout below)
     mat_i: Any              # (Mat, 8) i32: alpha_mode, double_sided, tex ids (4), pad
+
+    # texture layer: packed per-material mip-chained texel table
+    # (scene/textures.py; ref bindless tables src/Renderer.cpp:1460-1579)
+    tex_table: Any          # (T, 4) u32 packed texels (1 row gather per sample)
+    mat_tex_size: Any       # (Mat,) i32 top-mip resolution (1 = untextured)
+    mat_mip_off: Any        # (Mat, MAX_MIPS) i32 absolute row offset per level
+
     # lights
     light_type: Any         # (L,) i32
     light_pos: Any          # (L, 3) f32
@@ -147,6 +154,12 @@ MAT_IOR = 11
 MAT_ATTEN_COLOR = 12    # 3
 MAT_UV_SCALE = 15
 MAT_ATTEN_DIST = 16
+# texture-table params carried as floats so the resolve's existing one-hot
+# material matmul delivers them per pixel with no extra gathers. Table row
+# offsets can exceed f32's exact-integer range, so base is split hi*4096+lo.
+MAT_TEX_SIZE = 17       # top-mip resolution S (power of two; 1 = untextured)
+MAT_TEX_BASE_HI = 18    # table base offset // 4096
+MAT_TEX_BASE_LO = 19    # table base offset % 4096
 # int layout
 MATI_ALPHA_MODE = 0
 MATI_DOUBLE_SIDED = 1
@@ -154,6 +167,13 @@ MATI_BASE_TEX = 2
 MATI_NORMAL_TEX = 3
 MATI_ORM_TEX = 4
 MATI_EMISSIVE_TEX = 5
+
+
+def _texture_arrays(scene: Scene) -> Dict[str, np.ndarray]:
+    from hobbyrenderer_tpu.scene.textures import build_texture_table
+    t = build_texture_table(scene)
+    return dict(tex_table=t["tex_table"], mat_tex_size=t["mat_tex_size"],
+                mat_mip_off=t["mat_mip_off"])
 
 
 def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True) -> SceneGPU:
@@ -304,6 +324,7 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
     pair_lod = cat(pl_l, np.int32)
 
     # --- materials ---
+    tex_arrays = _texture_arrays(scene)
     Mt = max(len(scene.materials), 1)
     mat_f = np.zeros((Mt, 20), np.float32)
     mat_i = np.full((Mt, 8), -1, np.int32)
@@ -312,12 +333,19 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
         mat_f[mi, MAT_METALLIC] = m.metallic
         mat_f[mi, MAT_ROUGHNESS] = m.roughness
         mat_f[mi, MAT_EMISSIVE:MAT_EMISSIVE + 3] = np.asarray(m.emissive) * m.emissive_strength
-        mat_f[mi, MAT_ALPHA_CUTOFF] = m.alpha_cutoff
+        # cutoff participates in the resolve's alpha-margin (alpha - cutoff);
+        # only MASK-mode materials alpha-test, so others store 0
+        from hobbyrenderer_tpu.scene.scene import ALPHA_MASKED as _AM
+        mat_f[mi, MAT_ALPHA_CUTOFF] = m.alpha_cutoff if m.alpha_mode == _AM else 0.0
         mat_f[mi, MAT_TRANSMISSION] = m.transmission
         mat_f[mi, MAT_IOR] = m.ior
         mat_f[mi, MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3] = m.attenuation_color
         mat_f[mi, MAT_UV_SCALE] = m.uv_scale
         mat_f[mi, MAT_ATTEN_DIST] = min(m.attenuation_distance, 1e6)
+        mat_f[mi, MAT_TEX_SIZE] = tex_arrays["mat_tex_size"][mi]
+        base = int(tex_arrays["mat_mip_off"][mi, 0])
+        mat_f[mi, MAT_TEX_BASE_HI] = base // 4096
+        mat_f[mi, MAT_TEX_BASE_LO] = base % 4096
         mat_i[mi, MATI_ALPHA_MODE] = m.alpha_mode
         mat_i[mi, MATI_DOUBLE_SIDED] = 1 if m.double_sided else 0
         mat_i[mi, MATI_BASE_TEX] = m.base_color_tex
@@ -363,6 +391,7 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
         inst_center=inst_center, inst_radius=inst_radius, inst_scale_max=inst_scale_max,
         pair_inst=pair_inst, pair_meshlet=pair_meshlet, pair_lod=pair_lod,
         mat_f=mat_f, mat_i=mat_i,
+        **tex_arrays,
         light_type=lt, light_pos=lp, light_dir=ld, light_color=lc,
         light_radius=lr, light_range=lrange, light_cone=lcone,
         light_count=np.int32(nl),

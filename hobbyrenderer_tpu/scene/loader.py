@@ -190,13 +190,56 @@ def _decompose_matrix(m: np.ndarray):
             np.asarray([sx, sy, sz], np.float32))
 
 
+def _decode_images(g: GLTFFile) -> list:
+    """Decode glTF images (URI file / data URI / bufferView) to u8 RGBA.
+
+    Ref: SceneLoader::LoadTexturesFromImages (src/SceneLoader.cpp:1311-1523) +
+    TextureLoader.cpp — here PNG/JPEG via PIL, DDS via scene/textures.py."""
+    from hobbyrenderer_tpu.scene.textures import decode_image_bytes
+    doc = g.doc
+    out = []
+    for img in doc.get("images", []):
+        try:
+            uri = img.get("uri")
+            if uri is not None:
+                if uri.startswith("data:"):
+                    data = base64.b64decode(uri.split(",", 1)[1])
+                else:
+                    from urllib.parse import unquote
+                    with open(os.path.join(g.base_dir, unquote(uri)), "rb") as f:
+                        data = f.read()
+            else:
+                bv = doc["bufferViews"][img["bufferView"]]
+                buf = g.buffers[bv.get("buffer", 0)]
+                o = bv.get("byteOffset", 0)
+                data = bytes(buf[o:o + bv["byteLength"]])
+            out.append(decode_image_bytes(data))
+        except Exception:
+            out.append(None)   # undecodable image -> untextured fallback
+    return out
+
+
 def _build_scene(g: GLTFFile, cache_key: Optional[str], cache_dir: Optional[str]) -> Scene:
     doc = g.doc
     sc = Scene()
 
+    # images + texture -> image mapping (samplers: REPEAT assumed)
+    sc.images = _decode_images(g)
+    tex_to_img = [t.get("source", -1) for t in doc.get("textures", [])]
+
+    def resolve_tex(ti):
+        if ti is None or ti < 0 or ti >= len(tex_to_img):
+            return -1
+        return tex_to_img[ti]
+
     # materials (index 0 in Scene is the default; glTF ids shift by +1)
     for i, m in enumerate(doc.get("materials", [])):
-        sc.add_material(_mat_from_gltf(m, m.get("name", f"material_{i}")))
+        mat = _mat_from_gltf(m, m.get("name", f"material_{i}"))
+        mat.base_color_tex = resolve_tex(mat.base_color_tex)
+        mat.orm_tex = resolve_tex(mat.orm_tex)
+        mat.normal_tex = resolve_tex(mat.normal_tex)
+        mat.emissive_tex = resolve_tex(mat.emissive_tex)
+        sc.add_material(mat)
 
     def scene_mat(idx):
         return 0 if idx is None else idx + 1

@@ -144,6 +144,7 @@ class Scene:
         self.nodes: List[Node] = []
         self.animations: List[Animation] = []
         self.instances: List[Instance] = []
+        self.images: List = []                       # decoded (H, W, 4) u8 RGBA
         self.topo_order: List[int] = []
         self.center = np.zeros(3, np.float32)
         self.radius = 1.0
