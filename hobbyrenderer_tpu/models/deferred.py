@@ -33,6 +33,11 @@ from hobbyrenderer_tpu.ops.intersect import offset_ray_origin
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 
 
+def _csm_lod_biases():
+    from hobbyrenderer_tpu.ops.csm import CASCADE_LOD_BIAS, NUM_CASCADES
+    return CASCADE_LOD_BIAS[:NUM_CASCADES]
+
+
 def _sun_index(gpu):
     lt = gpu.light_type
     is_dir = (lt == 0) & (jnp.arange(lt.shape[0]) < gpu.light_count)
@@ -54,8 +59,14 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          direct_mode: str = "simple",
                          indirect_mode: str = "none",
                          has_masked: bool = True,
-                         has_transparent: bool = True) -> RenderGraph:
+                         has_transparent: bool = True,
+                         masked_capacity: int = None,
+                         transparent_capacity: int = None,
+                         shadow_capacity: int = None) -> RenderGraph:
     g = RenderGraph()
+    masked_capacity = max(masked_capacity or visible_capacity, 1)
+    transparent_capacity = max(transparent_capacity or visible_capacity, 1)
+    shadow_capacity = max(shadow_capacity or 4 * visible_capacity, 1)
     h0, w0, hzb_levels = hzbops.hzb_sizes(width, height)
 
     @g.add
@@ -123,7 +134,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         gb = res["gbuffer"]
         alpha_ok = jnp.asarray([False, True, False])
         cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
-        slots, _cnt = cullops.compact_mask(cull["mask"], visible_capacity)
+        slots, _cnt = cullops.compact_mask(cull["mask"], masked_capacity)
         ro, aux, attr = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width,
                                             height, resolve_attrs=True)
         mgb = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro, slots, aux=aux,
@@ -193,7 +204,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         from hobbyrenderer_tpu.ops import sss as sssops
         gb = res["gbuffer"]
         sun_dir = _scene_sun_dir(ctx)
-        data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, visible_capacity)
+        data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, shadow_capacity)
         # mask evaluated at half res (PCF table lookups are gather-bound on
         # TPU); PCF + bilinear upsample + TAA hide the resolution
         s = 2
@@ -403,7 +414,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         gb = res["gbuffer"]
         alpha_ok = jnp.asarray([False, False, True])
         cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
-        slots, _cnt = cullops.compact_mask(cull["mask"], visible_capacity)
+        slots, _cnt = cullops.compact_mask(cull["mask"], transparent_capacity)
         ro, aux, attr = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width,
                                             height, double_sided_all=False,
                                             resolve_attrs=True)
@@ -539,7 +550,11 @@ class DeferredRenderer:
                                           direct_mode=direct_mode,
                                           indirect_mode=indirect_mode,
                                           has_masked=bool((alpha_modes == 1).any()),
-                                          has_transparent=bool((alpha_modes == 2).any()))
+                                          has_transparent=bool((alpha_modes == 2).any()),
+                                          masked_capacity=gpu.bucket_pair_capacity((1,)),
+                                          transparent_capacity=gpu.bucket_pair_capacity((2,)),
+                                          shadow_capacity=gpu.shadow_pair_capacity(
+                                              _csm_lod_biases()))
         self.state = initial_frame_state(width, height, direct_mode=direct_mode,
                                          indirect_mode=indirect_mode)
         self.config = config

@@ -94,32 +94,41 @@ def cascade_matrices(vc, sun_dir, max_distance: float = 60.0):
     return jnp.stack(vps), splits[1:]
 
 
+# per-cascade shadow LOD bias: far cascades cover a huge area per texel, so a
+# coarser simplification level is below the shadow-map Nyquist rate anyway
+CASCADE_LOD_BIAS = (1, 1, 2, 3)
+
+
 def render_cascades(gpu, vc, sun_dir, visible_capacity: int,
                     max_distance: float = 60.0) -> CSMData:
-    """Depth-only meshlet raster per cascade (ref per-cascade GPU culling +
-    meshlet raster for opaque+masked, src/ShadowRenderer.cpp)."""
+    """Depth-only meshlet raster of all cascades in ONE atlas pass.
+
+    The reference runs per-cascade GPU culling + depth raster
+    (src/ShadowRenderer.cpp); here culling is one vectorized (cascade, pair)
+    mask and rasterization one shadow-atlas kernel (see
+    ops/raster.rasterize_shadow_atlas — the per-pass fixed costs made 4
+    sequential cascade rasters ~4x the cost of the fused form)."""
     vps, splits = cascade_matrices(vc, sun_dir, max_distance)
     sel = cullops.select_instance_lods(gpu, vc)  # LODs from the MAIN camera
-    depths = []
-    for c in range(NUM_CASCADES):
-        vp = vps[c]
-        planes = hm.extract_frustum_planes(vp, xp=jnp)
-        inst = gpu.pair_inst
-        ml = gpu.pair_meshlet
-        mask = gpu.pair_lod == sel[inst]
-        mask &= gpu.inst_alpha_mode[inst] < 2  # opaque + masked cast shadows
-        W = gpu.inst_transform[inst]
-        c_w = jnp.einsum("dij,dj->di", W[:, :3, :3], gpu.ml_center[ml]) + W[:, :3, 3]
-        r_w = gpu.ml_radius[ml] * gpu.inst_scale_max[inst]
-        mask &= hm.sphere_in_frustum(planes, c_w, r_w, xp=jnp)
-        slots, _cnt = cullops.compact_mask(mask, visible_capacity)
-        vc_c = dict(vc)
-        vc_c["view_proj"] = vp
-        vc_c["viewport"] = jnp.asarray([SHADOW_RES, SHADOW_RES], jnp.float32)
-        ro, _aux = rasterops.rasterize(gpu, vc_c, slots, SHADOW_RES, SHADOW_RES,
-                                       double_sided_all=True, depth_only=True)
-        depths.append(ro.depth)
-    return CSMData(view_proj=vps, depth=jnp.stack(depths), splits=splits)
+    lc = gpu.prim_lod_count[gpu.inst_prim]                        # (N,)
+    bias = jnp.asarray(CASCADE_LOD_BIAS[:NUM_CASCADES], jnp.int32)
+    sel_c = jnp.minimum(sel[None, :] + bias[:, None], lc[None, :] - 1)  # (C,N)
+
+    inst = gpu.pair_inst
+    ml = gpu.pair_meshlet
+    base = gpu.inst_alpha_mode[inst] < 2   # opaque + masked cast shadows
+    W = gpu.inst_transform[inst]
+    c_w = jnp.einsum("dij,dj->di", W[:, :3, :3], gpu.ml_center[ml]) + W[:, :3, 3]
+    r_w = gpu.ml_radius[ml] * gpu.inst_scale_max[inst]
+    planes = jnp.stack([hm.extract_frustum_planes(vps[c], xp=jnp)
+                        for c in range(NUM_CASCADES)])            # (C, 6, 4)
+    d = jnp.einsum("dj,ckj->cdk", c_w, planes[..., :3]) + planes[:, None, :, 3]
+    in_f = jnp.all(d >= -r_w[None, :, None], axis=-1)             # (C, D)
+    mask4 = in_f & base[None, :] & (gpu.pair_lod[None, :] == sel_c[:, inst])
+    # cascade-major flatten: on overflow, far-cascade casters drop first
+    slots, _cnt = cullops.compact_mask(mask4.reshape(-1), visible_capacity)
+    depth = rasterops.rasterize_shadow_atlas(gpu, vps, slots, SHADOW_RES)
+    return CSMData(view_proj=vps, depth=depth, splits=splits)
 
 
 def csm_shadow_mask(csm: CSMData, vc, world_pos, normal, valid,
@@ -148,15 +157,17 @@ def csm_shadow_mask(csm: CSMData, vc, world_pos, normal, valid,
 
     x = jnp.clip((u * SHADOW_RES).astype(jnp.int32), 0, SHADOW_RES - 1)
     y = jnp.clip((v * SHADOW_RES).astype(jnp.int32), 0, SHADOW_RES - 1)
-    # 2x2 PCF
-    vis = jnp.zeros((H, W))
+    # 2x2 PCF: the footprint is pre-packed into a quad table so the filter is
+    # ONE row gather per pixel instead of four 2D-indexed gathers (TPU gathers
+    # are per-row latency-bound)
+    S = SHADOW_RES
+    d = csm.depth                                             # (C, S, S)
+    right = jnp.concatenate([d[:, :, 1:], d[:, :, -1:]], 2)
+    down = jnp.concatenate([d[:, 1:], d[:, -1:]], 1)
+    downright = jnp.concatenate([right[:, 1:], right[:, -1:]], 1)
+    quad = jnp.stack([d, right, down, downright], -1).reshape(-1, 4)
+    q = quad[cidx * (S * S) + y * S + x]                      # (H, W, 4)
     depth_bias = 2e-3 * bias_scale
-    for dy in (0, 1):
-        for dx in (0, 1):
-            xi = jnp.minimum(x + dx, SHADOW_RES - 1)
-            yi = jnp.minimum(y + dy, SHADOW_RES - 1)
-            sd = csm.depth[cidx, yi, xi]
-            # occluded when a NEARER-to-light surface exists (larger depth)
-            vis += jnp.where(sd > z + depth_bias, 0.0, 1.0)
-    vis = vis * 0.25
+    # occluded when a NEARER-to-light surface exists (larger depth)
+    vis = jnp.mean(jnp.where(q > (z + depth_bias)[..., None], 0.0, 1.0), -1)
     return jnp.where(valid, vis, 1.0)

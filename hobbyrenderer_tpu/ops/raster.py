@@ -417,6 +417,115 @@ def rasterize(gpu, vc, slots, width: int, height: int,
     return out, aux
 
 
+def rasterize_shadow_atlas(gpu, vps, slots, res: int,
+                           worklist_capacity: int = None,
+                           backend: str = None) -> jnp.ndarray:
+    """Depth-only raster of N light views into one vertical atlas, one kernel.
+
+    The reference renders each CSM cascade as its own culling + depth pass
+    (src/ShadowRenderer.cpp); on TPU the per-pass fixed costs (vertex gather,
+    one-hot triangle expansion, worklist sort, kernel launch) dominate a
+    1024^2 depth raster, so all cascades share ONE slot table and ONE raster:
+    a slot encodes (view, pair) as ``view * num_pairs + pair``, its meshlet is
+    projected with the view's matrix and offset by ``view * res`` rows in the
+    atlas, and the tile worklist spans the (n_views * res, res) target.
+
+    vps (N, 4, 4) light view-proj matrices; slots (C,) compacted flattened
+    (view, pair) ids (-1 padded). Returns depth (N, res, res), reversed-Z.
+    """
+    n_views = vps.shape[0]
+    D = gpu.pair_inst.shape[0]
+    C = slots.shape[0]
+    if worklist_capacity is None:
+        worklist_capacity = max(8 * C, 4096)
+    slot_valid = slots >= 0
+    s = jnp.where(slot_valid, slots, 0)
+    view_i = s // D
+    pair = s % D
+    inst = gpu.pair_inst[pair]
+    ml = gpu.pair_meshlet[pair]
+
+    vcnt = gpu.ml_vert_count[ml]
+    lanes = jnp.arange(MESHLET_MAX_VERTS, dtype=jnp.int32)[None, :]
+    vert_valid = lanes < vcnt[:, None]
+    p_obj = gpu.ml_pos[ml]                                        # (C, 64, 3)
+    W = gpu.inst_transform[inst]
+    p_world = jnp.einsum("cij,cvj->cvi", W[:, :3, :3], p_obj) + W[:, None, :3, 3]
+    VP = vps[view_i]                                              # (C, 4, 4)
+    clip = jnp.einsum("cij,cvj->cvi", VP[:, :3, :3], p_world) + VP[:, None, :3, 3]
+    w = jnp.einsum("cj,cvj->cv", VP[:, 3, :3], p_world) + VP[:, 3, 3][:, None]
+    w_safe = jnp.where(w > 1e-6, w, 1.0)
+    ndc = clip / w_safe[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * res
+    sy = (0.5 - ndc[..., 1] * 0.5) * res + (view_i * res)[:, None].astype(jnp.float32)
+    screen = jnp.stack([sx, sy], -1)
+    vert_ok = vert_valid & (w > 1e-6)
+
+    onehot, tri_valid = _tri_onehot(gpu, ml, slot_valid)
+    tri_feats = _tri_expand(onehot, jnp.concatenate(
+        [screen, ndc[..., 2:3], vert_ok.astype(jnp.float32)[..., None]], -1))
+    tv = tri_feats[..., 0:2]
+    tz = tri_feats[..., 2]
+    tok = (tri_feats[..., 3] > 0.5).all(-1) & tri_valid           # double-sided
+    e1 = tv[:, :, 1] - tv[:, :, 0]
+    e2 = tv[:, :, 2] - tv[:, :, 0]
+    area2 = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]
+    tok &= jnp.abs(area2) > 1e-12
+    inv_a2 = jnp.where(jnp.abs(area2) > 1e-12, 1.0 / area2, 0.0)
+    coeff = _tri_affine_coeffs(tv, tz, inv_a2, tok)
+
+    tx = res // TILE
+    ty = n_views * res // TILE
+    T = tx * ty
+    work_tile, work_slot, _wc, _ov = build_worklist(
+        screen, vert_ok, slot_valid, res, n_views * res, worklist_capacity)
+
+    if _use_pallas(backend):
+        from hobbyrenderer_tpu.ops import raster_pallas as rp
+        records = rp.build_tri_records(coeff)
+        depth_t, _vis = rp.raster_tiles(records, work_tile, work_slot, tiles=T,
+                                        tx=tx, depth_only=True,
+                                        interpret=jax.default_backend() != "tpu")
+    else:
+        # XLA fallback (CPU tests): reuse the segment-reduction path
+        PIXn = TILE * TILE
+        B = 256
+        n_batches = (worklist_capacity + B - 1) // B
+        ly, lx = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
+        local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], -1).astype(jnp.float32) + 0.5
+
+        def eval_batch(b, depth_w):
+            w0i = b * B
+            btile = jax.lax.dynamic_slice_in_dim(work_tile, w0i, B)
+            bslot = jax.lax.dynamic_slice_in_dim(work_slot, w0i, B)
+            bvalid = bslot >= 0
+            sb = jnp.where(bvalid, bslot, 0)
+            org = jnp.stack([(btile % tx) * TILE,
+                             (btile // tx) * TILE], -1).astype(jnp.float32)
+            px = org[:, None, :] + local[None, :, :]
+            cf = coeff[sb]
+            okb = (cf[..., 9] > 0.5) & bvalid[:, None]
+            x = px[:, None, :, 0]
+            y = px[:, None, :, 1]
+            l1 = cf[..., 0:1] * x + cf[..., 1:2] * y + cf[..., 2:3]
+            l2 = cf[..., 3:4] * x + cf[..., 4:5] * y + cf[..., 5:6]
+            zaff = cf[..., 6:7] * x + cf[..., 7:8] * y + cf[..., 8:9]
+            inside = (l1 >= 0) & (l2 >= 0) & (l1 + l2 <= 1.0) & okb[..., None]
+            dz = jnp.max(jnp.where(inside, zaff, -1.0), axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(depth_w, dz, w0i, axis=0)
+
+        depth_w = jax.lax.fori_loop(0, n_batches, eval_batch,
+                                    jnp.full((worklist_capacity, PIXn), -1.0))
+        depth_t = jax.ops.segment_max(depth_w, work_tile, num_segments=T + 1,
+                                      indices_are_sorted=True)[:T]
+        depth_t = jnp.maximum(depth_t, 0.0)
+
+    Hp = ty * TILE
+    depth = (depth_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3)
+             .reshape(Hp, res))
+    return depth.reshape(n_views, res, res)
+
+
 def _tri_affine_coeffs(tv, tz, inv_a2, tok):
     """Per-triangle plane equations: lambda1, lambda2 and depth as affine
     functions of screen position. Returns (C, 96, 10):

@@ -5,22 +5,26 @@ src/shaders/BasePass.hlsl:83-171. The XLA formulation in ops/raster.py evaluates
 triangle planes into (batch, tris, pixels) HBM temporaries — measured ~255 ms of
 a 272 ms raster at 1080p (HBM-bandwidth-bound). This kernel keeps the per-tile
 depth/visid accumulator in VMEM and streams per-meshlet triangle records from
-HBM with double-buffered DMA, so the only HBM traffic is one 6 KB record read
-per (tile, meshlet) work item plus the final 4 KB tile writes.
+HBM with double-buffered DMA, so the only HBM traffic is one record read per
+(tile, meshlet) work item plus the final 4 KB tile writes.
 
 Data model:
-- records (C, 96, 16) f32: per visible slot, per meshlet triangle, the affine
-  plane equations [l1x l1y l1c  l2x l2y l2c  zx zy zc  pad...] of the two
+- depth records (C, 96, 16) f32: per visible slot, per meshlet triangle, the
+  affine plane equations [l1x l1y l1c  l2x l2y l2c  zx zy zc  pad...] of the two
   barycentrics and reversed-Z depth as functions of screen position. Invalid
   triangles (padding / backfacing / clipped) are encoded *never inside*
   (l1 === -1e9), so the kernel needs no validity lanes.
+- full records (C, 96, 64): lanes 0:9 as above, lanes 16:64 the perspective
+  attribute planes (see build_full_records).
 - worklist: tile-sorted (tile, slot) pairs from ops.raster.build_worklist;
   tile_start (T+1,) row offsets via searchsorted.
 - grid = (T,): one program per 32x32 screen tile, its 1024 pixels laid out as
   one (8, 128) vreg block (pixel p = sublane*128 + lane, row-major in-tile).
   The inner fori_loop walks the tile's work span with a 2-slot DMA pipeline;
-  per item the evaluation is pure VPU: 6 FMAs + 4 compares on (96, 8, 128)
-  + a leading-axis max/argmin fold.
+  per item the plane evaluation is pure VPU broadcasting — (96,1)x(1,1024)
+  FMAs. (v1 evaluated planes with a (96,9)x(9,3072) MXU matmul; at K=9 the
+  systolic array runs at ~7% utilization, so the VPU form is faster AND frees
+  the MXU for the resolve loop's one-hot gather.)
 """
 
 from __future__ import annotations
@@ -35,12 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 32
 PIX = TILE * TILE          # 1024 = one (8, 128) f32 block
 MAX_TRIS = 96
-# Mosaic requires HBM slice minor dims aligned to the 128-lane tiling, so the
-# 9 plane coefficients are padded to a full 128-lane row (DMA is still only
-# ~48 KB per (tile, meshlet) item — bandwidth-trivial next to the old path's
-# (batch, tris, pixels) HBM temporaries).
-REC_LANES = 128
-
+# Mosaic requires HBM slice minor dims aligned to the 128-lane tiling, so
+# records are padded to full 128-lane rows (a plane-major re-layout could cut
+# the DMA to 8 KB/record; deferred until the DMA stream shows up in profiles)
+REC_LANES_DEPTH = 128
+REC_LANES_FULL = 128
 
 N_PLANES = 16          # 11 perspective numerators + 1/w + mat + gn (constants)
 ATTR_ROWS = 16         # kernel attr output rows per pixel
@@ -56,13 +59,13 @@ def _raster_body(coeff: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_tri_records(coeff: jnp.ndarray) -> jnp.ndarray:
-    """(C, 96, 10) affine coeffs + ok flag -> (C, 96, 128) raster-only records.
+    """(C, 96, 10) affine coeffs + ok flag -> (C, 96, 16) raster-only records.
 
     coeff layout per ops.raster._tri_affine_coeffs:
     [l1x,l1y,l1c, l2x,l2y,l2c, zx,zy,zc, ok]. Lanes 0:9 = raster planes."""
     C = coeff.shape[0]
     body = _raster_body(coeff)
-    pad = jnp.zeros((C, MAX_TRIS, REC_LANES - 9), coeff.dtype)
+    pad = jnp.zeros((C, MAX_TRIS, REC_LANES_DEPTH - 9), coeff.dtype)
     return jnp.concatenate([body, pad], axis=-1)
 
 
@@ -80,7 +83,7 @@ def build_full_records(coeff: jnp.ndarray, tri_screen: jnp.ndarray,
     interpolators). Constant-per-tri quantities (material id, geometric
     normal) are stored as x=y=0 planes.
 
-    Lane layout (128): [0:9 raster planes][16:64 = 16 x-coeffs | 16 y | 16 c]:
+    Lane layout (64): [0:9 raster planes][16:64 = 16 x-coeffs | 16 y | 16 c]:
       planes 0..10: numerators a*invw for pos3, nrm3, uv2, prev3
       plane 11: invw (denominator)
       plane 12: material id (const)
@@ -118,8 +121,19 @@ def build_full_records(coeff: jnp.ndarray, tri_screen: jnp.ndarray,
     planes = jnp.concatenate([plane_x, plane_y, plane_c], -1)  # (C, 96, 48)
 
     pad0 = jnp.zeros((C, MAX_TRIS, 16 - 9), coeff.dtype)
-    pad1 = jnp.zeros((C, MAX_TRIS, REC_LANES - 64), coeff.dtype)
-    return jnp.concatenate([body, pad0, planes, pad1], -1)
+    pad1 = jnp.zeros((C, MAX_TRIS, REC_LANES_FULL - 64), coeff.dtype)
+    return jnp.concatenate([body, pad0, planes, pad1], -1)  # (C, 96, 128)
+
+
+def _plane_eval(A, oxf, oyf, xl, yl):
+    """VPU plane eval over the tile: A (96, >=9) -> l1, l2, z each (96, PIX).
+
+    Plane constants are re-centered on the tile origin in exact f32 first so
+    magnitudes stay small."""
+    def ev(k):
+        c = A[:, k + 0:k + 1] * oxf + A[:, k + 1:k + 2] * oyf + A[:, k + 2:k + 3]
+        return A[:, k + 0:k + 1] * xl + A[:, k + 1:k + 2] * yl + c
+    return ev(0), ev(3), ev(6)
 
 
 def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref, vis_ref,
@@ -133,22 +147,9 @@ def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref, vis_ref,
     oy = (t // tx + ty0) * TILE
     oxf = ox.astype(jnp.float32) + 0.5
     oyf = oy.astype(jnp.float32) + 0.5
-    # P matrix (9, 3*PIX): block-diagonal [x_local; y_local; 1] per plane
-    # group, so ONE MXU matmul per work item evaluates l1|l2|z for all 96
-    # triangles at once. Coordinates are TILE-LOCAL (<= 31.5) and the plane
-    # constants are re-centered on the tile origin in exact f32 on the VPU —
-    # keeping magnitudes small enough that the MXU's default f32 precision
-    # (bf16x3 decomposition) introduces no depth-test-visible error.
-    lane9 = jax.lax.broadcasted_iota(jnp.int32, (9, 3 * PIX), 1)
-    row9 = jax.lax.broadcasted_iota(jnp.int32, (9, 3 * PIX), 0)
-    p_in = lane9 % PIX                                     # in-tile pixel index
-    grp = lane9 // PIX                                     # plane group 0/1/2
-    pxf = (p_in % TILE).astype(jnp.float32)
-    pyf = (p_in // TILE).astype(jnp.float32)
-    kind = row9 - grp * 3                                  # 0=x, 1=y, 2=const
-    Pm = jnp.where(kind == 0, pxf,
-                   jnp.where(kind == 1, pyf,
-                             jnp.where(kind == 2, 1.0, 0.0)))
+    p_in = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    xl = (p_in % TILE).astype(jnp.float32)                 # tile-local coords
+    yl = (p_in // TILE).astype(jnp.float32)
 
     def get_dma(buf, j):
         return pltpu.make_async_copy(recs_hbm.at[wslot_ref[s0 + j]],
@@ -169,19 +170,7 @@ def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref, vis_ref,
                 get_dma((j + 1) % 2, j + 1).start()
 
             get_dma(cur, j).wait()
-            A = rec_s[cur][:, 0:9]                         # (96, 9) plane coeffs
-            # re-center plane constants on the tile origin in exact f32
-            def adj(k):                                    # (96, 1)
-                return (A[:, k + 0:k + 1] * oxf + A[:, k + 1:k + 2] * oyf
-                        + A[:, k + 2:k + 3])
-            Aloc = jnp.concatenate(
-                [A[:, 0:2], adj(0), A[:, 3:5], adj(3), A[:, 6:8], adj(6)],
-                axis=1)                                    # (96, 9)
-            L = jax.lax.dot_general(Aloc, Pm, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            l1 = L[:, 0:PIX]                               # (96, PIX)
-            l2 = L[:, PIX:2 * PIX]
-            z = L[:, 2 * PIX:3 * PIX]
+            l1, l2, z = _plane_eval(rec_s[cur], oxf, oyf, xl, yl)
             inside = (l1 >= 0.0) & (l2 >= 0.0) & (l1 + l2 <= 1.0)
             zm = jnp.where(inside, z, -1.0)                # (96, PIX)
             best = jnp.max(zm, axis=0, keepdims=True)      # (1, PIX)
@@ -226,21 +215,12 @@ def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
     oy = (t // tx + ty0) * TILE
     oxf = ox.astype(jnp.float32) + 0.5
     oyf = oy.astype(jnp.float32) + 0.5
-    lane9 = jax.lax.broadcasted_iota(jnp.int32, (9, 3 * PIX), 1)
-    row9 = jax.lax.broadcasted_iota(jnp.int32, (9, 3 * PIX), 0)
-    p_in = lane9 % PIX
-    grp = lane9 // PIX
-    pxf = (p_in % TILE).astype(jnp.float32)
-    pyf = (p_in // TILE).astype(jnp.float32)
-    kind = row9 - grp * 3
-    Pm = jnp.where(kind == 0, pxf,
-                   jnp.where(kind == 1, pyf,
-                             jnp.where(kind == 2, 1.0, 0.0)))
-
+    p_in = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    xl = (p_in % TILE).astype(jnp.float32)
+    yl = (p_in // TILE).astype(jnp.float32)
     # global pixel coords for the attribute plane eval (exact f32 on VPU)
-    pg = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    pxg = (pg % TILE).astype(jnp.float32) + oxf
-    pyg = (pg // TILE).astype(jnp.float32) + oyf
+    pxg = xl + oxf
+    pyg = yl + oyf
 
     def get_dma(buf, j):
         return pltpu.make_async_copy(recs_hbm.at[wslot_ref[s0 + j]],
@@ -263,20 +243,7 @@ def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
                 get_dma((j + 1) % 2, j + 1).start()
 
             get_dma(cur, j).wait()
-            A = rec_s[cur][:, 0:9]
-
-            def adj(k):
-                return (A[:, k + 0:k + 1] * oxf + A[:, k + 1:k + 2] * oyf
-                        + A[:, k + 2:k + 3])
-
-            Aloc = jnp.concatenate(
-                [A[:, 0:2], adj(0), A[:, 3:5], adj(3), A[:, 6:8], adj(6)],
-                axis=1)
-            L = jax.lax.dot_general(Aloc, Pm, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            l1 = L[:, 0:PIX]
-            l2 = L[:, PIX:2 * PIX]
-            z = L[:, 2 * PIX:3 * PIX]
+            l1, l2, z = _plane_eval(rec_s[cur], oxf, oyf, xl, yl)
             inside = (l1 >= 0.0) & (l2 >= 0.0) & (l1 + l2 <= 1.0)
             zm = jnp.where(inside, z, -1.0)
             best = jnp.max(zm, axis=0, keepdims=True)
@@ -351,6 +318,7 @@ def raster_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
     tile == tiles sentinel). Returns depth (tiles, 1024) f32, visid (tiles,
     1024) i32 in row-major 32x32 tile pixel order."""
     T = tiles
+    rec_lanes = records.shape[-1]
     tile_start = jnp.searchsorted(work_tile, jnp.arange(T + 1, dtype=jnp.int32)
                                   ).astype(jnp.int32)
     kern = functools.partial(_raster_kernel, tx=tx, ty0=ty0,
@@ -358,7 +326,7 @@ def raster_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -366,7 +334,7 @@ def raster_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, MAX_TRIS, REC_LANES), jnp.float32),
+            pltpu.VMEM((2, MAX_TRIS, rec_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -391,13 +359,14 @@ def raster_resolve_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
     rows 0:3 world pos, 3:6 shading normal (unnormalized), 6:8 uv, 8:11 prev
     world pos, 11 material id, 12:15 geometric normal (unnormalized), 15 pad."""
     T = tiles
+    rec_lanes = records.shape[-1]
     tile_start = jnp.searchsorted(work_tile, jnp.arange(T + 1, dtype=jnp.int32)
                                   ).astype(jnp.int32)
     kern = functools.partial(_raster_resolve_kernel, tx=tx, ty0=ty0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -407,7 +376,7 @@ def raster_resolve_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, MAX_TRIS, REC_LANES), jnp.float32),
+            pltpu.VMEM((2, MAX_TRIS, rec_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -142,6 +142,36 @@ class SceneGPU:
         one LOD, and LOD0 has the most meshlets."""
         return int(np.sum(np.asarray(self.pair_lod) == 0))
 
+    def bucket_pair_capacity(self, modes) -> int:
+        """lod0_pair_capacity restricted to instances whose alpha mode is in
+        ``modes`` — the raster capacity for a per-bucket pass (masked or
+        transparent buckets are usually tiny; sizing their raster calls by the
+        global capacity wasted ~6x setup bandwidth on the stress scene)."""
+        lod0 = np.asarray(self.pair_lod) == 0
+        am = np.asarray(self.inst_alpha_mode)[np.asarray(self.pair_inst)]
+        sel = np.zeros_like(lod0)
+        for m in modes:
+            sel |= am == m
+        return int(np.sum(lod0 & sel))
+
+    def shadow_pair_capacity(self, biases) -> int:
+        """Static bound on (cascade, pair) shadow-raster slots: per cascade c,
+        every shadow-casting instance contributes at most its meshlet count at
+        LOD min(biases[c], lod_count-1) (the finest LOD the cascade can pick
+        under its shadow LOD bias; counts shrink with coarser LODs)."""
+        pl = np.asarray(self.pair_lod)
+        pi = np.asarray(self.pair_inst)
+        n = self.num_instances
+        counts = np.zeros((n, int(pl.max()) + 1), np.int64)
+        np.add.at(counts, (pi, pl), 1)
+        lc = np.asarray(self.prim_lod_count)[np.asarray(self.inst_prim)]
+        casts = np.asarray(self.inst_alpha_mode) < 2
+        total = 0
+        for b in biases:
+            lod = np.minimum(b, lc - 1)
+            total += int(np.sum(counts[np.arange(n), lod] * casts))
+        return max(total, 1)
+
 
 # Material float-layout offsets
 MAT_BASE_COLOR = 0      # 4

@@ -46,7 +46,9 @@ def test_csm_box_shadows_plane():
         slots, _ = cullops.compact_mask(cu["mask"], cap)
         ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
         gb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
-        data = csmops.render_cascades(gpu, vc, jnp.asarray(sun), cap,
+        # capacity spans the flattened (cascade, pair) slot table
+        data = csmops.render_cascades(gpu, vc, jnp.asarray(sun),
+                                      cap * csmops.NUM_CASCADES,
                                       max_distance=30.0)
         mask = csmops.csm_shadow_mask(data, vc, gb.world_pos, gb.geo_normal,
                                       gb.valid, jnp.asarray(sun))
