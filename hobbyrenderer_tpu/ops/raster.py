@@ -154,7 +154,8 @@ def build_raster_aux(gpu, vc, slots, slot_valid, screen, zndc, w, vert_ok,
 
 def build_worklist(screen, vert_ok, slot_valid, width, height,
                    capacity: int,
-                   ty0: int = 0, ty_count: int = None):
+                   ty0: int = 0, ty_count: int = None,
+                   sub_count=None, n_sub: int = 1):
     """Meshlet screen AABB -> flat (tile, slot) work list.
 
     Replaces per-tile fixed-capacity lists: raster work becomes proportional to
@@ -163,6 +164,10 @@ def build_worklist(screen, vert_ok, slot_valid, width, height,
 
     ty0/ty_count select a band of tile rows (framebuffer row-sharding across the
     device mesh, SURVEY.md §5.8). Returned tile ids are band-local.
+
+    sub_count (C,) i32 in [1, n_sub] emits sub_count[s] work items per covered
+    tile with slot ids s * n_sub + k — the Pallas kernel's 32-triangle record
+    chunks (only LIVE chunks get work items; a 52-tri meshlet emits 2 of 3).
 
     Returns (work_tile (Wcap,), work_slot (Wcap,), count, overflow)."""
     big = jnp.float32(1e9)
@@ -192,7 +197,9 @@ def build_worklist(screen, vert_ok, slot_valid, width, height,
     ok = ok & in_band
     nx = bx1 - bx0 + 1
     nyc = by1 - by0 + 1
-    n = jnp.where(ok, nx * nyc, 0)                                 # (C,) covers
+    sub = (jnp.ones((C_,), jnp.int32) if sub_count is None
+           else jnp.clip(sub_count, 1, n_sub))
+    n = jnp.where(ok, nx * nyc * sub, 0)                           # (C,) covers
 
     # RECT EMISSION (no (C, T) cover matrix, no multi-million-element scatter):
     # exclusive-prefix offsets per slot, scatter only C segment heads, then a
@@ -208,11 +215,15 @@ def build_worklist(screen, vert_ok, slot_valid, width, height,
     valid = (pos_in_work < count) & (work_slot >= 0)
     ws = jnp.maximum(work_slot, 0)
     k = pos_in_work - offs[ws]
+    # item k of slot s = (tile index k // sub[s], sub-slot k % sub[s])
+    ksub = k % jnp.maximum(sub[ws], 1)
+    k = k // jnp.maximum(sub[ws], 1)
     dx = k % jnp.maximum(nx[ws], 1)
     dy = k // jnp.maximum(nx[ws], 1)
     tile = (by0[ws] + dy) * tx + (bx0[ws] + dx)
     tile = jnp.where(valid, tile, T)                # sentinel: dropped by segments
-    work_slot = jnp.where(valid, ws, -1)
+    out_slot = ws * n_sub + ksub if n_sub > 1 else ws
+    work_slot = jnp.where(valid, out_slot, -1)
     # sort by tile id so depth/vis folds are segment reductions over sorted ids
     order = jnp.argsort(tile)
     return tile[order], work_slot[order], jnp.minimum(count, capacity), overflow
@@ -295,13 +306,62 @@ def rasterize(gpu, vc, slots, width: int, height: int,
     ty = -(-shard_height // TILE)
     tx = -(-width // TILE)
     T = tx * ty
-    work_tile, work_slot, work_count, overflow = build_worklist(
-        screen, vert_ok, slot_valid, width, height, worklist_capacity,
-        ty0=ty0, ty_count=ty)
 
     PIX = TILE * TILE
     TC = tri_chunk
     n_chunks = MESHLET_MAX_TRIS // TC
+
+    # Affine triangle setup: lambda1/lambda2/depth as plane equations over screen
+    # space — the per-pixel inner loop then evaluates 3 affine functions (6 FMA)
+    # with a single (B, R, P) temp instead of materializing ~10 edge-function
+    # intermediates (the previous form was HBM-bound on those temps).
+    coeff = _tri_affine_coeffs(tv, tz, inv_a2, tok)                 # (C, 96, 10)
+
+    if _use_pallas(backend):
+        # Pallas tile kernel: depth/vis accumulators live in VMEM; per-item
+        # records stream via double-buffered DMA (see ops/raster_pallas.py).
+        # Records are split into 32-triangle chunks with one worklist item per
+        # LIVE chunk (most meshlets carry < 96 real triangles), so kernel VPU
+        # work tracks real triangle count; ids keep the slot*96+tri encoding.
+        from hobbyrenderer_tpu.ops import raster_pallas as rp
+        interp = jax.default_backend() != "tpu"
+        Hp, Wp = ty * TILE, tx * TILE
+        tri_cnt = jnp.where(slot_valid, gpu.ml_tri_count[ml], 1)
+        slot_chunks = jnp.clip(
+            (tri_cnt + rp.TRI_CHUNK - 1) // rp.TRI_CHUNK,
+            1, rp.N_CHUNKS).astype(jnp.int32)
+        work_tile, work_slot, work_count, overflow = build_worklist(
+            screen, vert_ok, slot_valid, width, height,
+            2 * worklist_capacity, ty0=ty0, ty_count=ty,
+            sub_count=slot_chunks, n_sub=rp.N_CHUNKS)
+        if resolve_attrs and not depth_only:
+            records = rp.build_full_records(coeff, aux.tri_screen, aux.tri_attr)
+            records = records.reshape(-1, rp.TRI_CHUNK, records.shape[-1])
+            depth_t, vis_t, attr_t = rp.raster_resolve_tiles(
+                records, work_tile, work_slot, tiles=T, tx=tx,
+                ty0=ty0, interpret=interp)
+            attr_img = (attr_t.reshape(ty, tx, rp.ATTR_ROWS, TILE, TILE)
+                        .transpose(0, 3, 1, 4, 2)
+                        .reshape(Hp, Wp, rp.ATTR_ROWS)
+                        [:shard_height, :width])
+        else:
+            records = rp.build_tri_records(coeff)
+            records = records.reshape(-1, rp.TRI_CHUNK, records.shape[-1])
+            depth_t, vis_t = rp.raster_tiles(
+                records, work_tile, work_slot, tiles=T, tx=tx,
+                ty0=ty0, depth_only=depth_only, interpret=interp)
+            attr_img = None
+        depth_img = depth_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
+        vis_img = vis_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
+        out = RasterOutput(depth_img[:shard_height, :width],
+                           vis_img[:shard_height, :width], overflow)
+        if resolve_attrs:
+            return out, aux, attr_img
+        return out, aux
+
+    work_tile, work_slot, work_count, overflow = build_worklist(
+        screen, vert_ok, slot_valid, width, height, worklist_capacity,
+        ty0=ty0, ty_count=ty)
     ly, lx = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
     local = jnp.stack([lx.reshape(-1), ly.reshape(-1)], -1).astype(jnp.float32) + 0.5
 
@@ -318,41 +378,6 @@ def rasterize(gpu, vc, slots, width: int, height: int,
                          (btile // tx + ty0) * TILE], -1).astype(jnp.float32)
         px = org[:, None, :] + local[None, :, :]                    # (B, P, 2)
         return btile, s, bvalid, px
-
-    # Affine triangle setup: lambda1/lambda2/depth as plane equations over screen
-    # space — the per-pixel inner loop then evaluates 3 affine functions (6 FMA)
-    # with a single (B, R, P) temp instead of materializing ~10 edge-function
-    # intermediates (the previous form was HBM-bound on those temps).
-    coeff = _tri_affine_coeffs(tv, tz, inv_a2, tok)                 # (C, 96, 10)
-
-    if _use_pallas(backend):
-        # Pallas tile kernel: depth/vis accumulators live in VMEM; per-item
-        # records stream via double-buffered DMA (see ops/raster_pallas.py)
-        from hobbyrenderer_tpu.ops import raster_pallas as rp
-        interp = jax.default_backend() != "tpu"
-        Hp, Wp = ty * TILE, tx * TILE
-        if resolve_attrs and not depth_only:
-            records = rp.build_full_records(coeff, aux.tri_screen, aux.tri_attr)
-            depth_t, vis_t, attr_t = rp.raster_resolve_tiles(
-                records, work_tile, work_slot, tiles=T, tx=tx, ty0=ty0,
-                interpret=interp)
-            attr_img = (attr_t.reshape(ty, tx, rp.ATTR_ROWS, TILE, TILE)
-                        .transpose(0, 3, 1, 4, 2)
-                        .reshape(Hp, Wp, rp.ATTR_ROWS)
-                        [:shard_height, :width])
-        else:
-            records = rp.build_tri_records(coeff)
-            depth_t, vis_t = rp.raster_tiles(
-                records, work_tile, work_slot, tiles=T, tx=tx, ty0=ty0,
-                depth_only=depth_only, interpret=interp)
-            attr_img = None
-        depth_img = depth_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
-        vis_img = vis_t.reshape(ty, tx, TILE, TILE).transpose(0, 2, 1, 3).reshape(Hp, Wp)
-        out = RasterOutput(depth_img[:shard_height, :width],
-                           vis_img[:shard_height, :width], overflow)
-        if resolve_attrs:
-            return out, aux, attr_img
-        return out, aux
 
     def item_depth_id(s, bvalid, px):
         """(best depth, best triangle id) per pixel across the item's triangles."""
@@ -477,16 +502,25 @@ def rasterize_shadow_atlas(gpu, vps, slots, res: int,
     tx = res // TILE
     ty = n_views * res // TILE
     T = tx * ty
-    work_tile, work_slot, _wc, _ov = build_worklist(
-        screen, vert_ok, slot_valid, res, n_views * res, worklist_capacity)
 
     if _use_pallas(backend):
         from hobbyrenderer_tpu.ops import raster_pallas as rp
+        tri_cnt = jnp.where(slot_valid, gpu.ml_tri_count[ml], 1)
+        slot_chunks = jnp.clip(
+            (tri_cnt + rp.TRI_CHUNK - 1) // rp.TRI_CHUNK,
+            1, rp.N_CHUNKS).astype(jnp.int32)
+        work_tile, work_slot, _wc, _ov = build_worklist(
+            screen, vert_ok, slot_valid, res, n_views * res,
+            2 * worklist_capacity, sub_count=slot_chunks, n_sub=rp.N_CHUNKS)
         records = rp.build_tri_records(coeff)
-        depth_t, _vis = rp.raster_tiles(records, work_tile, work_slot, tiles=T,
+        records = records.reshape(-1, rp.TRI_CHUNK, records.shape[-1])
+        depth_t, _vis = rp.raster_tiles(records, work_tile, work_slot,
+                                        tiles=T,
                                         tx=tx, depth_only=True,
                                         interpret=jax.default_backend() != "tpu")
     else:
+        work_tile, work_slot, _wc, _ov = build_worklist(
+            screen, vert_ok, slot_valid, res, n_views * res, worklist_capacity)
         # XLA fallback (CPU tests): reuse the segment-reduction path
         PIXn = TILE * TILE
         B = 256

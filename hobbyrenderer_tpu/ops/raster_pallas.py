@@ -39,6 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 32
 PIX = TILE * TILE          # 1024 = one (8, 128) f32 block
 MAX_TRIS = 96
+# Most meshlets carry far fewer than 96 real triangles (LOD1+ averages ~52 on
+# the stress scene), so callers split each 96-row record into 32-row CHUNKS
+# and emit one worklist item per LIVE chunk (build_worklist sub_count): the
+# kernel evaluates a fixed 32 rows per item with no inner loop (an in-kernel
+# per-item chunk fori_loop was tried first and its scalar loop overhead cost
+# more than the skipped rows saved). Triangle ids survive the re-indexing
+# exactly: (slot*3 + chunk)*32 + row == slot*96 + tri.
+TRI_CHUNK = 32
+N_CHUNKS = MAX_TRIS // TRI_CHUNK
 # Mosaic requires HBM slice minor dims aligned to the 128-lane tiling, so
 # records are padded to full 128-lane rows (a plane-major re-layout could cut
 # the DMA to 8 KB/record; deferred until the DMA stream shows up in profiles)
@@ -136,8 +145,9 @@ def _plane_eval(A, oxf, oyf, xl, yl):
     return ev(0), ev(3), ev(6)
 
 
-def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref, vis_ref,
-                   rec_s, sem, *, tx: int, ty0: int, depth_only: bool):
+def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
+                   vis_ref, rec_s, sem, *, tx: int, ty0: int, rows: int,
+                   depth_only: bool):
     t = pl.program_id(0)
     s0 = tile_start_ref[t]
     s1 = tile_start_ref[t + 1]
@@ -172,15 +182,15 @@ def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref, vis_ref,
             get_dma(cur, j).wait()
             l1, l2, z = _plane_eval(rec_s[cur], oxf, oyf, xl, yl)
             inside = (l1 >= 0.0) & (l2 >= 0.0) & (l1 + l2 <= 1.0)
-            zm = jnp.where(inside, z, -1.0)                # (96, PIX)
+            zm = jnp.where(inside, z, -1.0)                # (rows, PIX)
             best = jnp.max(zm, axis=0, keepdims=True)      # (1, PIX)
             upd = best > z_acc
             z_acc = jnp.where(upd, best, z_acc)
             if not depth_only:
-                tri_i = jax.lax.broadcasted_iota(jnp.int32, (MAX_TRIS, PIX), 0)
+                tri_i = jax.lax.broadcasted_iota(jnp.int32, (rows, PIX), 0)
                 ids = jnp.where(zm == best, tri_i, jnp.int32(0x7FFFFFFF))
                 bid = jnp.min(ids, axis=0, keepdims=True)  # (1, PIX)
-                gid = wslot_ref[s0 + j] * MAX_TRIS + bid
+                gid = wslot_ref[s0 + j] * rows + bid
                 id_acc = jnp.where(upd & (best > 0.0), gid, id_acc)
             return z_acc, id_acc
 
@@ -199,8 +209,9 @@ def _raster_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref, vis_ref,
         vis_ref[:] = id_none.reshape(1, 8, 128)
 
 
-def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
-                           vis_ref, attr_ref, rec_s, sem, *, tx: int, ty0: int):
+def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm,
+                           depth_ref, vis_ref, attr_ref, rec_s, sem, *,
+                           tx: int, ty0: int, rows: int):
     """Raster + attribute resolve fused: loop 1 finds the winning (depth, id)
     per pixel; loop 2 re-streams only the records whose meshlet won any pixel
     and interpolates its perspective-correct attribute planes (the reference
@@ -249,10 +260,10 @@ def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
             best = jnp.max(zm, axis=0, keepdims=True)
             upd = best > z_acc
             z_acc = jnp.where(upd, best, z_acc)
-            tri_i = jax.lax.broadcasted_iota(jnp.int32, (MAX_TRIS, PIX), 0)
+            tri_i = jax.lax.broadcasted_iota(jnp.int32, (rows, PIX), 0)
             ids = jnp.where(zm == best, tri_i, jnp.int32(0x7FFFFFFF))
             bid = jnp.min(ids, axis=0, keepdims=True)
-            gid = wslot_ref[s0 + j] * MAX_TRIS + bid
+            gid = wslot_ref[s0 + j] * rows + bid
             id_acc = jnp.where(upd & (best > 0.0), gid, id_acc)
             return z_acc, id_acc
 
@@ -262,7 +273,7 @@ def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
         vis_ref[:] = idf.reshape(1, 8, 128)
 
         # ---- loop 2: attribute planes for winning meshlets only ----
-        win_slot = jnp.where(idf >= 0, idf // MAX_TRIS, -1)   # (1, PIX)
+        win_slot = jnp.where(idf >= 0, idf // rows, -1)       # (1, PIX)
         get_dma(0, 0).start()
 
         def body2(j, attr_acc):
@@ -277,10 +288,10 @@ def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
             pxmask = win_slot == slot                          # (1, PIX)
 
             def interp(acc):
-                local = jnp.where(pxmask, idf - slot * MAX_TRIS, -1)
-                tri_i = jax.lax.broadcasted_iota(jnp.int32, (MAX_TRIS, PIX), 0)
-                onehot = (tri_i == local).astype(jnp.float32)  # (96, PIX)
-                cofs = rec_s[cur][:, 16:64]                    # (96, 48)
+                local = jnp.where(pxmask, idf - slot * rows, -1)
+                tri_i = jax.lax.broadcasted_iota(jnp.int32, (rows, PIX), 0)
+                onehot = (tri_i == local).astype(jnp.float32)  # (rows, PIX)
+                cofs = rec_s[cur][:, 16:64]                    # (rows, 48)
                 csel = jax.lax.dot_general(
                     cofs, onehot, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # (48, PIX)
@@ -309,19 +320,23 @@ def _raster_resolve_kernel(tile_start_ref, wslot_ref, recs_hbm, depth_ref,
 
 @functools.partial(jax.jit, static_argnames=("tiles", "tx", "ty0", "depth_only",
                                              "interpret"))
-def raster_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
+def raster_tiles(records, work_tile, work_slot, *,
+                 tiles: int, tx: int,
                  ty0: int = 0, depth_only: bool = False,
                  interpret: bool = False):
     """Run the tile-raster kernel.
 
-    records (C, 96, 16) f32; work_tile/work_slot (Wcap,) i32 tile-sorted (pad:
-    tile == tiles sentinel). Returns depth (tiles, 1024) f32, visid (tiles,
-    1024) i32 in row-major 32x32 tile pixel order."""
+    records (S, rows, 16) f32 — one record per worklist-addressable slot, rows
+    triangles each (callers chunk 96-tri meshlets into 3 x 32-row records and
+    the worklist addresses chunks); work_tile/work_slot (Wcap,) i32 tile-sorted
+    (pad: tile == tiles sentinel). Returns depth (tiles, 1024) f32, visid
+    (tiles, 1024) i32 (id = slot * rows + row) in row-major 32x32 tile order."""
     T = tiles
+    rows = records.shape[1]
     rec_lanes = records.shape[-1]
     tile_start = jnp.searchsorted(work_tile, jnp.arange(T + 1, dtype=jnp.int32)
                                   ).astype(jnp.int32)
-    kern = functools.partial(_raster_kernel, tx=tx, ty0=ty0,
+    kern = functools.partial(_raster_kernel, tx=tx, ty0=ty0, rows=rows,
                              depth_only=depth_only)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -334,7 +349,7 @@ def raster_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, MAX_TRIS, rec_lanes), jnp.float32),
+            pltpu.VMEM((2, rows, rec_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -351,18 +366,21 @@ def raster_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tiles", "tx", "ty0", "interpret"))
-def raster_resolve_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
+def raster_resolve_tiles(records, work_tile, work_slot, *,
+                         tiles: int, tx: int,
                          ty0: int = 0, interpret: bool = False):
-    """Fused raster + attribute resolve (records from build_full_records).
+    """Fused raster + attribute resolve (records from build_full_records,
+    optionally chunked to (3C, 32, 128) with chunk-granular worklist slots).
 
     Returns depth (T, 1024) f32, visid (T, 1024) i32, attrs (T, 16, 1024) f32:
     rows 0:3 world pos, 3:6 shading normal (unnormalized), 6:8 uv, 8:11 prev
     world pos, 11 material id, 12:15 geometric normal (unnormalized), 15 pad."""
     T = tiles
+    rows = records.shape[1]
     rec_lanes = records.shape[-1]
     tile_start = jnp.searchsorted(work_tile, jnp.arange(T + 1, dtype=jnp.int32)
                                   ).astype(jnp.int32)
-    kern = functools.partial(_raster_resolve_kernel, tx=tx, ty0=ty0)
+    kern = functools.partial(_raster_resolve_kernel, tx=tx, ty0=ty0, rows=rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -376,7 +394,7 @@ def raster_resolve_tiles(records, work_tile, work_slot, *, tiles: int, tx: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, MAX_TRIS, rec_lanes), jnp.float32),
+            pltpu.VMEM((2, rows, rec_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
