@@ -39,9 +39,11 @@ from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 class SceneRT(NamedTuple):
     """Ray-tracing snapshot: world-space BVH + per-triangle attribute tables.
 
-    v1 is a flattened snapshot at LOD0 (matching the reference path tracer's
-    always-LOD0); rebuilt on scene edit. The TLAS/BLAS split replaces this for
-    dynamic scenes (ops/tlas.py milestone).
+    A flattened snapshot at LOD0 (matching the reference path tracer's
+    always-LOD0). DYNAMIC scenes stay correct through refit_scene_rt(): the
+    tree topology is host-built once, and per-frame instance motion re-runs the
+    device-side box/leaf refit (the per-frame TLAS-rebuild analogue, ref
+    src/CommonRenderers.cpp:186-250, src/Scene.cpp:67-214).
 
     Oversized triangles are SUBDIVIDED before the BVH build (a giant triangle's
     AABB poisons every ancestor's bounds: grazing rays were taking 16k lockstep
@@ -54,6 +56,8 @@ class SceneRT(NamedTuple):
     tri_mat: jnp.ndarray       # (T,) i32 material id
     split_to_orig: jnp.ndarray  # (Ts,) i32 split tri -> original tri
     split_bary: jnp.ndarray    # (Ts, 3, 2) f32 original (u,v) of split verts
+    split_world0: jnp.ndarray  # (Ts, 3, 3) f32 split verts at LOAD-time world
+    inst_inv0: jnp.ndarray     # (N, 4, 4) f32 inverse load-time world matrix
 
 
 def _subdivide_large(tri_verts: np.ndarray, max_rounds: int = 4,
@@ -118,12 +122,31 @@ def build_scene_rt(scene, gpu) -> SceneRT:
     tri_verts = np.concatenate(tris, 0).astype(np.float32)
     split_verts, split_to_orig, split_bary = _subdivide_large(tri_verts)
     bvh = bvhops.build_bvh(split_verts)
+    inst_inv0 = np.stack([np.linalg.inv(scene.nodes[I.node].world)
+                          for I in scene.instances]).astype(np.float32)
     return SceneRT(bvh=bvh,
                    tri_gv=jnp.asarray(np.concatenate(gvs, 0)),
                    tri_inst=jnp.asarray(np.concatenate(insts, 0)),
                    tri_mat=jnp.asarray(np.concatenate(mats, 0)),
                    split_to_orig=jnp.asarray(split_to_orig),
-                   split_bary=jnp.asarray(split_bary))
+                   split_bary=jnp.asarray(split_bary),
+                   split_world0=jnp.asarray(split_verts),
+                   inst_inv0=jnp.asarray(inst_inv0))
+
+
+@jax.jit
+def refit_scene_rt(rt: SceneRT, inst_transform) -> SceneRT:
+    """Per-frame RT update for moved/animated instances.
+
+    inst_transform (N, 4, 4): CURRENT world matrices (SceneGPU.inst_transform).
+    Moves every split triangle by M_i = W_now @ W_load^-1 of its instance and
+    refits the BVH boxes on device — the TLAS-rebuild-per-frame analogue
+    (ref src/Scene.cpp:67-214; D3D12 BuildRaytracingAccelerationStructure)."""
+    M = jnp.einsum("nij,njk->nik", inst_transform, rt.inst_inv0)
+    Mi = M[rt.tri_inst[rt.split_to_orig]]                     # (Ts, 4, 4)
+    v = jnp.einsum("tij,tvj->tvi", Mi[:, :3, :3], rt.split_world0) \
+        + Mi[:, None, :3, 3]
+    return rt._replace(bvh=bvhops.refit_bvh(rt.bvh, v))
 
 
 def camera_rays(vc, height: int, width: int, jitter_uv):

@@ -1,22 +1,34 @@
-"""BVH build (host, vectorized numpy LBVH) + device traversal (jnp wavefront).
+"""BVH build (host, vectorized numpy) + device traversal (jnp wavefront).
 
 Reference: Scene::BuildAccelerationStructures (src/Scene.cpp:67-214) builds a BLAS
 per primitive per LOD + a TLAS over instances via D3D12 hardware; traversal is
-RayQuery in HLSL (RaytracingCommon.hlsli). On TPU both are software:
+RayQuery in HLSL (RaytracingCommon.hlsli). On TPU both are software, and the
+design is driven by one measured number: random HBM row gathers cost ~10 ns per
+ROW regardless of row width, so traversal cost ~= rays x steps x gathers/step.
 
-- BUILD: Morton-ordered implicit balanced binary tree ("treelet LBVH"): triangles
-  sorted by centroid Morton code, grouped into K-triangle leaves, interior nodes in
-  heap layout (children of i are 2i+1, 2i+2) with AABBs computed bottom-up, fully
-  vectorized. No pointers: the topology is implicit in the array index, which makes
-  the traversal loop branch-light — the property that matters for the lockstep TPU
-  wavefront.
-- TRAVERSAL: a lax.while_loop over a wavefront of rays in lockstep, per-ray explicit
-  stack (R, DEPTH) in registers/VMEM. Near-child-first ordering via per-ray swap.
-  Leaf hits test K triangles vectorized (SURVEY.md §7 "BVH traversal divergence").
+- SHAPE: 4-wide BVH in an implicit complete 4-ary heap (L = 4^m leaves,
+  I = (L-1)/3 interior nodes; children of q are 4q+1..4q+4; node q >= I is leaf
+  q - I). Quarter the depth-2 steps of a binary tree per ray.
+- UNIFIED NODE TABLE: interior rows hold all four children's AABBs (24 f32),
+  leaf rows hold K=4 triangle records (v0, e1, e2, id) x 4 = 40 f32 — both in
+  ONE (I+L, 40) table, so every traversal step costs exactly ONE row gather
+  (the previous binary layout fetched child boxes AND leaf rows every step).
+- TRAVERSAL: lockstep lax.while_loop; per-lane explicit stack (R, D) with
+  one-hot push/pop (D = 3*depth+2); children visited near-first via a 4-wide
+  sorting network on slab-entry t.
+- COMPACTION: the lockstep wavefront pays for its slowest lane, so traversal
+  runs in PHASES — after a fixed step budget the still-live rays (typically a
+  small fraction) are argsort-compacted into a narrower wavefront and continue.
+  Cost drops from R x max_steps to ~ R x mean_steps.
+- REFIT (dynamic scenes): the tree TOPOLOGY (triangle order) is host-built
+  once; refit_bvh() recomputes leaf rows and all box rows on device from
+  transformed world triangles — pure streaming min/max sweeps, no gathers of
+  note — the TPU analogue of the reference's per-frame TLAS rebuild
+  (src/CommonRenderers.cpp:186-250).
 
-The two-level (TLAS/BLAS) layout with per-instance transforms + LOD selection is
-layered on top in ops/tlas.py; the flattened world-space BVH here is used by the
-path tracer's "static snapshot" mode and as the BLAS representation."""
+Partitioning is level-wise MEDIAN SPLIT along each node's widest centroid axis
+(balanced => fits the implicit heap exactly; a Morton-ordered balanced tree had
+catastrophically overlapping siblings)."""
 
 from __future__ import annotations
 
@@ -26,79 +38,52 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hobbyrenderer_tpu.ops.intersect import INF, ray_aabb, ray_triangle, safe_inv_dir
+from hobbyrenderer_tpu.ops.intersect import INF, ray_aabb, safe_inv_dir
 
 LEAF_SIZE = 4
 
+# (steps, keep_fraction) wavefront phases: after `steps` lockstep iterations,
+# compact the still-live lanes into R * keep lanes and continue. Live rays
+# beyond the narrowed width keep their best-so-far (same failure mode as the
+# step cap — measured live fractions at each boundary are well under the keep:
+# random-ray drain on the 528k-tri stress scene is 60% live @ 16 steps, 4.7%
+# @ 48, 0.2% @ 96).
+PHASES = ((24, 1 / 2), (48, 1 / 16), (160, 1 / 32), (800, None))
+
 
 class BVH(NamedTuple):
-    """Heap-layout BVH. L leaves (pow2), 2L-1 nodes; node i's children are
-    2i+1/2i+2; leaves are nodes >= L-1, leaf j holds sorted tris [j*K, (j+1)*K).
+    """4-wide unified-table BVH. Static shape facts derive from array shapes:
+    L = (3 * table.rows + 1) // 4, I = (L - 1) // 3, K = order.size // L."""
 
-    TPU memory layout: gathers cost ~20ns per ROW regardless of row width, so
-    every per-step fetch is ONE row:
-    - child_boxes[i] = both children's AABBs of interior node i (12 floats);
-    - leaf_rows[j]   = all K triangles of leaf j, 10 floats each
-                       (v0, e1, e2, tid-as-float; f32 holds ids < 2^24 exactly).
-    This cut traversal gathers per lockstep iteration from ~14 to 2."""
-
-    child_boxes: jnp.ndarray  # (L-1, 12) f32: c0.lo, c0.hi, c1.lo, c1.hi (or (1,12) if L==1)
-    leaf_rows: jnp.ndarray    # (L, K*10) f32
-    root_box: jnp.ndarray     # (6,) f32 scene bounds (lo, hi)
-    num_tris: int             # original triangle count
+    table: jnp.ndarray     # (I + L, 40) f32 unified node rows
+    order: jnp.ndarray     # (L * K,) i32 leaf slot -> triangle id (-1 pad)
+    root_box: jnp.ndarray  # (6,) f32 scene bounds (lo, hi)
+    num_tris: int          # original triangle count
 
     @property
     def num_leaves(self) -> int:
-        return self.leaf_rows.shape[0]
+        return (3 * self.table.shape[0] + 1) // 4
+
+    @property
+    def n_interior(self) -> int:
+        return (self.num_leaves - 1) // 3
 
     @property
     def leaf_size(self) -> int:
-        return self.leaf_rows.shape[1] // 10
+        return self.order.shape[0] // self.num_leaves
 
     @property
     def depth(self) -> int:
-        return int(np.log2(self.num_leaves)) + 1
+        # 4-ary levels below the root
+        return max(1, (int(np.log2(max(self.num_leaves, 1))) + 1) // 2)
 
 
-def _morton3(x: np.ndarray) -> np.ndarray:
-    """(N, 3) ints in [0, 1024) -> 30-bit Morton codes."""
-
-    def spread(v):
-        v = v.astype(np.uint64)
-        v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
-        v = (v | (v << 16)) & np.uint64(0x1F0000FF0000FF)
-        v = (v | (v << 8)) & np.uint64(0x100F00F00F00F00F)
-        v = (v | (v << 4)) & np.uint64(0x10C30C30C30C30C3)
-        v = (v | (v << 2)) & np.uint64(0x1249249249249249)
-        return v
-
-    return spread(x[:, 0]) | (spread(x[:, 1]) << np.uint64(1)) | (spread(x[:, 2]) << np.uint64(2))
-
-
-def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
-              device_put: bool = True) -> BVH:
-    """tri_verts: (T, 3, 3) float32 world/object-space triangles.
-
-    Partitioning: level-wise MEDIAN SPLIT along each node's widest centroid
-    axis — balanced (fits the implicit heap exactly) with good spatial
-    separation. (A Morton-ordered balanced tree had catastrophically
-    overlapping siblings: grazing rays visited 10k+ nodes.)"""
-    tri_verts = np.asarray(tri_verts, np.float32)
-    T = tri_verts.shape[0]
-    assert T > 0, "empty BVH"
-
-    L = 1
-    while L * leaf_size < T:
-        L *= 2
+def _median_split_order(cent: np.ndarray, L: int, leaf_size: int) -> np.ndarray:
+    """Level-wise widest-axis median split -> permutation of N=L*K slots."""
     N = L * leaf_size
-    pad = N - T
-    cent = tri_verts.mean(axis=1)
-    if pad:
-        # padding sorts to +inf: clusters into the rightmost leaves
-        cent = np.concatenate([cent, np.full((pad, 3), np.inf, np.float32)], 0)
     order = np.arange(N)
-
-    n_levels = int(np.log2(L))
+    n_levels = int(np.log2(L)) if L > 1 else 0
+    import warnings
     for lvl in range(n_levels):
         seg_size = N >> lvl
         starts = np.arange(0, N, seg_size)
@@ -106,8 +91,6 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
         cf = np.where(np.isfinite(c), c, np.nan)
         seg_lo = np.full((len(starts), 3), np.inf, np.float32)
         seg_hi = np.full((len(starts), 3), -np.inf, np.float32)
-        # nan-aware segment extents (padding ignored)
-        import warnings
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
             for ax in range(3):
@@ -116,66 +99,128 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
                 seg_hi[:, ax] = np.nanmax(col, axis=1)
         seg_lo = np.where(np.isfinite(seg_lo), seg_lo, 0.0)
         seg_hi = np.where(np.isfinite(seg_hi), seg_hi, 0.0)
-        axis = np.argmax(seg_hi - seg_lo, axis=1)                    # per segment
+        axis = np.argmax(seg_hi - seg_lo, axis=1)
         seg_of = np.arange(N) // seg_size
         key = c[np.arange(N), axis[seg_of]]
         key = np.where(np.isfinite(key), key, np.inf)
         perm = np.lexsort((key, seg_of))
         order = order[perm]
+    return order
 
+
+def _binary_level_boxes(vlo, vhi, xp):
+    """Leaf boxes (L, 3) -> list of (lo, hi) per binary level, bottom-up
+    (index 0 = leaves, last = root)."""
+    levels = [(vlo, vhi)]
+    lo, hi = vlo, vhi
+    while lo.shape[0] > 1:
+        lo = xp.minimum(lo[0::2], lo[1::2])
+        hi = xp.maximum(hi[0::2], hi[1::2])
+        levels.append((lo, hi))
+    return levels
+
+
+def _assemble_table(leaf_rows, levels, L: int, xp):
+    """Interior rows from binary-level boxes + leaf rows -> (I+L, W) table.
+
+    4-ary level k's CHILDREN are binary level 2(k+1); binary level ell (from
+    the root) is levels[n_bin - ell] where n_bin = log2(L)."""
+    W = leaf_rows.shape[1]
+    n_bin = int(np.log2(L)) if L > 1 else 0
+    m = n_bin // 2
+    rows = []
+    for k in range(m):
+        lo, hi = levels[n_bin - 2 * (k + 1)]       # (4^(k+1), 3) each
+        boxes = xp.concatenate([lo, hi], axis=1)   # (4^(k+1), 6) lo|hi
+        rows.append(boxes.reshape(-1, 24))         # 4 children -> (4^k, 24)
+    if rows:
+        interior = xp.concatenate(rows, axis=0)
+        pad = xp.zeros((interior.shape[0], W - 24), interior.dtype)
+        interior = xp.concatenate([interior, pad], axis=1)
+        return xp.concatenate([interior, leaf_rows], axis=0)
+    return leaf_rows
+
+
+def _leaf_data(sorted_tris, tri_id, L: int, leaf_size: int, xp):
+    """Sorted triangles -> (leaf_rows (L, 40), leaf lo/hi (L, 3))."""
+    v0 = sorted_tris[:, 0]
+    e1 = sorted_tris[:, 1] - v0
+    e2 = sorted_tris[:, 2] - v0
+    tid = tri_id.astype(sorted_tris.dtype)[:, None]
+    tri_rec = xp.concatenate([v0, e1, e2, tid], axis=1)       # (L*K, 10)
+    leaf_rows = tri_rec.reshape(L, leaf_size * 10)
+
+    leaf_tris = sorted_tris.reshape(L, leaf_size, 3, 3)
+    valid = (tri_id.reshape(L, leaf_size) >= 0)[..., None, None]
+    vlo = xp.where(valid, leaf_tris, 1e30).reshape(L, -1, 3).min(1)
+    vhi = xp.where(valid, leaf_tris, -1e30).reshape(L, -1, 3).max(1)
+    return leaf_rows, vlo.astype(sorted_tris.dtype), \
+        vhi.astype(sorted_tris.dtype)
+
+
+def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
+              device_put: bool = True) -> BVH:
+    """tri_verts: (T, 3, 3) float32 world/object-space triangles."""
+    tri_verts = np.asarray(tri_verts, np.float32)
+    T = tri_verts.shape[0]
+    assert T > 0, "empty BVH"
+
+    L = 1
+    while L * leaf_size < T:
+        L *= 4                     # power-of-4 leaf count (4-ary heap)
+    N = L * leaf_size
+    pad = N - T
+    cent = tri_verts.mean(axis=1)
+    if pad:
+        cent = np.concatenate([cent, np.full((pad, 3), np.inf, np.float32)], 0)
+
+    order = _median_split_order(cent, L, leaf_size)
     valid = order < T
     sorted_tris = np.where(valid[:, None, None],
                            tri_verts[np.minimum(order, T - 1)],
                            np.float32(1e30))
     tri_id = np.where(valid, order, -1).astype(np.int32)
 
-    # leaf AABBs (padding leaves become inverted/huge but finite via masking)
-    leaf_tris = sorted_tris.reshape(L, leaf_size, 3, 3)
-    valid = (tri_id.reshape(L, leaf_size) >= 0)[..., None, None]
-    big = np.float32(1e30)
-    vlo = np.where(valid, leaf_tris, big).reshape(L, -1, 3).min(1)
-    vhi = np.where(valid, leaf_tris, -big).reshape(L, -1, 3).max(1)
+    leaf_rows, vlo, vhi = _leaf_data(sorted_tris, tri_id, L, leaf_size, np)
     # fully-empty leaves: inverted box (never hit)
-    empty = ~valid.reshape(L, -1).any(1)
-    vlo[empty] = big
-    vhi[empty] = -big
+    empty = ~(tri_id.reshape(L, leaf_size) >= 0).any(1)
+    vlo[empty] = np.float32(1e30)
+    vhi[empty] = np.float32(-1e30)
 
-    n_nodes = 2 * L - 1
-    node_lo = np.empty((n_nodes, 3), np.float32)
-    node_hi = np.empty((n_nodes, 3), np.float32)
-    node_lo[L - 1:] = vlo
-    node_hi[L - 1:] = vhi
-    # bottom-up levels (vectorized per level)
-    start = L - 1
-    while start > 0:
-        parent_start = (start - 1) // 2
-        n_par = start - parent_start
-        ch = np.arange(parent_start, start) * 2 + 1
-        node_lo[parent_start:start] = np.minimum(node_lo[ch], node_lo[ch + 1])
-        node_hi[parent_start:start] = np.maximum(node_hi[ch], node_hi[ch + 1])
-        start = parent_start
+    levels = _binary_level_boxes(vlo, vhi, np)
+    table = _assemble_table(leaf_rows, levels, L, np).astype(np.float32)
+    root_lo, root_hi = levels[-1]
+    root_box = np.concatenate([root_lo[0], root_hi[0]]).astype(np.float32)
 
-    v0 = sorted_tris[:, 0]
-    e1 = sorted_tris[:, 1] - v0
-    e2 = sorted_tris[:, 2] - v0
-    # pack leaf rows: K tris x [v0(3), e1(3), e2(3), tid(1 as f32; -1 padding)]
-    tri_rec = np.concatenate([v0, e1, e2, tri_id.astype(np.float32)[:, None]],
-                             axis=1)                          # (L*K, 10)
-    leaf_rows = tri_rec.reshape(L, leaf_size * 10)
-    # pack interior rows: both children's boxes
-    if L > 1:
-        ch = np.arange(0, L - 1) * 2 + 1
-        child_boxes = np.concatenate(
-            [node_lo[ch], node_hi[ch], node_lo[ch + 1], node_hi[ch + 1]],
-            axis=1).astype(np.float32)                        # (L-1, 12)
-    else:
-        child_boxes = np.zeros((1, 12), np.float32)
-    root_box = np.concatenate([node_lo[0], node_hi[0]]).astype(np.float32)
-    arrays = dict(child_boxes=child_boxes, leaf_rows=leaf_rows,
-                  root_box=root_box)
+    arrays = dict(table=table, order=tri_id, root_box=root_box)
     if device_put:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
     return BVH(num_tris=T, **arrays)
+
+
+def refit_bvh(bvh: BVH, tri_verts) -> BVH:
+    """Device-side refit: same topology, new triangle positions.
+
+    tri_verts (T, 3, 3) jnp f32 — the triangles build_bvh was given, moved.
+    Recomputes leaf rows + every box level with streaming min/max sweeps (the
+    per-frame TLAS-update analogue; ref src/CommonRenderers.cpp:186-250)."""
+    L = bvh.num_leaves
+    K = bvh.leaf_size
+    tri_id = bvh.order
+    valid = tri_id >= 0
+    st = tri_verts[jnp.maximum(tri_id, 0)]                    # (L*K, 3, 3)
+    st = jnp.where(valid[:, None, None], st, jnp.float32(1e30))
+
+    leaf_rows, vlo, vhi = _leaf_data(st, tri_id, L, K, jnp)
+    empty = ~(valid.reshape(L, K)).any(1)
+    vlo = jnp.where(empty[:, None], jnp.float32(1e30), vlo)
+    vhi = jnp.where(empty[:, None], jnp.float32(-1e30), vhi)
+
+    levels = _binary_level_boxes(vlo, vhi, jnp)
+    table = _assemble_table(leaf_rows, levels, L, jnp)
+    root_lo, root_hi = levels[-1]
+    root_box = jnp.concatenate([root_lo[0], root_hi[0]])
+    return bvh._replace(table=table, root_box=root_box)
 
 
 class HitRecord(NamedTuple):
@@ -186,109 +231,216 @@ class HitRecord(NamedTuple):
     front: jnp.ndarray    # (R,) bool det>0 (front-facing per winding)
 
 
+def _sort4(keys, vals):
+    """4-wide sorting network (5 compare-swaps) on parallel lanes."""
+    def cs(i, j):
+        swap = keys[i] > keys[j]
+        keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                            jnp.where(swap, keys[i], keys[j]))
+        vals[i], vals[j] = (jnp.where(swap, vals[j], vals[i]),
+                            jnp.where(swap, vals[i], vals[j]))
+    cs(0, 1); cs(2, 3); cs(0, 2); cs(1, 3); cs(1, 2)
+    return keys, vals
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _tri_hit_soa(o3, d3, c, base, t_min, t_max):
+    """Möller-Trumbore on component (R,) arrays. c: (40, R) record columns;
+    base: column offset of [v0(3), e1(3), e2(3), tid]. TPU note: (R, 3)-shaped
+    vector math runs at 3/128 VPU lane occupancy; the SoA form is full-width."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    v0x, v0y, v0z = c[base + 0], c[base + 1], c[base + 2]
+    e1x, e1y, e1z = c[base + 3], c[base + 4], c[base + 5]
+    e2x, e2y, e2z = c[base + 6], c[base + 7], c[base + 8]
+    px, py, pz = _cross(dx, dy, dz, e2x, e2y, e2z)
+    det = _dot(e1x, e1y, e1z, px, py, pz)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = _dot(sx, sy, sz, px, py, pz) * inv_det
+    qx, qy, qz = _cross(sx, sy, sz, e1x, e1y, e1z)
+    v = _dot(dx, dy, dz, qx, qy, qz) * inv_det
+    t = _dot(e2x, e2y, e2z, qx, qy, qz) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= -1e-7) & (v >= -1e-7)
+           & (u + v <= 1.0 + 1e-7) & (t > t_min) & (t < t_max))
+    return t, u, v, hit, det > 0
+
+
+def _ray_aabb_soa(o3, inv3, c, base, t_max):
+    """Slab test on component arrays; c[base:base+6] = lo3, hi3 columns."""
+    ox, oy, oz = o3
+    ix, iy, iz = inv3
+    t0x = (c[base + 0] - ox) * ix
+    t0y = (c[base + 1] - oy) * iy
+    t0z = (c[base + 2] - oz) * iz
+    t1x = (c[base + 3] - ox) * ix
+    t1y = (c[base + 4] - oy) * iy
+    t1z = (c[base + 5] - oz) * iz
+    t_enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                      jnp.minimum(t0y, t1y)),
+                          jnp.minimum(t0z, t1z))
+    t_exit = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+    hit = (t_enter <= t_exit * 1.00000024) & (t_exit > 0.0) & (t_enter < t_max)
+    return hit, jnp.maximum(t_enter, 0.0)
+
+
+def _step(bvh, o3, d3, inv3, t_min, any_hit, leaf_size, I, D, state):
+    """One lockstep traversal iteration over the live wavefront."""
+    node, sp, live, stack, best_t, best_tri, bu, bv, bf = state
+    row = bvh.table[node]                                     # (R, 40) 1 gather
+    c = row.T                                                 # (40, R) SoA cols
+    is_leaf = node >= I
+
+    # --- leaf: test K triangle records (lanes 0:40) ---
+    do_leaf = is_leaf & live
+    lt, ltri, lu, lv, lf = best_t, best_tri, bu, bv, bf
+    for k in range(leaf_size):
+        tid = c[k * 10 + 9]
+        t, tu, tv, hit, front = _tri_hit_soa(o3, d3, c, k * 10, t_min, lt)
+        hit &= do_leaf & (tid >= 0.0)
+        lt = jnp.where(hit, t, lt)
+        ltri = jnp.where(hit, tid.astype(jnp.int32), ltri)
+        lu = jnp.where(hit, tu, lu)
+        lv = jnp.where(hit, tv, lv)
+        lf = jnp.where(hit, front, lf)
+    best_t, best_tri, bu, bv, bf = lt, ltri, lu, lv, lf
+
+    # --- interior: slab-test all four children from the same row ---
+    keys, cidx = [], []
+    for ch in range(4):
+        h, tc = _ray_aabb_soa(o3, inv3, c, 6 * ch, best_t)
+        # empty subtrees store INVERTED boxes (lo > hi); the slab test's
+        # per-axis min/max would silently "repair" them, so test explicitly
+        h &= ~is_leaf & live & (c[6 * ch] <= c[6 * ch + 3])
+        keys.append(jnp.where(h, tc, INF))
+        cidx.append(4 * node + 1 + ch)
+    if not any_hit:
+        keys, cidx = _sort4(keys, cidx)        # near-first visit order
+    hitc = [k < INF for k in keys]
+
+    # push children [3], [2], [1] (far to near) so nearer pops first
+    lane = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+    for slot in (3, 2, 1):
+        pm = hitc[slot]
+        stack = jnp.where(pm[:, None] & (lane == sp[:, None]),
+                          cidx[slot][:, None], stack)
+        sp = sp + pm.astype(jnp.int32)
+    descend = hitc[0]
+
+    # pop (leaf processed, or interior with no hit child)
+    need_pop = live & (is_leaf | ~descend)
+    can_pop = sp > 0
+    spm1 = jnp.maximum(sp - 1, 0)
+    popped = jnp.sum(jnp.where(lane == spm1[:, None], stack, 0), axis=1)
+    node = jnp.where(descend & ~is_leaf, cidx[0],
+                     jnp.where(need_pop & can_pop, popped, node))
+    sp = jnp.where(need_pop & can_pop, spm1, sp)
+    live = live & ~(need_pop & ~can_pop)
+    if any_hit:
+        live = live & ~(best_tri >= 0)
+    return node, sp, live, stack, best_t, best_tri, bu, bv, bf
+
+
 def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
               max_steps: int = None):
-    """Stackless bit-trail lockstep traversal over the implicit heap BVH.
-
-    Per-lane state is just (node, trail) uint32 scalars — no per-ray stack array.
-    Heap indices are 1-based inside the loop: parent^k(x) = x >> k, sibling = x^1.
-    The backtrack uses count-trailing-zeros on the trail bitmask, so there is no
-    inner pop loop. This keeps the while_loop body tiny + scatter-free (fast XLA
-    compile, pure VPU elementwise on TPU) — the SIMT-emulation strategy from
-    SURVEY.md §7 with the stack optimized away."""
+    """Phased wavefront traversal (see module docstring)."""
     R = o.shape[0]
     L = bvh.num_leaves
+    I = bvh.n_interior
     leaf_size = bvh.leaf_size
-    if max_steps is None:
-        # typical lockstep drain is < 256 steps with the median-split tree and
-        # subdivided giant triangles; the cap bounds worst-case dispatches so a
-        # pathological lane can never wedge the TPU worker (bias is ~1e-4 px)
-        max_steps = 1024
+    D = 3 * bvh.depth + 2
     if t_max is None:
         t_max = jnp.full((R,), INF)
     else:
-        t_max = jnp.broadcast_to(t_max, (R,))
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
 
     inv_d = safe_inv_dir(d)
-    u32 = jnp.uint32
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    root = jnp.zeros(R, jnp.int32)          # node 0 (leaf if L == 1 => I == 0)
+    state = (root, jnp.zeros(R, jnp.int32), jnp.ones(R, bool),
+             jnp.zeros((R, D), jnp.int32),
+             t_max, jnp.full(R, -1, jnp.int32),
+             jnp.zeros(R), jnp.zeros(R), jnp.zeros(R, bool))
 
-    def ctz(x):
-        # count trailing zeros via popcount((x & -x) - 1); ctz(0) = 32
-        low = x & (~x + u32(1))
-        return jax.lax.population_count(low - u32(1)) | jnp.where(x == 0, u32(32), u32(0))
+    def run(state, o, d, inv_d, t_min, steps):
+        o3 = (o[:, 0], o[:, 1], o[:, 2])
+        d3 = (d[:, 0], d[:, 1], d[:, 2])
+        inv3 = (inv_d[:, 0], inv_d[:, 1], inv_d[:, 2])
 
-    def cond(state):
-        node1, trail, live, best_t, best_tri, bu, bv, bf, steps = state
-        return live.any() & (steps < max_steps)
+        def cond(c):
+            s, i = c
+            return s[2].any() & (i < steps)
 
-    def body(state):
-        node1, trail, live, best_t, best_tri, bu, bv, bf, steps = state
-        node0 = node1.astype(jnp.int32) - 1
-        is_leaf = node0 >= (L - 1)
+        def body(c):
+            s, i = c
+            return (_step(bvh, o3, d3, inv3, t_min, any_hit, leaf_size,
+                          I, D, s), i + 1)
 
-        # --- interior: ONE row gather fetches both children's boxes ---
-        c0 = jnp.clip(2 * node0 + 1, 0, 2 * L - 2)
-        c1 = c0 + 1
-        irow = bvh.child_boxes[jnp.clip(node0, 0, max(L - 2, 0))]   # (R, 12)
-        h0, t0 = ray_aabb(o, inv_d, irow[:, 0:3], irow[:, 3:6], best_t)
-        h1, t1 = ray_aabb(o, inv_d, irow[:, 6:9], irow[:, 9:12], best_t)
-        h0 &= ~is_leaf & live
-        h1 &= ~is_leaf & live
-        both = h0 & h1
-        near0 = jnp.where(both & (t1 < t0), c1, jnp.where(h1 & ~h0, c1, c0))
-        any_child = h0 | h1
+        s, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return s
 
-        # --- leaf: ONE row gather fetches all K triangle records ---
-        leaf_id = jnp.clip(node0 - (L - 1), 0, L - 1)
-        lrow = bvh.leaf_rows[leaf_id]                               # (R, K*10)
-        lt, ltri, lu, lv, lf = best_t, best_tri, bu, bv, bf
-        do_leaf = is_leaf & live
-        for k in range(leaf_size):
-            rec = lrow[:, k * 10:(k + 1) * 10]
-            tid = rec[:, 9]
-            t, tu, tv, hit, front = _tri_hit(o, d, rec[:, 0:3], rec[:, 3:6],
-                                             rec[:, 6:9], t_min, lt)
-            hit &= do_leaf & (tid >= 0.0)
-            lt = jnp.where(hit, t, lt)
-            ltri = jnp.where(hit, tid.astype(jnp.int32), ltri)
-            lu = jnp.where(hit, tu, lu)
-            lv = jnp.where(hit, tv, lv)
-            lf = jnp.where(hit, front, lf)
-        best_t, best_tri, bu, bv, bf = lt, ltri, lu, lv, lf
+    # compaction only pays for itself on wide wavefronts: below ~64k lanes the
+    # extra while_loop dispatches + argsorts cost more than the tail they save
+    total_steps = max_steps if max_steps is not None else \
+        sum(s for s, _ in PHASES)
+    if R < 65536:
+        phases = [(total_steps, None)]
+    else:
+        phases = []
+        left = total_steps
+        for steps, keep in PHASES:
+            phases.append((min(steps, left), keep if left > steps else None))
+            left -= min(steps, left)
+            if left <= 0:
+                break
 
-        # --- next node: descend (interior w/ hit child) or backtrack ---
-        descend = ~is_leaf & any_child & live
-        trail_desc = (trail << u32(1)) | jnp.where(both, u32(1), u32(0))
-        node_desc = (near0 + 1).astype(u32)
+    # final results live at the original ray indices; each phase scatters its
+    # lanes' best-so-far back (finished and unfinished alike; survivors of the
+    # compaction overwrite later with their final values)
+    out_t = t_max
+    out_tri = jnp.full(R, -1, jnp.int32)
+    out_u = jnp.zeros(R)
+    out_v = jnp.zeros(R)
+    out_f = jnp.zeros(R, bool)
+    ridx = jnp.arange(R, dtype=jnp.int32)
 
-        tz = ctz(trail)
-        exhausted = trail == 0
-        node_pop = (((node1 >> jnp.minimum(tz, u32(31)))) ^ u32(1))
-        trail_pop = (trail >> jnp.minimum(tz, u32(31))) ^ u32(1)
+    for steps, keep in phases:
+        state = run(state, o, d, inv_d, t_min, steps)
+        node, sp, live, stack, best_t, best_tri, bu, bv, bf = state
+        out_t = out_t.at[ridx].set(best_t)
+        out_tri = out_tri.at[ridx].set(best_tri)
+        out_u = out_u.at[ridx].set(bu)
+        out_v = out_v.at[ridx].set(bv)
+        out_f = out_f.at[ridx].set(bf)
+        if keep is None:
+            break
+        Rk = max(int(round(R * keep)), 128) if R > 128 else R
+        if Rk >= o.shape[0]:
+            continue
+        sel = jnp.argsort(~live)[:Rk]       # live lanes first, stable
+        node, sp, stack = node[sel], sp[sel], stack[sel]
+        live = live[sel]
+        best_t, best_tri = best_t[sel], best_tri[sel]
+        bu, bv, bf = bu[sel], bv[sel], bf[sel]
+        o, d, inv_d, t_min = o[sel], d[sel], inv_d[sel], t_min[sel]
+        ridx = ridx[sel]
+        state = (node, sp, live, stack, best_t, best_tri, bu, bv, bf)
 
-        if any_hit:
-            # early per-lane exit on any accepted hit
-            found = best_tri >= 0
-            live_new = live & ~found & jnp.where(descend, True, ~exhausted)
-        else:
-            live_new = live & jnp.where(descend, True, ~exhausted)
-        node_new = jnp.where(descend, node_desc, node_pop)
-        trail_new = jnp.where(descend, trail_desc, trail_pop)
-        node_new = jnp.where(live_new, node_new, node1)
-        trail_new = jnp.where(live_new, trail_new, trail)
-        return (node_new, trail_new, live_new, best_t, best_tri, bu, bv, bf,
-                steps + 1)
-
-    init = (jnp.ones(R, u32), jnp.zeros(R, u32), jnp.ones(R, bool),
-            t_max, jnp.full(R, -1, jnp.int32),
-            jnp.zeros(R), jnp.zeros(R), jnp.zeros(R, bool), jnp.int32(0))
-    _, _, _, best_t, best_tri, bu, bv, bf, _ = jax.lax.while_loop(cond, body, init)
-    return best_t, best_tri, bu, bv, bf
+    return out_t, out_tri, out_u, out_v, out_f
 
 
 def bvh_closest_hit(bvh: BVH, o, d, t_min=1e-4, t_max=None,
                     max_steps: int = None) -> HitRecord:
-    """Closest-hit traversal. o, d: (R, 3). Lanes run in lockstep until all done."""
+    """Closest-hit traversal. o, d: (R, 3)."""
     best_t, best_tri, bu, bv, bf = _traverse(bvh, o, d, t_min, t_max,
                                              any_hit=False, max_steps=max_steps)
     miss = best_tri < 0

@@ -102,7 +102,16 @@ class Renderer:
         with PROFILER.scope("Frame/SceneUpdate"):
             self.time_s += dt
             self.scene.update(self.time_s)
+            dirty_rt = bool(self.scene.dirty_instances)
             self.gpu = update_instance_transforms(self.gpu, self.scene)
+        if dirty_rt and getattr(self._model, "rt", None) is not None:
+            # animated/moved instances: refit the RT BVH on device so shadow
+            # rays / ReSTIR visibility / PT stay correct (per-frame TLAS
+            # rebuild analogue, ref src/Scene.cpp:67-214)
+            from hobbyrenderer_tpu.models.pathtracer import refit_scene_rt
+            with PROFILER.scope("Frame/RTRefit"):
+                self._model.rt = refit_scene_rt(self._model.rt,
+                                                self.gpu.inst_transform)
         with PROFILER.scope("Frame/ViewConstants"):
             vc = self.camera.view_constants(self.frame_index)
         with PROFILER.scope("Frame/Render"):

@@ -43,28 +43,65 @@ def test_bvh_bounds_contain_triangles(rng):
     root_lo, root_hi = np.asarray(bvh.root_box[:3]), np.asarray(bvh.root_box[3:])
     assert (root_lo - 1e-4 <= tris.reshape(-1, 3).min(0)).all()
     assert (root_hi + 1e-4 >= tris.reshape(-1, 3).max(0)).all()
-    # parent boxes contain child boxes (reconstruct node boxes from child rows)
+
     L = bvh.num_leaves
-    cb = np.asarray(bvh.child_boxes).reshape(-1, 2, 6)
+    I = bvh.n_interior
+    table = np.asarray(bvh.table)
 
-    def node_box(i):
-        if i == 0:
+    def node_box(q):
+        """AABB of node q as stored in its PARENT's row (root: root_box)."""
+        if q == 0:
             return root_lo, root_hi
-        p, side = (i - 1) // 2, (i - 1) % 2
-        return cb[p, side, :3], cb[p, side, 3:]
+        p, c = (q - 1) // 4, (q - 1) % 4
+        return table[p, 6 * c:6 * c + 3], table[p, 6 * c + 3:6 * c + 6]
 
-    for i in range(L - 1):
-        lo_i, hi_i = node_box(i)
-        for side, c in ((0, 2 * i + 1), (1, 2 * i + 2)):
-            clo, chi = cb[i, side, :3], cb[i, side, 3:]
-            if (clo > chi).any():
-                continue  # empty (inverted) child box
-            assert (lo_i <= clo + 1e-5).all()
-            assert (hi_i >= chi - 1e-5).all()
-    # leaf rows reference valid triangle ids
-    tids = np.asarray(bvh.leaf_rows).reshape(L, -1, 10)[..., 9]
-    valid_ids = tids[tids >= 0].astype(np.int64)
+    for q in range(I + L):
+        lo_q, hi_q = node_box(q)
+        if (lo_q > hi_q).any():
+            continue                       # empty (inverted) node
+        if q < I:
+            # interior: each child's stored box is contained in this node's box
+            for c in range(4):
+                clo = table[q, 6 * c:6 * c + 3]
+                chi = table[q, 6 * c + 3:6 * c + 6]
+                if (clo > chi).any():
+                    continue
+                assert (lo_q <= clo + 1e-5).all()
+                assert (hi_q >= chi - 1e-5).all()
+        else:
+            # leaf: every triangle record lies inside the leaf's box
+            recs = table[q].reshape(-1, 10)
+            for rec in recs:
+                if rec[9] < 0:
+                    continue
+                v0, e1, e2 = rec[0:3], rec[3:6], rec[6:9]
+                vs = np.stack([v0, v0 + e1, v0 + e2])
+                assert (lo_q - 1e-4 <= vs.min(0)).all()
+                assert (hi_q + 1e-4 >= vs.max(0)).all()
+    # leaf slots reference each triangle exactly once
+    valid_ids = np.asarray(bvh.order)
+    valid_ids = valid_ids[valid_ids >= 0]
     assert sorted(valid_ids.tolist()) == list(range(tris.shape[0]))
+
+
+def test_bvh_refit_matches_rebuild(rng):
+    """Moving triangles + refit == traversal-correct (boxes still bound)."""
+    tris = _random_tris(rng, 150)
+    bvh = bvhops.build_bvh(tris)
+    moved = tris + np.asarray([0.7, -0.3, 0.2], np.float32)
+    moved[:50] *= 1.5
+    refit = bvhops.refit_bvh(bvh, jnp.asarray(moved))
+    R = 96
+    o = (rng.random((R, 3)).astype(np.float32) - 0.5) * 10.0
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hit = _closest(refit, jnp.asarray(o), jnp.asarray(d))
+    t_ref, id_ref = _brute_force(moved, o, d)
+    same_hit = (id_ref >= 0) == (np.asarray(hit.tri) >= 0)
+    assert same_hit.all()
+    both = id_ref >= 0
+    np.testing.assert_allclose(np.asarray(hit.t)[both], t_ref[both],
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_bvh_matches_bruteforce(rng):
@@ -112,3 +149,42 @@ def test_single_triangle():
     hit = _closest(bvh, o, d)
     assert hit.tri[0] == 0 and abs(hit.t[0] - 1.0) < 1e-5
     assert hit.tri[1] == -1
+
+
+def test_scene_rt_refit_matches_rebuild():
+    """Moving an instance + refit_scene_rt == rebuilding the RT snapshot
+    (the dynamic-TLAS correctness contract, ref src/Scene.cpp:67-214)."""
+    from hobbyrenderer_tpu.scene.procedural import make_default_cube_scene
+    from hobbyrenderer_tpu.scene.gpu import build_scene_gpu, \
+        update_instance_transforms
+    from hobbyrenderer_tpu.models.pathtracer import (build_scene_rt,
+                                                     refit_scene_rt)
+
+    scene = make_default_cube_scene()
+    gpu = build_scene_gpu(scene)
+    rt0 = build_scene_rt(scene, gpu)
+
+    # move the first instance's node and refresh world transforms
+    n = scene.instances[0].node
+    scene.nodes[n].translation = scene.nodes[n].translation + \
+        np.asarray([0.6, 0.25, -0.4], np.float32)
+    scene.compute_world_transforms()
+    scene.dirty_instances.add(0)
+    gpu = update_instance_transforms(gpu, scene)
+
+    refit = refit_scene_rt(rt0, gpu.inst_transform)
+    rebuilt = build_scene_rt(scene, gpu)
+
+    rng = np.random.default_rng(3)
+    R = 128
+    o = (rng.random((R, 3)).astype(np.float32) - 0.5) * 8.0
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    h_refit = _closest(refit.bvh, jnp.asarray(o), jnp.asarray(d))
+    h_new = _closest(rebuilt.bvh, jnp.asarray(o), jnp.asarray(d))
+    # hit/miss and depths agree (tri ids may differ: rebuild re-sorts)
+    np.testing.assert_array_equal(np.asarray(h_refit.tri >= 0),
+                                  np.asarray(h_new.tri >= 0))
+    both = np.asarray(h_new.tri >= 0)
+    np.testing.assert_allclose(np.asarray(h_refit.t)[both],
+                               np.asarray(h_new.t)[both], rtol=1e-3, atol=1e-3)
