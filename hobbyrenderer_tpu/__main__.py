@@ -38,7 +38,7 @@ def main(argv=None):
                    choices=("simple", "restir"))
     p.add_argument("--shadow-scale", type=int, default=2)
     p.add_argument("--indirect-mode", type=str, default="none",
-                   choices=("none", "sharc", "ssgi"))
+                   choices=("none", "sharc", "ssgi", "restir"))
     a = p.parse_args(argv)
 
     cfg = Config(scene=a.scene, width=a.width, height=a.height, mode=a.mode,

@@ -33,6 +33,9 @@ from hobbyrenderer_tpu.ops.intersect import offset_ray_origin
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 
 
+GI_SCALE = 4      # ReSTIR GI grid divisor (ray budget, SURVEY.md §7)
+
+
 def _csm_lod_biases():
     from hobbyrenderer_tpu.ops.csm import CASCADE_LOD_BIAS, NUM_CASCADES
     return CASCADE_LOD_BIAS[:NUM_CASCADES]
@@ -239,6 +242,27 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_restir:
         g.get("RTXDI").enabled = False
 
+    use_restir_gi = (indirect_mode == "restir"
+                     and mode in (RenderingMode.NORMAL, RenderingMode.IBL))
+
+    @g.add
+    @render_pass("RTXDIGI", reads=("gbuffer", "restir_gi_reservoir"),
+                 writes=("restir_indirect", "restir_gi_reservoir"),
+                 persistent=("restir_gi_reservoir",))
+    def _rtxdi_gi(ctx, res):
+        """ReSTIR GI chain (ref RTXDIRenderer GI passes,
+        src/RTXDIRenderer.cpp:2256-2293)."""
+        from hobbyrenderer_tpu.ops import restir_gi as giops
+        ind, new_res = giops.restir_gi(
+            ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
+            res["restir_gi_reservoir"], ctx.vc["frame_index"],
+            scale=GI_SCALE)
+        res["restir_indirect"] = ind
+        res["restir_gi_reservoir"] = new_res
+
+    if not use_restir_gi:
+        g.get("RTXDIGI").enabled = False
+
     @g.add
     @render_pass("Denoise", reads=("restir_direct", "gbuffer", "denoise_state"),
                  writes=("restir_direct", "denoise_state"),
@@ -353,7 +377,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     reads = ("gbuffer", "sun_shadow", "sky_irradiance") \
         + (("restir_direct",) if use_restir else ()) \
         + (("sharc_indirect",) if use_sharc else ()) \
-        + (("ssgi_indirect",) if use_ssgi else ())
+        + (("ssgi_indirect",) if use_ssgi else ()) \
+        + (("restir_indirect",) if use_restir_gi else ())
 
     @g.add
     @render_pass("DeferredLighting", reads=reads, writes=("hdr",))
@@ -390,6 +415,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             hdr = hdr + res["sharc_indirect"]
         if use_ssgi:
             hdr = hdr + res["ssgi_indirect"]
+        if use_restir_gi:
+            hdr = hdr + res["restir_indirect"]
         res["hdr"] = jnp.where(gb.valid[..., None], hdr, 0.0)
 
     @g.add
@@ -517,6 +544,10 @@ def initial_frame_state(width: int, height: int,
     if indirect_mode == "ssgi":
         from hobbyrenderer_tpu.ops.denoise import denoise_init
         state["ssgi_state"] = denoise_init(height, width)
+    if indirect_mode == "restir":
+        from hobbyrenderer_tpu.ops.restir_gi import gi_reservoir_init
+        state["restir_gi_reservoir"] = gi_reservoir_init(height // GI_SCALE,
+                                                         width // GI_SCALE)
     return state
 
 

@@ -58,6 +58,7 @@ class SceneRT(NamedTuple):
     split_bary: jnp.ndarray    # (Ts, 3, 2) f32 original (u,v) of split verts
     split_world0: jnp.ndarray  # (Ts, 3, 3) f32 split verts at LOAD-time world
     inst_inv0: jnp.ndarray     # (N, 4, 4) f32 inverse load-time world matrix
+    lights: object = None      # ops.lights.LightPool (analytic + emissive tris)
 
 
 def _subdivide_large(tri_verts: np.ndarray, max_rounds: int = 4,
@@ -124,7 +125,7 @@ def build_scene_rt(scene, gpu) -> SceneRT:
     bvh = bvhops.build_bvh(split_verts)
     inst_inv0 = np.stack([np.linalg.inv(scene.nodes[I.node].world)
                           for I in scene.instances]).astype(np.float32)
-    return SceneRT(bvh=bvh,
+    rt = SceneRT(bvh=bvh,
                    tri_gv=jnp.asarray(np.concatenate(gvs, 0)),
                    tri_inst=jnp.asarray(np.concatenate(insts, 0)),
                    tri_mat=jnp.asarray(np.concatenate(mats, 0)),
@@ -132,6 +133,8 @@ def build_scene_rt(scene, gpu) -> SceneRT:
                    split_bary=jnp.asarray(split_bary),
                    split_world0=jnp.asarray(split_verts),
                    inst_inv0=jnp.asarray(inst_inv0))
+    from hobbyrenderer_tpu.ops import lights as lightops
+    return rt._replace(lights=lightops.build_light_pool(scene, gpu))
 
 
 @jax.jit
@@ -146,7 +149,12 @@ def refit_scene_rt(rt: SceneRT, inst_transform) -> SceneRT:
     Mi = M[rt.tri_inst[rt.split_to_orig]]                     # (Ts, 4, 4)
     v = jnp.einsum("tij,tvj->tvi", Mi[:, :3, :3], rt.split_world0) \
         + Mi[:, None, :3, 3]
-    return rt._replace(bvh=bvhops.refit_bvh(rt.bvh, v))
+    rt = rt._replace(bvh=bvhops.refit_bvh(rt.bvh, v))
+    if rt.lights is not None:
+        from hobbyrenderer_tpu.ops import lights as lightops
+        M_tri = M[rt.tri_inst[jnp.maximum(rt.lights.em_orig, 0)]]
+        rt = rt._replace(lights=lightops.refit_light_pool(rt.lights, M_tri))
+    return rt
 
 
 def camera_rays(vc, height: int, width: int, jitter_uv):

@@ -1,0 +1,199 @@
+"""Polymorphic light pool + power-based RIS presampling.
+
+Reference: the RTXDI light-preparation chain (src/RTXDIRenderer.cpp:1969
+PrepareLights — analytic lights + emissive TRIANGLE lights flattened into one
+polymorphic pool; :2039-2105 presampling — per-frame RIS tiles sampled
+proportional to light power so per-pixel candidate generation is O(1) table
+reads instead of a pool-wide scan).
+
+TPU build: the pool is a pytree of flat arrays; light ids index one namespace:
+[0, n_analytic) analytic (SceneGPU.light_*), [n_analytic, n_total) emissive
+triangles (world-space, refit together with the RT snapshot). Presampling is
+inverse-CDF sampling of the power distribution — (tiles, tile_size) id tables
+built by pure vectorized searchsorted, no atomics."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hobbyrenderer_tpu.ops import shading as shadeops
+from hobbyrenderer_tpu.utils import math as hm
+from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
+
+PRESAMPLE_TILES = 64       # ref RTXDI regirBuildSettings / presample tile count
+PRESAMPLE_TILE_SIZE = 128
+
+MAX_EMISSIVE_TRIS = 16384  # pool cap; larger emitters are subsampled
+
+
+class LightPool(NamedTuple):
+    """Flattened polymorphic lights (analytic + emissive triangles)."""
+
+    n_analytic: jnp.ndarray   # () i32 = SceneGPU analytic SLOT COUNT (padded
+    #                           array size; dead slots carry zero power)
+    n_total: jnp.ndarray      # () i32 = n_analytic + live emissive tris
+    em_v0: jnp.ndarray        # (E, 3) f32 world-space (E >= 1, padded)
+    em_e1: jnp.ndarray        # (E, 3)
+    em_e2: jnp.ndarray        # (E, 3)
+    em_rad: jnp.ndarray       # (E, 3) emitted radiance (material emissive)
+    em_orig: jnp.ndarray      # (E,) i32 original flat tri id (refit mapping)
+    power_cdf: jnp.ndarray    # (A + E,) f32 normalized inclusive power CDF
+    power_pdf: jnp.ndarray    # (A + E,) f32 selection probability per light
+
+
+def _analytic_power(gpu) -> jnp.ndarray:
+    """Selection power heuristic per analytic light (ref PrepareLights'
+    light flux estimate)."""
+    lum = hm.luminance(gpu.light_color, xp=jnp)
+    # punctual lights: flux ~ intensity; directional: strong constant weight
+    from hobbyrenderer_tpu.scene.scene import LIGHT_DIRECTIONAL
+    p = jnp.where(gpu.light_type == LIGHT_DIRECTIONAL, lum * 20.0, lum)
+    alive = jnp.arange(p.shape[0]) < gpu.light_count
+    return jnp.where(alive, jnp.maximum(p, 1e-6), 0.0)
+
+
+def _emissive_power(v0, e1, e2, rad) -> jnp.ndarray:
+    area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    return hm.luminance(rad, xp=jnp) * area * jnp.pi
+
+
+def build_light_pool(scene, gpu) -> LightPool:
+    """Host-side: collect emissive triangles (LOD0, world space) + analytic
+    lights into one pool (ref PrepareLights, src/RTXDIRenderer.cpp:1969)."""
+    v0s, e1s, e2s, rads, origs = [], [], [], [], []
+    tri_base = 0
+    for I in scene.instances:
+        mesh = scene.meshes[I.prim]
+        ntri = mesh.lods[0].indices.shape[0]
+        m = scene.materials[I.material]
+        em = np.asarray(m.emissive, np.float32) * np.float32(
+            getattr(m, "emissive_strength", 1.0))
+        if np.any(em > 0):
+            w = scene.nodes[I.node].world
+            idx = mesh.lods[0].indices
+            pw = hm.transform_points(w, mesh.positions)
+            tv = pw[idx].astype(np.float32)               # (t, 3, 3)
+            v0s.append(tv[:, 0])
+            e1s.append(tv[:, 1] - tv[:, 0])
+            e2s.append(tv[:, 2] - tv[:, 0])
+            rads.append(np.tile(em[None, :], (ntri, 1)))
+            origs.append(np.arange(ntri, dtype=np.int32) + tri_base)
+        tri_base += ntri
+
+    if v0s:
+        v0 = np.concatenate(v0s, 0)
+        e1 = np.concatenate(e1s, 0)
+        e2 = np.concatenate(e2s, 0)
+        rad = np.concatenate(rads, 0)
+        orig = np.concatenate(origs, 0)
+        if v0.shape[0] > MAX_EMISSIVE_TRIS:
+            # subsample uniformly, scaling radiance to conserve total power
+            # (log a silent-cap would hide energy loss; scaling keeps it)
+            keep = np.linspace(0, v0.shape[0] - 1, MAX_EMISSIVE_TRIS).astype(int)
+            scale = v0.shape[0] / MAX_EMISSIVE_TRIS
+            v0, e1, e2, orig = v0[keep], e1[keep], e2[keep], orig[keep]
+            rad = rad[keep] * scale
+    else:
+        v0 = np.zeros((1, 3), np.float32)
+        e1 = np.zeros((1, 3), np.float32)
+        e2 = np.zeros((1, 3), np.float32)
+        rad = np.zeros((1, 3), np.float32)
+        orig = np.full((1,), -1, np.int32)
+
+    E = v0.shape[0]
+    A = gpu.light_type.shape[0]
+    ne = int((np.abs(rad).sum(-1) > 0).sum())
+    pool = LightPool(
+        n_analytic=jnp.asarray(np.int32(A)),
+        n_total=jnp.asarray(np.int32(A + ne)),
+        em_v0=jnp.asarray(v0), em_e1=jnp.asarray(e1), em_e2=jnp.asarray(e2),
+        em_rad=jnp.asarray(rad), em_orig=jnp.asarray(orig),
+        power_cdf=jnp.zeros(A + E), power_pdf=jnp.zeros(A + E))
+    return refresh_pool_power(pool, gpu)
+
+
+def refresh_pool_power(pool: LightPool, gpu) -> LightPool:
+    """Recompute selection power (device; run after refit/light edits)."""
+    pa = _analytic_power(gpu)
+    pe = _emissive_power(pool.em_v0, pool.em_e1, pool.em_e2, pool.em_rad)
+    A = pa.shape[0]
+    alive_e = (jnp.arange(pe.shape[0]) + A) < pool.n_total
+    p = jnp.concatenate([pa, jnp.where(alive_e, jnp.maximum(pe, 1e-8), 0.0)])
+    total = jnp.maximum(jnp.sum(p), 1e-20)
+    pdf = p / total
+    return pool._replace(power_cdf=jnp.cumsum(pdf), power_pdf=pdf)
+
+
+def refit_light_pool(pool: LightPool, M_tri) -> LightPool:
+    """Move emissive triangles by per-tri world deltas M_tri (E, 4, 4)
+    (the light side of the per-frame TLAS refit)."""
+    def xf(p):
+        return jnp.einsum("eij,ej->ei", M_tri[:, :3, :3], p) + M_tri[:, :3, 3]
+    v0 = xf(pool.em_v0)
+    v1 = xf(pool.em_v0 + pool.em_e1)
+    v2 = xf(pool.em_v0 + pool.em_e2)
+    return pool._replace(em_v0=v0, em_e1=v1 - v0, em_e2=v2 - v0)
+
+
+def pool_light_incident(gpu, pool: LightPool, li, uv, pos):
+    """Incident (L, radiance, dist) of polymorphic light li at pos.
+
+    li (R,) i32 pool ids; uv (R, 2) the sample point for AREA lights (folded
+    uniform barycentrics). Analytic lights ignore uv. The emissive-triangle
+    "radiance" folds the geometry-to-area factor cos_l * area / d^2, so
+    contribution = brdf * radiance with a pure selection pdf — the same
+    contract light_incident uses for punctual falloff."""
+    A = pool.n_analytic
+    is_em = li >= A
+    la = jnp.clip(li, 0, gpu.light_type.shape[0] - 1)
+    L_a, rad_a, dist_a = shadeops.light_incident(
+        gpu.light_type[la], gpu.light_pos[la], gpu.light_dir[la],
+        gpu.light_color[la], gpu.light_range[la], gpu.light_cone[la], pos)
+
+    e = jnp.clip(li - A, 0, pool.em_v0.shape[0] - 1)
+    u = uv[..., 0]
+    v = uv[..., 1]
+    # fold the unit square onto the triangle (preserves uniformity)
+    over = (u + v) > 1.0
+    uu = jnp.where(over, 1.0 - u, u)
+    vv = jnp.where(over, 1.0 - v, v)
+    p_l = pool.em_v0[e] + uu[..., None] * pool.em_e1[e] + vv[..., None] * pool.em_e2[e]
+    to_l = p_l - pos
+    d2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-8)
+    dist_e = jnp.sqrt(d2)
+    L_e = to_l / dist_e[..., None]
+    n_x2 = jnp.cross(pool.em_e1[e], pool.em_e2[e])     # |.| = 2 * area
+    area = 0.5 * jnp.linalg.norm(n_x2, axis=-1)
+    n_l = n_x2 / jnp.maximum(2.0 * area, 1e-12)[..., None]
+    cos_l = jnp.abs(jnp.sum(n_l * (-L_e), -1))         # double-sided emitter
+    rad_e = pool.em_rad[e] * (cos_l * area / d2)[..., None]
+
+    L = jnp.where(is_em[..., None], L_e, L_a)
+    rad = jnp.where(is_em[..., None], rad_e, rad_a)
+    dist = jnp.where(is_em, dist_e, dist_a)
+    return L, rad, dist
+
+
+def presample_lights(pool: LightPool, frame,
+                     n_tiles: int = PRESAMPLE_TILES,
+                     tile_size: int = PRESAMPLE_TILE_SIZE):
+    """Per-frame RIS presampling tiles (ref src/RTXDIRenderer.cpp:2039-2105).
+
+    Returns (tile_ids (T, S) i32, tile_inv_pdf (T, S) f32): light ids drawn
+    proportional to power; inv_pdf = 1 / selection probability."""
+    T, S = n_tiles, tile_size
+    slot = jnp.arange(T * S, dtype=jnp.uint32)
+    bits = pcg3d(jnp.stack([slot, jnp.broadcast_to(
+        jnp.asarray(frame).astype(jnp.uint32), slot.shape),
+        jnp.full_like(slot, 7)], -1))
+    u = uniform_from_bits(bits[..., 0])
+    ids = jnp.searchsorted(pool.power_cdf, u).astype(jnp.int32)
+    ids = jnp.clip(ids, 0, pool.power_pdf.shape[0] - 1)
+    inv_pdf = 1.0 / jnp.maximum(pool.power_pdf[ids], 1e-20)
+    # empty pool (no lights at all): id -1 marks dead samples
+    ids = jnp.where(pool.n_total > 0, ids, -1)
+    return ids.reshape(T, S), inv_pdf.reshape(T, S)

@@ -1,5 +1,5 @@
 """ReSTIR DI: reservoir-based spatiotemporal importance resampling for direct
-lighting.
+lighting, over a POLYMORPHIC light pool (analytic + emissive triangles).
 
 Reference: src/RTXDIRenderer.cpp (2647 LoC, NVIDIA RTXDI library) — per-frame
 chain: PrepareLights -> presampling (RIS tiles) -> GenerateInitialSamples ->
@@ -7,14 +7,14 @@ TemporalResampling -> SpatialResampling -> ShadeSamples (SURVEY.md §2.6 #41).
 Algorithm: Bitterli et al. 2020 "Spatiotemporal reservoir resampling for
 real-time ray tracing with dynamic direct lighting".
 
-TPU design: a reservoir is a pytree of (H, W) arrays (light id, w_sum, M, W);
-every stage is pure vectorized math over pixels — streaming RIS needs no
-atomics. Initial candidates sample the analytic light pool uniformly (the
-uniform mode of the reference's uniform/Power-RIS/ReGIR initial sampling);
-temporal reuse reprojects via motion vectors with M-clamping; spatial reuse
-merges K fixed-radius neighbors; a single visibility ray shades the winner.
-Deterministic counter-based RNG (pixel, frame, dim) like the rest of the
-renderer."""
+TPU design: a reservoir is a pytree of (H, W) arrays (light id, sample uv,
+w_sum, M, W); every stage is pure vectorized math over pixels — streaming RIS
+needs no atomics. Initial candidates draw from per-frame power-presampled RIS
+tiles (ops/lights.py); reservoirs carry the light id PLUS the area-sample uv so
+emissive-triangle samples survive reuse; temporal reuse reprojects via motion
+vectors with M-clamping; spatial reuse merges K fixed-radius neighbors with the
+neighbor's own-surface W (the unbiased-merge reweighting); a single visibility
+ray shades the winner. Deterministic counter-based RNG (pixel, frame, dim)."""
 
 from __future__ import annotations
 
@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from hobbyrenderer_tpu.ops import bvh as bvhops
+from hobbyrenderer_tpu.ops import lights as lightops
 from hobbyrenderer_tpu.ops import sampling as smp
 from hobbyrenderer_tpu.ops import shading as shadeops
 from hobbyrenderer_tpu.scene.scene import LIGHT_DIRECTIONAL
@@ -38,16 +39,18 @@ SPATIAL_TAPS = 4
 class Reservoir(NamedTuple):
     """Per-pixel light reservoir (ref RTXDI light reservoir buffers)."""
 
-    y: jnp.ndarray       # (H, W) i32 selected light index (-1 = empty)
+    y: jnp.ndarray       # (H, W) i32 selected pool light id (-1 = empty)
+    uv: jnp.ndarray      # (H, W, 2) f32 area-light sample point
     w_sum: jnp.ndarray   # (H, W) f32 sum of RIS weights
     M: jnp.ndarray       # (H, W) f32 candidate count
     W: jnp.ndarray       # (H, W) f32 unbiased contribution weight
 
 
 def reservoir_init(h: int, w: int) -> Reservoir:
-    # NOTE: three distinct arrays (not one shared zeros) — the frame state is
-    # donated into jit, and aliased leaves trip "donate the same buffer twice"
+    # NOTE: distinct arrays (not one shared zeros) — the frame state is donated
+    # into jit, and aliased leaves trip "donate the same buffer twice"
     return Reservoir(y=jnp.full((h, w), -1, jnp.int32),
+                     uv=jnp.zeros((h, w, 2), jnp.float32),
                      w_sum=jnp.zeros((h, w), jnp.float32),
                      M=jnp.zeros((h, w), jnp.float32),
                      W=jnp.zeros((h, w), jnp.float32))
@@ -60,41 +63,40 @@ def _rand(pix, frame, dim):
             uniform_from_bits(bits[..., 2]))
 
 
-def _light_dir_dist(gpu, li, pos):
-    """Direction/radiance/distance toward light li at shaded points (delta
-    sampling; the soft-sun cone is applied only at final shading)."""
-    return shadeops.light_incident(
-        gpu.light_type[li], gpu.light_pos[li], gpu.light_dir[li],
-        gpu.light_color[li], gpu.light_range[li], gpu.light_cone[li], pos)
-
-
-def _p_hat(gpu, li, pos, n, v, albedo, metal, rough):
-    """Target function: luminance of unshadowed reflected radiance for light li.
-
-    (ref RAB_GetLightSampleTargetPdfForSurface)."""
-    L, rad, dist = _light_dir_dist(gpu, li, pos)
-    f = shadeops.eval_brdf(n, v, L, albedo, metal, rough)
-    return hm.luminance(f * rad, xp=jnp), L, dist
-
-
-def _res_update(y, w_sum, M, cand_y, cand_w, u):
-    w_sum_new = w_sum + cand_w
-    take = (u * jnp.maximum(w_sum_new, 1e-20)) < cand_w
-    return jnp.where(take, cand_y, y), w_sum_new, M + 1.0
+def _fallback_pool(gpu):
+    """Analytic-only pool when the caller has no emissive pool (NormalBasic /
+    tests): zero emissive tris, uniform-power analytic lights."""
+    A = gpu.light_type.shape[0]
+    alive = jnp.arange(A) < gpu.light_count
+    p = jnp.where(alive, 1.0, 0.0)
+    tot = jnp.maximum(p.sum(), 1e-20)
+    z3 = jnp.zeros((1, 3), jnp.float32)
+    return lightops.LightPool(
+        n_analytic=jnp.asarray(A, jnp.int32),
+        n_total=jnp.asarray(A, jnp.int32),
+        em_v0=z3, em_e1=z3, em_e2=z3, em_rad=z3,
+        em_orig=jnp.full((1,), -1, jnp.int32),
+        power_cdf=jnp.cumsum(jnp.concatenate([p / tot, jnp.zeros(1)])),
+        power_pdf=jnp.concatenate([p / tot, jnp.zeros(1)]))
 
 
 def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
               num_candidates: int = 8, visibility: bool = True,
-              spatial_taps: int = SPATIAL_TAPS):
+              spatial_taps: int = SPATIAL_TAPS, pool=None):
     """Full ReSTIR DI chain for one frame.
 
     gb: GBuffer; prev: last frame's reservoir (already at this frame's pixel
-    grid semantics — reprojection happens here via gb.motion).
+    grid semantics — reprojection happens here via gb.motion); pool: LightPool
+    (defaults to rt.lights, else analytic-only fallback).
     Returns (direct_radiance (H,W,3), new Reservoir)."""
     H, W = gb.depth.shape
     R = H * W
     pix = jnp.arange(R, dtype=jnp.uint32)
     frame = jnp.asarray(frame_index).astype(jnp.uint32)
+    if pool is None:
+        pool = getattr(rt, "lights", None) if rt is not None else None
+    if pool is None:
+        pool = _fallback_pool(gpu)
 
     pos = gb.world_pos.reshape(R, 3)
     n = gb.normal.reshape(R, 3)
@@ -105,22 +107,48 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     rough = gb.orm.reshape(R, 3)[:, 1]
     metal = gb.orm.reshape(R, 3)[:, 2]
 
-    nl = jnp.maximum(gpu.light_count, 1)
-    inv_pdf = nl.astype(jnp.float32)  # uniform light selection
+    def p_hat_of(li, uv):
+        """Target: luminance of unshadowed reflected radiance of sample
+        (li, uv) (ref RAB_GetLightSampleTargetPdfForSurface)."""
+        L, rad, dist = lightops.pool_light_incident(gpu, pool, li, uv, pos)
+        f = shadeops.eval_brdf(n, v, L, albedo, metal, rough)
+        ph = hm.luminance(f * rad, xp=jnp)
+        return jnp.where(valid & (li >= 0), ph, 0.0), L, dist
 
-    def p_hat_of(li):
-        ph, L, dist = _p_hat(gpu, li, pos, n, v, albedo, metal, rough)
-        return jnp.where(valid, ph, 0.0), L, dist
+    def res_update(state, cand_y, cand_uv, cand_w, u):
+        y, uv, w_sum, M = state
+        w_sum_new = w_sum + cand_w
+        take = (u * jnp.maximum(w_sum_new, 1e-20)) < cand_w
+        return (jnp.where(take, cand_y, y),
+                jnp.where(take[..., None], cand_uv, uv),
+                w_sum_new, M + 1.0)
 
-    # ---- initial candidates (GenerateInitialSamples, uniform mode) ----
+    # ---- presampled candidate tiles (RIS presampling) ----
+    tile_ids, tile_inv = lightops.presample_lights(pool, frame)
+    T, S = tile_ids.shape
+    # pixel block -> tile (8x8 blocks share a tile; decorrelated per frame)
+    bx = (pix % W) // 8
+    by = (pix // W) // 8
+    tbits = pcg3d(jnp.stack([bx.astype(jnp.uint32), by.astype(jnp.uint32),
+                             jnp.broadcast_to(frame, bx.shape)], -1))
+    tile = (tbits[..., 0] % T).astype(jnp.int32)
+
+    # ---- initial candidates (GenerateInitialSamples) ----
     y = jnp.full((R,), -1, jnp.int32)
+    uv = jnp.zeros((R, 2))
     w_sum = jnp.zeros((R,))
     M = jnp.zeros((R,))
+    state = (y, uv, w_sum, M)
     for c in range(num_candidates):
-        u_l, u_r, _ = _rand(pix, frame, 100 + c)
-        li = jnp.minimum((u_l * nl).astype(jnp.int32), nl - 1)
-        ph, _L, _d = p_hat_of(li)
-        y, w_sum, M = _res_update(y, w_sum, M, li, ph * inv_pdf, u_r)
+        u_l, u_r, u_u = _rand(pix, frame, 100 + c)
+        u_v, _, _ = _rand(pix, frame, 150 + c)
+        slot = jnp.minimum((u_l * S).astype(jnp.int32), S - 1)
+        li = tile_ids[tile, slot]
+        inv_pdf = tile_inv[tile, slot]
+        cuv = jnp.stack([u_u, u_v], -1)
+        ph, _L, _d = p_hat_of(li, cuv)
+        state = res_update(state, li, cuv, ph * inv_pdf, u_r)
+    y, uv, w_sum, M = state
 
     # ---- temporal reuse (TemporalResampling) ----
     motion = gb.motion  # prev - cur, pixels
@@ -133,13 +161,14 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     on_screen = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < W)
                  & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] < H)).reshape(R)
     ty = prev.y[py_i, px_i]
+    tuv = prev.uv[py_i, px_i]
     tM = jnp.minimum(prev.M[py_i, px_i], M_CLAMP_TEMPORAL)
     tW = prev.W[py_i, px_i]
     t_ok = on_screen & (ty >= 0)
-    ph_t, _, _ = p_hat_of(jnp.maximum(ty, 0))
+    ph_t, _, _ = p_hat_of(jnp.where(t_ok, ty, -1), tuv)
     w_t = jnp.where(t_ok, ph_t * tW * tM, 0.0)
     u1, _, _ = _rand(pix, frame, 200)
-    y, w_sum, _ = _res_update(y, w_sum, M, ty, w_t, u1)
+    y, uv, w_sum, _ = res_update((y, uv, w_sum, M), ty, tuv, w_t, u1)
     M = M + jnp.where(t_ok, tM, 0.0)
 
     # ---- spatial reuse (SpatialResampling): merge K jittered neighbors ----
@@ -150,10 +179,11 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     #   cand_w = ph_here(y_n) * W_n * M_n
     # where W_n = w_sum_n / (M_n * ph_n(y_n)) uses the NEIGHBOR's p-hat —
     # evaluating both at the current surface would cancel algebraically.
-    ph_s, _, _ = p_hat_of(jnp.maximum(y, 0))
+    ph_s, _, _ = p_hat_of(y, uv)
     W_snap = jnp.where((y >= 0) & (ph_s > 0),
                        w_sum / jnp.maximum(M * ph_s, 1e-20), 0.0)
     y_snap2 = jnp.reshape(y, (H, W))
+    uv_snap2 = jnp.reshape(uv, (H, W, 2))
     W_snap2 = jnp.reshape(W_snap, (H, W))
     M_snap2 = jnp.reshape(M, (H, W))
     for k in range(spatial_taps):
@@ -172,24 +202,28 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
                    & (jnp.abs(d_n - d_c) < 0.1 * jnp.maximum(d_c, 1e-3))
                    & valid & gb.valid[ny_, nx])
         yy = y_snap2[ny_, nx]
+        yuv = uv_snap2[ny_, nx]
         W_n = W_snap2[ny_, nx]
         mm = M_snap2[ny_, nx]
-        ph_here, _, _ = p_hat_of(jnp.maximum(yy, 0))
+        ph_here, _, _ = p_hat_of(jnp.where(similar, yy, -1), yuv)
         w_n = jnp.where(similar & (yy >= 0), ph_here * W_n * mm, 0.0)
-        y, w_sum, _ = _res_update(y, w_sum, M, yy, w_n, u_c)
+        y, uv, w_sum, _ = res_update((y, uv, w_sum, M), yy, yuv, w_n, u_c)
         M = M + jnp.where(similar & (yy >= 0), mm, 0.0)
 
     # ---- finalize W ----
-    ph_y, L_y, dist_y = p_hat_of(jnp.maximum(y, 0))
+    ph_y, L_y, dist_y = p_hat_of(y, uv)
     Wgt = jnp.where((y >= 0) & (ph_y > 0), w_sum / jnp.maximum(M * ph_y, 1e-20), 0.0)
 
     # ---- shade winner with one visibility ray (ShadeSamples) ----
-    is_sun = gpu.light_type[jnp.maximum(y, 0)] == LIGHT_DIRECTIONAL
+    la = jnp.clip(y, 0, gpu.light_type.shape[0] - 1)
+    is_sun = (y >= 0) & (y < pool.n_analytic) \
+        & (gpu.light_type[la] == LIGHT_DIRECTIONAL)
     u_s1, u_s2, _ = _rand(pix, frame, 400)
     cos_max = jnp.cos(settings.sun_angular_radius)
     L_final = jnp.where(is_sun[..., None],
                         smp.sample_cone(L_y, cos_max, u_s1, u_s2), L_y)
-    Ld, rad, dist = _light_dir_dist(gpu, jnp.maximum(y, 0), pos)
+    _, rad, dist = lightops.pool_light_incident(gpu, pool, jnp.maximum(y, 0),
+                                                uv, pos)
     f = shadeops.eval_brdf(n, v, L_final, albedo, metal, rough)
     contrib = f * rad * Wgt[..., None]
     if visibility and rt is not None:
@@ -202,6 +236,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         contrib = jnp.where(occ[..., None], 0.0, contrib)
     contrib = jnp.where((valid & (y >= 0))[..., None], contrib, 0.0)
 
-    new_res = Reservoir(y=y.reshape(H, W), w_sum=w_sum.reshape(H, W),
+    new_res = Reservoir(y=y.reshape(H, W), uv=uv.reshape(H, W, 2),
+                        w_sum=w_sum.reshape(H, W),
                         M=M.reshape(H, W), W=Wgt.reshape(H, W))
     return contrib.reshape(H, W, 3), new_res

@@ -1,0 +1,254 @@
+"""ReSTIR GI: reservoir-resampled one-bounce indirect illumination.
+
+Reference: the GI half of src/RTXDIRenderer.cpp (:2256-2293 — GI temporal /
+spatial resampling + final shading passes; algorithm: Ouyang et al. 2021
+"ReSTIR GI: Path Resampling for Real-Time Path Tracing").
+
+TPU build: GI runs on a 1/gi_scale grid (ray budget: the software BVH wavefront
+is the cost ceiling — SURVEY.md §7). Per GI pixel and frame, ONE cosine-sampled
+bounce ray produces a sample point (hit position, hit normal, outgoing radiance
+via next-event estimation at the hit). Reservoirs carry the full sample so
+temporal + spatial reuse multiply the effective sample count; reuse across
+surfaces applies the solid-angle Jacobian of the reconnection shift (Ouyang
+§4.3). A final receiver-side visibility ray kills stale samples. Upsampled
+bilinearly; the temporal accumulation + TAA hide the grid."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hobbyrenderer_tpu.ops import bvh as bvhops
+from hobbyrenderer_tpu.ops import lights as lightops
+from hobbyrenderer_tpu.ops import sampling as smp
+from hobbyrenderer_tpu.ops import shading as shadeops
+from hobbyrenderer_tpu.ops.intersect import offset_ray_origin
+from hobbyrenderer_tpu.utils import math as hm
+from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
+
+GI_M_CLAMP = 12.0
+GI_SPATIAL_TAPS = 2
+GI_SPATIAL_RADIUS = 12.0    # GI-grid pixels
+
+
+class GIReservoir(NamedTuple):
+    """Per-GI-pixel path-sample reservoir (ref RTXDI GI reservoir buffers)."""
+
+    pos: jnp.ndarray      # (H, W, 3) sample (hit) position
+    nrm: jnp.ndarray      # (H, W, 3) sample surface normal
+    rad: jnp.ndarray      # (H, W, 3) outgoing radiance at sample -> receiver
+    w_sum: jnp.ndarray    # (H, W)
+    M: jnp.ndarray        # (H, W)
+    W: jnp.ndarray        # (H, W)
+
+
+def gi_reservoir_init(h: int, w: int) -> GIReservoir:
+    return GIReservoir(pos=jnp.zeros((h, w, 3), jnp.float32),
+                       nrm=jnp.zeros((h, w, 3), jnp.float32),
+                       rad=jnp.zeros((h, w, 3), jnp.float32),
+                       w_sum=jnp.zeros((h, w), jnp.float32),
+                       M=jnp.zeros((h, w), jnp.float32),
+                       W=jnp.zeros((h, w), jnp.float32))
+
+
+def _rand(pix, frame, dim):
+    bits = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
+                            jnp.full_like(pix, dim)], -1))
+    return (uniform_from_bits(bits[..., 0]), uniform_from_bits(bits[..., 1]),
+            uniform_from_bits(bits[..., 2]))
+
+
+def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame):
+    """Outgoing radiance at the bounce hit toward -d: emissive + one
+    power-presampled NEE light sample with a shadow ray (the GI sample's
+    initial radiance, ref the GI initial-sampling pass)."""
+    from hobbyrenderer_tpu.models.pathtracer import _fetch_hit_attrs
+    from hobbyrenderer_tpu.scene.gpu import (MAT_BASE_COLOR, MAT_EMISSIVE,
+                                             MAT_METALLIC, MAT_ROUGHNESS)
+    p, n_s, _gn, _uv, hmat, _hi = _fetch_hit_attrs(gpu, rt, hit, o, d)
+    mf = gpu.mat_f[hmat]
+    albedo = mf[:, MAT_BASE_COLOR:MAT_BASE_COLOR + 3]
+    emissive = mf[:, MAT_EMISSIVE:MAT_EMISSIVE + 3]
+    rough = mf[:, MAT_ROUGHNESS]
+    metal = mf[:, MAT_METALLIC]
+
+    u1, u2, u3 = _rand(pix, frame, 520)
+    tile_ids, tile_inv = lightops.presample_lights(pool, frame, n_tiles=16,
+                                                   tile_size=64)
+    T, S = tile_ids.shape
+    tile = (pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
+                             jnp.full_like(pix, 9)], -1))[..., 0] % T
+            ).astype(jnp.int32)
+    slot = jnp.minimum((u1 * S).astype(jnp.int32), S - 1)
+    li = tile_ids[tile, slot]
+    inv_pdf = tile_inv[tile, slot]
+    uv = jnp.stack([u2, u3], -1)
+    L, rad_l, dist = lightops.pool_light_incident(gpu, pool, li, uv, p)
+    f = shadeops.eval_brdf(n_s, -d, L, albedo, metal, rough)
+    direct = f * rad_l * inv_pdf[..., None]
+    # NEE shadow ray
+    so = offset_ray_origin(p, n_s, L)
+    shoot = (hit.tri >= 0) & (li >= 0) & (hm.luminance(direct, xp=jnp) > 0)
+    occ = bvhops.bvh_any_hit(rt.bvh, so, L,
+                             t_max=jnp.where(shoot, dist - 2e-3, 1e-4))
+    direct = jnp.where((occ | ~shoot)[..., None], 0.0, direct)
+    rad_out = emissive + direct
+    return p, n_s, jnp.where((hit.tri >= 0)[..., None], rad_out, 0.0)
+
+
+def _jacobian(recv_pos, s_pos, s_nrm, src_pos):
+    """Solid-angle Jacobian of reconnecting sample s (seen from src surface)
+    to the receiver surface (Ouyang et al. §4.3), clamped for stability."""
+    to_r = s_pos - recv_pos
+    to_s = s_pos - src_pos
+    d2_r = jnp.maximum(jnp.sum(to_r * to_r, -1), 1e-6)
+    d2_s = jnp.maximum(jnp.sum(to_s * to_s, -1), 1e-6)
+    cos_r = jnp.abs(jnp.sum(s_nrm * to_r, -1)) / jnp.sqrt(d2_r)
+    cos_s = jnp.abs(jnp.sum(s_nrm * to_s, -1)) / jnp.sqrt(d2_s)
+    J = (cos_r / jnp.maximum(cos_s, 1e-4)) * (d2_s / d2_r)
+    return jnp.clip(J, 0.0, 10.0)
+
+
+def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
+              scale: int = 4, pool=None):
+    """One ReSTIR GI frame at 1/scale res. Returns (indirect (H, W, 3)
+    full-res diffuse indirect, new GIReservoir (Hg, Wg))."""
+    H, W = gb.depth.shape
+    Hg, Wg = H // scale, W // scale
+    R = Hg * Wg
+    frame = jnp.asarray(frame_index).astype(jnp.uint32)
+    pix = jnp.arange(R, dtype=jnp.uint32)
+    if pool is None:
+        pool = getattr(rt, "lights", None)
+    assert pool is not None, "ReSTIR GI needs rt.lights"
+
+    sub = lambda img: img[::scale, ::scale][:Hg, :Wg]
+    pos = sub(gb.world_pos).reshape(R, 3)
+    n = sub(gb.normal).reshape(R, 3)
+    gn = sub(gb.geo_normal).reshape(R, 3)
+    valid = sub(gb.valid).reshape(R)
+    albedo = sub(gb.albedo).reshape(R, 3)
+
+    # ---- initial sample: one cosine bounce ray ----
+    u1, u2, u3 = _rand(pix, frame, 500)
+    d_local = smp.cosine_sample_hemisphere(u1, u2)
+    d = smp.to_world(n, d_local)
+    o = offset_ray_origin(pos, gn, d)
+    hit = bvhops.bvh_closest_hit(rt.bvh, o, d)
+    s_pos, s_nrm, s_rad = _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame)
+    ok0 = valid & (hit.tri >= 0)
+    # target p_hat = luminance of incoming radiance (receiver-BRDF-free,
+    # Ouyang §4.1); candidate pdf = cos/pi cancels against the cosine in the
+    # integrand only at FINAL shading, so keep both explicit:
+    cos0 = jnp.maximum(jnp.sum(d * n, -1), 0.0)
+    pdf0 = jnp.maximum(cos0 / jnp.pi, 1e-4)
+    ph0 = jnp.where(ok0, hm.luminance(s_rad, xp=jnp), 0.0)
+    w0 = jnp.where(ok0, ph0 / pdf0, 0.0)
+
+    y_pos, y_nrm, y_rad = s_pos, s_nrm, s_rad
+    w_sum = w0
+    M = jnp.ones((R,))
+
+    def merge(state, c_pos, c_nrm, c_rad, c_w, c_M, u):
+        y_pos, y_nrm, y_rad, w_sum, M = state
+        w_new = w_sum + c_w
+        take = (u * jnp.maximum(w_new, 1e-20)) < c_w
+        t3 = take[..., None]
+        return (jnp.where(t3, c_pos, y_pos), jnp.where(t3, c_nrm, y_nrm),
+                jnp.where(t3, c_rad, y_rad), w_new, M + c_M)
+
+    # ---- temporal reuse with reconnection Jacobian ----
+    motion = sub(gb.motion) / float(scale)
+    pxc = jnp.stack(jnp.meshgrid(jnp.arange(Wg, dtype=jnp.float32) + 0.5,
+                                 jnp.arange(Hg, dtype=jnp.float32) + 0.5,
+                                 indexing="xy"), -1)
+    prev_xy = pxc + motion
+    px_i = jnp.clip(prev_xy[..., 0].astype(jnp.int32), 0, Wg - 1).reshape(R)
+    py_i = jnp.clip(prev_xy[..., 1].astype(jnp.int32), 0, Hg - 1).reshape(R)
+    on_s = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < Wg)
+            & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] < Hg)).reshape(R)
+    t_pos = prev.pos.reshape(-1, 3)[py_i * Wg + px_i]
+    t_nrm = prev.nrm.reshape(-1, 3)[py_i * Wg + px_i]
+    t_rad = prev.rad.reshape(-1, 3)[py_i * Wg + px_i]
+    t_W = prev.W.reshape(-1)[py_i * Wg + px_i]
+    t_M = jnp.minimum(prev.M.reshape(-1)[py_i * Wg + px_i], GI_M_CLAMP)
+    t_ok = on_s & valid & (t_M > 0)
+    # sample must be in front of the receiver
+    t_dir = t_pos - pos
+    front = jnp.sum(t_dir * n, -1) > 1e-4
+    t_ok &= front
+    ph_t = jnp.where(t_ok, hm.luminance(t_rad, xp=jnp), 0.0)
+    # previous receiver position: approximate with current (static-camera
+    # exact; under motion the Jacobian error is bounded by the J clamp)
+    w_t = ph_t * t_W * t_M
+    u_t, _, _ = _rand(pix, frame, 540)
+    state = (y_pos, y_nrm, y_rad, w_sum, M)
+    state = merge(state, t_pos, t_nrm, t_rad, jnp.where(t_ok, w_t, 0.0),
+                  jnp.where(t_ok, t_M, 0.0), u_t)
+    y_pos, y_nrm, y_rad, w_sum, M = state
+
+    # ---- spatial reuse ----
+    pos2 = pos.reshape(Hg, Wg, 3)
+    snap = (y_pos.reshape(Hg, Wg, 3), y_nrm.reshape(Hg, Wg, 3),
+            y_rad.reshape(Hg, Wg, 3), w_sum.reshape(Hg, Wg), M.reshape(Hg, Wg))
+    ph_own = hm.luminance(y_rad, xp=jnp)
+    W_own = jnp.where(ph_own > 0, w_sum / jnp.maximum(M * ph_own, 1e-20), 0.0)
+    W_own2 = W_own.reshape(Hg, Wg)
+    n2 = n.reshape(Hg, Wg, 3)
+    d2v = sub(gb.depth)
+    for k in range(GI_SPATIAL_TAPS):
+        u_a, u_b, u_c = _rand(pix, frame, 560 + k)
+        ang = u_a * (2 * jnp.pi)
+        r_px = jnp.sqrt(u_b) * GI_SPATIAL_RADIUS
+        dx = (jnp.cos(ang) * r_px).astype(jnp.int32)
+        dy = (jnp.sin(ang) * r_px).astype(jnp.int32)
+        nx = jnp.clip(pix.astype(jnp.int32) % Wg + dx, 0, Wg - 1)
+        ny = jnp.clip(pix.astype(jnp.int32) // Wg + dy, 0, Hg - 1)
+        sim = ((jnp.sum(n2[ny, nx] * n, -1) > 0.85)
+               & (jnp.abs(d2v[ny, nx] - d2v.reshape(R))
+                  < 0.1 * jnp.maximum(d2v.reshape(R), 1e-3))
+               & valid)
+        c_pos = snap[0][ny, nx]
+        c_nrm = snap[1][ny, nx]
+        c_rad = snap[2][ny, nx]
+        c_ws = snap[3][ny, nx]
+        c_M = jnp.minimum(snap[4][ny, nx], GI_M_CLAMP)
+        ph_n = hm.luminance(c_rad, xp=jnp)
+        W_n = jnp.where(ph_n > 0, c_ws / jnp.maximum(snap[4][ny, nx] * ph_n,
+                                                     1e-20), 0.0)
+        # reconnection Jacobian: neighbor's sample seen from OUR surface
+        J = _jacobian(pos, c_pos, c_nrm, pos2[ny, nx].reshape(-1, 3))
+        front_n = jnp.sum((c_pos - pos) * n, -1) > 1e-4
+        ok_n = sim & front_n & (ph_n > 0)
+        w_n = jnp.where(ok_n, ph_n * W_n * c_M * J, 0.0)
+        state = merge((y_pos, y_nrm, y_rad, w_sum, M),
+                      c_pos, c_nrm, c_rad, w_n,
+                      jnp.where(ok_n, c_M, 0.0), u_c)
+        y_pos, y_nrm, y_rad, w_sum, M = state
+
+    # ---- finalize + final visibility ray (kills stale/occluded samples) ----
+    ph_y = hm.luminance(y_rad, xp=jnp)
+    Wgt = jnp.where(ph_y > 0, w_sum / jnp.maximum(M * ph_y, 1e-20), 0.0)
+    to_s = y_pos - pos
+    dist = jnp.linalg.norm(to_s, axis=-1)
+    L = to_s / jnp.maximum(dist, 1e-6)[..., None]
+    o_v = offset_ray_origin(pos, gn, L)
+    shoot = valid & (Wgt > 0) & (dist > 1e-4)
+    occ = bvhops.bvh_any_hit(rt.bvh, o_v, L,
+                             t_max=jnp.where(shoot, dist - 2e-3, 1e-4))
+    Wgt = jnp.where(occ, 0.0, Wgt)
+
+    cos_r = jnp.maximum(jnp.sum(L * n, -1), 0.0)
+    indirect = (albedo / jnp.pi) * y_rad * (cos_r * Wgt)[..., None]
+    indirect = jnp.where(valid[..., None], indirect, 0.0)
+
+    new_res = GIReservoir(pos=y_pos.reshape(Hg, Wg, 3),
+                          nrm=y_nrm.reshape(Hg, Wg, 3),
+                          rad=y_rad.reshape(Hg, Wg, 3),
+                          w_sum=w_sum.reshape(Hg, Wg),
+                          M=M.reshape(Hg, Wg), W=Wgt.reshape(Hg, Wg))
+    full = jax.image.resize(indirect.reshape(Hg, Wg, 3), (H, W, 3), "bilinear")
+    full = jnp.where(gb.valid[..., None], full, 0.0)
+    return full, new_res
