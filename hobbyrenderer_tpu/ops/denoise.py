@@ -10,7 +10,10 @@ reimplemented as a capability: RELAX's core structure is
      depth and luminance).
 
 All stages are regular per-pixel math: reprojection bilinear taps, and the
-A-trous taps are static shifts (jnp.roll) — ideal VPU work."""
+A-trous taps are static edge-clamped shifts — ideal VPU work. Under row-band
+sharding (ops/shard_utils.RowShard) every out-of-band tap reads neighbor rows
+exchanged over ICI by ppermute; the tap radii (A-trous <= 8 px, reprojection
+halo 32 px) are covered exactly by the halos."""
 
 from __future__ import annotations
 
@@ -19,7 +22,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from hobbyrenderer_tpu.ops import shard_utils as shu
 from hobbyrenderer_tpu.utils import math as hm
+
+REPROJECT_HALO = 32     # rows of history reachable across bands
+ATROUS_PAD = 8          # max A-trous tap offset (2 * step, step <= 4)
 
 
 class DenoiseState(NamedTuple):
@@ -38,35 +45,41 @@ def denoise_init(h: int, w: int) -> DenoiseState:
                         normal=jnp.zeros((h, w, 3), jnp.float32))
 
 
-def _bilinear(img, xy, H, W):
+def _bilinear_ext(img_e, xy, halo, shard, H, W):
+    """Bilinear fetch from an extend_rows() result; xy carries GLOBAL y."""
+    full_h = shu.full_height(shard, H)
     x = jnp.clip(xy[..., 0] - 0.5, 0.0, W - 1.0)
-    y = jnp.clip(xy[..., 1] - 0.5, 0.0, H - 1.0)
+    y = jnp.clip(xy[..., 1] - 0.5, 0.0, full_h - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    fx = (x - x0)[..., None] if img.ndim == 3 else (x - x0)
-    fy = (y - y0)[..., None] if img.ndim == 3 else (y - y0)
-    return ((img[y0, x0] * (1 - fx) + img[y0, x1] * fx) * (1 - fy)
-            + (img[y1, x0] * (1 - fx) + img[y1, x1] * fx) * fy)
+    y0e = shu.ext_row_index(y0, halo, shard, H)
+    y1e = shu.ext_row_index(y0 + 1, halo, shard, H)
+    fx = (x - x0)[..., None] if img_e.ndim == 3 else (x - x0)
+    fy = (y - y0)[..., None] if img_e.ndim == 3 else (y - y0)
+    return ((img_e[y0e, x0] * (1 - fx) + img_e[y0e, x1] * fx) * (1 - fy)
+            + (img_e[y1e, x0] * (1 - fx) + img_e[y1e, x1] * fx) * fy)
 
 
 def temporal_accumulate(signal, gb, state: DenoiseState,
-                        max_history: float = 32.0):
+                        max_history: float = 32.0, shard=None):
     """RELAX temporal pass: reproject, validate by depth+normal, blend with
     1/(history+1), accumulate luminance moments."""
     H, W = signal.shape[0], signal.shape[1]
+    y0g = shu.global_y0(shard)
+    full_h = shu.full_height(shard, H)
     px = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
-                                jnp.arange(H, dtype=jnp.float32) + 0.5,
-                                indexing="xy"), -1)
+                                jnp.arange(H, dtype=jnp.float32) + y0g + 0.5,
+                                indexing="xy"), -1)       # GLOBAL pixel centers
     prev_xy = px + gb.motion
     on = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < W)
-          & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] < H))
-    pc = _bilinear(state.color, prev_xy, H, W)
-    pm = _bilinear(state.moments, prev_xy, H, W)
-    ph = _bilinear(state.history, prev_xy, H, W)
-    pd = _bilinear(state.depth, prev_xy, H, W)
-    pn = _bilinear(state.normal, prev_xy, H, W)
+          & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] < full_h))
+    hl = REPROJECT_HALO
+    pc = _bilinear_ext(shu.extend_rows(state.color, hl, shard), prev_xy, hl, shard, H, W)
+    pm = _bilinear_ext(shu.extend_rows(state.moments, hl, shard), prev_xy, hl, shard, H, W)
+    ph = _bilinear_ext(shu.extend_rows(state.history, hl, shard), prev_xy, hl, shard, H, W)
+    pd = _bilinear_ext(shu.extend_rows(state.depth, hl, shard), prev_xy, hl, shard, H, W)
+    pn = _bilinear_ext(shu.extend_rows(state.normal, hl, shard), prev_xy, hl, shard, H, W)
 
     # geometry validation (ref disocclusion test)
     dep_ok = jnp.abs(pd - gb.depth) < 0.1 * jnp.maximum(gb.depth, 1e-3)
@@ -90,14 +103,36 @@ def temporal_accumulate(signal, gb, state: DenoiseState,
 _KERNEL = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]
 
 
+def _pad_cols(x, pad):
+    widths = ((0, 0), (pad, pad)) + ((0, 0),) * (x.ndim - 2)
+    return jnp.pad(x, widths, mode="edge")
+
+
+def _tap(x_e, dy, dx, pad, H, W):
+    """Static slice = value at (y + dy, x + dx), edge/halo-clamped."""
+    return jax.lax.slice(
+        x_e, (pad + dy, pad + dx) + (0,) * (x_e.ndim - 2),
+        (pad + dy + H, pad + dx + W) + x_e.shape[2:])
+
+
 def atrous_filter(color, var, gb, iterations: int = 3,
                   sigma_z: float = 1.0, sigma_n: float = 64.0,
-                  sigma_l: float = 4.0):
-    """Edge-aware A-trous wavelet chain (ref RELAX/SVGF spatial filter)."""
+                  sigma_l: float = 4.0, shard=None):
+    """Edge-aware A-trous wavelet chain (ref RELAX/SVGF spatial filter).
+
+    Taps are edge-clamped static slices over a halo-extended domain (the
+    previous jnp.roll formulation wrapped at image edges — wrong there, and
+    wrong at every band boundary under sharding)."""
     H, W = color.shape[0], color.shape[1]
-    lum_c = hm.luminance(color, xp=jnp)
+    pad = ATROUS_PAD
+    n_e = _pad_cols(shu.extend_rows(gb.normal, pad, shard), pad)
+    d_e = _pad_cols(shu.extend_rows(gb.depth, pad, shard), pad)
     for it in range(iterations):
         step = 1 << it
+        lum_c = hm.luminance(color, xp=jnp)
+        c_e = _pad_cols(shu.extend_rows(color, pad, shard), pad)
+        v_e = _pad_cols(shu.extend_rows(var, pad, shard), pad)
+        l_e = _pad_cols(shu.extend_rows(lum_c, pad, shard), pad)
         acc = color * _KERNEL[2] * _KERNEL[2]
         acc_w = jnp.full((H, W), _KERNEL[2] * _KERNEL[2])
         acc_v = var * (_KERNEL[2] * _KERNEL[2]) ** 2
@@ -107,15 +142,15 @@ def atrous_filter(color, var, gb, iterations: int = 3,
                 if dx == 0 and dy == 0:
                     continue
                 k = _KERNEL[dy + 2] * _KERNEL[dx + 2]
-                sc = jnp.roll(color, (-dy * step, -dx * step), axis=(0, 1))
-                sv = jnp.roll(var, (-dy * step, -dx * step), axis=(0, 1))
-                sn = jnp.roll(gb.normal, (-dy * step, -dx * step), axis=(0, 1))
-                sd = jnp.roll(gb.depth, (-dy * step, -dx * step), axis=(0, 1))
-                sl = jnp.roll(lum_c, (-dy * step, -dx * step), axis=(0, 1))
+                sc = _tap(c_e, dy * step, dx * step, pad, H, W)
+                sv = _tap(v_e, dy * step, dx * step, pad, H, W)
+                sn = _tap(n_e, dy * step, dx * step, pad, H, W)
+                sd = _tap(d_e, dy * step, dx * step, pad, H, W)
+                sl = _tap(l_e, dy * step, dx * step, pad, H, W)
                 w_n = jnp.power(jnp.maximum(jnp.sum(sn * gb.normal, -1), 0.0), sigma_n)
                 w_z = jnp.exp(-jnp.abs(sd - gb.depth)
                               / (sigma_z * 0.05 * jnp.maximum(gb.depth, 1e-3) * step + 1e-6))
-                w_l = jnp.exp(-jnp.abs(sl - hm.luminance(color, xp=jnp))
+                w_l = jnp.exp(-jnp.abs(sl - lum_c)
                               / (sigma_l * std + 1e-4))
                 w = k * w_n * w_z * w_l
                 acc = acc + sc * w[..., None]
@@ -123,12 +158,11 @@ def atrous_filter(color, var, gb, iterations: int = 3,
                 acc_v = acc_v + sv * w * w
         color = acc / jnp.maximum(acc_w[..., None], 1e-6)
         var = acc_v / jnp.maximum(acc_w * acc_w, 1e-6)
-        lum_c = hm.luminance(color, xp=jnp)
     return color
 
 
-def denoise(signal, gb, state: DenoiseState):
+def denoise(signal, gb, state: DenoiseState, shard=None):
     """Full RELAX-class chain. Returns (denoised, new_state)."""
-    color, var, new_state = temporal_accumulate(signal, gb, state)
-    out = atrous_filter(color, var, gb)
+    color, var, new_state = temporal_accumulate(signal, gb, state, shard=shard)
+    out = atrous_filter(color, var, gb, shard=shard)
     return out, new_state

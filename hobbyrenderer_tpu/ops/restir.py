@@ -27,6 +27,7 @@ from hobbyrenderer_tpu.ops import bvh as bvhops
 from hobbyrenderer_tpu.ops import lights as lightops
 from hobbyrenderer_tpu.ops import sampling as smp
 from hobbyrenderer_tpu.ops import shading as shadeops
+from hobbyrenderer_tpu.ops import shard_utils as shu
 from hobbyrenderer_tpu.scene.scene import LIGHT_DIRECTIONAL
 from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
@@ -34,6 +35,7 @@ from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 M_CLAMP_TEMPORAL = 20.0     # ref RTXDI temporal M clamp
 SPATIAL_RADIUS = 30.0       # px (ref spatial sampling radius)
 SPATIAL_TAPS = 4
+HALO = 32                   # row-shard halo >= SPATIAL_RADIUS (exact taps)
 
 
 class Reservoir(NamedTuple):
@@ -82,16 +84,25 @@ def _fallback_pool(gpu):
 
 def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
               num_candidates: int = 8, visibility: bool = True,
-              spatial_taps: int = SPATIAL_TAPS, pool=None):
+              spatial_taps: int = SPATIAL_TAPS, pool=None, shard=None):
     """Full ReSTIR DI chain for one frame.
 
     gb: GBuffer; prev: last frame's reservoir (already at this frame's pixel
     grid semantics — reprojection happens here via gb.motion); pool: LightPool
-    (defaults to rt.lights, else analytic-only fallback).
+    (defaults to rt.lights, else analytic-only fallback); shard: optional
+    shard_utils.RowShard when gb/prev are one device's row band — temporal
+    and spatial taps then reach the neighbor bands via ppermute halos.
     Returns (direct_radiance (H,W,3), new Reservoir)."""
     H, W = gb.depth.shape
     R = H * W
-    pix = jnp.arange(R, dtype=jnp.uint32)
+    y0 = shu.global_y0(shard)
+    full_h = shu.full_height(shard, H)
+    ly = jnp.arange(R, dtype=jnp.int32) // W
+    lx = jnp.arange(R, dtype=jnp.int32) % W
+    gy = ly + y0
+    # RNG keyed on GLOBAL pixel id: a sharded frame draws the same sample
+    # sequence as the single-chip frame (the sharded==single contract)
+    pix = (gy * W + lx).astype(jnp.uint32)
     frame = jnp.asarray(frame_index).astype(jnp.uint32)
     if pool is None:
         pool = getattr(rt, "lights", None) if rt is not None else None
@@ -153,17 +164,22 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     # ---- temporal reuse (TemporalResampling) ----
     motion = gb.motion  # prev - cur, pixels
     pxc = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
-                                 jnp.arange(H, dtype=jnp.float32) + 0.5,
-                                 indexing="xy"), -1)
+                                 jnp.arange(H, dtype=jnp.float32) + y0 + 0.5,
+                                 indexing="xy"), -1)      # GLOBAL pixel centers
     prev_xy = pxc + motion
     px_i = jnp.clip(prev_xy[..., 0].astype(jnp.int32), 0, W - 1).reshape(R)
-    py_i = jnp.clip(prev_xy[..., 1].astype(jnp.int32), 0, H - 1).reshape(R)
-    on_screen = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < W)
-                 & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] < H)).reshape(R)
-    ty = prev.y[py_i, px_i]
-    tuv = prev.uv[py_i, px_i]
-    tM = jnp.minimum(prev.M[py_i, px_i], M_CLAMP_TEMPORAL)
-    tW = prev.W[py_i, px_i]
+    py_g = prev_xy[..., 1].astype(jnp.int32).reshape(R)
+    on_screen = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < W)).reshape(R) \
+        & (py_g >= 0) & (py_g < full_h)
+    prev_y_e = shu.extend_rows(prev.y, HALO, shard)
+    prev_uv_e = shu.extend_rows(prev.uv, HALO, shard)
+    prev_M_e = shu.extend_rows(prev.M, HALO, shard)
+    prev_W_e = shu.extend_rows(prev.W, HALO, shard)
+    py_i = shu.ext_row_index(py_g, HALO, shard, H)
+    ty = prev_y_e[py_i, px_i]
+    tuv = prev_uv_e[py_i, px_i]
+    tM = jnp.minimum(prev_M_e[py_i, px_i], M_CLAMP_TEMPORAL)
+    tW = prev_W_e[py_i, px_i]
     t_ok = on_screen & (ty >= 0)
     ph_t, _, _ = p_hat_of(jnp.where(t_ok, ty, -1), tuv)
     w_t = jnp.where(t_ok, ph_t * tW * tM, 0.0)
@@ -182,25 +198,28 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     ph_s, _, _ = p_hat_of(y, uv)
     W_snap = jnp.where((y >= 0) & (ph_s > 0),
                        w_sum / jnp.maximum(M * ph_s, 1e-20), 0.0)
-    y_snap2 = jnp.reshape(y, (H, W))
-    uv_snap2 = jnp.reshape(uv, (H, W, 2))
-    W_snap2 = jnp.reshape(W_snap, (H, W))
-    M_snap2 = jnp.reshape(M, (H, W))
+    y_snap2 = shu.extend_rows(jnp.reshape(y, (H, W)), HALO, shard)
+    uv_snap2 = shu.extend_rows(jnp.reshape(uv, (H, W, 2)), HALO, shard)
+    W_snap2 = shu.extend_rows(jnp.reshape(W_snap, (H, W)), HALO, shard)
+    M_snap2 = shu.extend_rows(jnp.reshape(M, (H, W)), HALO, shard)
+    nrm_e = shu.extend_rows(gb.normal, HALO, shard)
+    dep_e = shu.extend_rows(gb.depth, HALO, shard)
+    val_e = shu.extend_rows(gb.valid, HALO, shard)
     for k in range(spatial_taps):
         u_a, u_b, u_c = _rand(pix, frame, 300 + k)
         ang = u_a * (2 * jnp.pi)
         rad_px = jnp.sqrt(u_b) * SPATIAL_RADIUS
         dx = (jnp.cos(ang) * rad_px).astype(jnp.int32)
         dy = (jnp.sin(ang) * rad_px).astype(jnp.int32)
-        nx = jnp.clip(pix.astype(jnp.int32) % W + dx, 0, W - 1)
-        ny_ = jnp.clip(pix.astype(jnp.int32) // W + dy, 0, H - 1)
+        nx = jnp.clip(lx + dx, 0, W - 1)
+        ny_ = shu.ext_row_index(gy + dy, HALO, shard, H)
         # neighbor similarity (depth + normal) guards against bias at edges
-        n_n = gb.normal[ny_, nx]
-        d_n = gb.depth[ny_, nx]
+        n_n = nrm_e[ny_, nx]
+        d_n = dep_e[ny_, nx]
         d_c = gb.depth.reshape(R)
         similar = ((jnp.sum(n_n * n, -1) > 0.9)
                    & (jnp.abs(d_n - d_c) < 0.1 * jnp.maximum(d_c, 1e-3))
-                   & valid & gb.valid[ny_, nx])
+                   & valid & val_e[ny_, nx])
         yy = y_snap2[ny_, nx]
         yuv = uv_snap2[ny_, nx]
         W_n = W_snap2[ny_, nx]

@@ -24,6 +24,7 @@ from hobbyrenderer_tpu.ops import bvh as bvhops
 from hobbyrenderer_tpu.ops import lights as lightops
 from hobbyrenderer_tpu.ops import sampling as smp
 from hobbyrenderer_tpu.ops import shading as shadeops
+from hobbyrenderer_tpu.ops import shard_utils as shu
 from hobbyrenderer_tpu.ops.intersect import offset_ray_origin
 from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
@@ -31,6 +32,7 @@ from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 GI_M_CLAMP = 12.0
 GI_SPATIAL_TAPS = 2
 GI_SPATIAL_RADIUS = 12.0    # GI-grid pixels
+GI_HALO = 16                # GI-grid halo rows (>= spatial radius)
 
 
 class GIReservoir(NamedTuple):
@@ -112,14 +114,25 @@ def _jacobian(recv_pos, s_pos, s_nrm, src_pos):
 
 
 def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
-              scale: int = 4, pool=None):
+              scale: int = 4, pool=None, shard=None):
     """One ReSTIR GI frame at 1/scale res. Returns (indirect (H, W, 3)
-    full-res diffuse indirect, new GIReservoir (Hg, Wg))."""
+    full-res diffuse indirect, new GIReservoir (Hg, Wg)). shard: optional
+    FULL-RES RowShard; the GI grid shards with it (shard_h % scale == 0)."""
     H, W = gb.depth.shape
     Hg, Wg = H // scale, W // scale
     R = Hg * Wg
+    gshard = None
+    if shard is not None:
+        gshard = shard._replace(y0=shard.y0 // scale, shard_h=Hg,
+                                full_h=shard.full_h // scale)
+    gy0 = shu.global_y0(gshard)
+    gfull_h = shu.full_height(gshard, Hg)
     frame = jnp.asarray(frame_index).astype(jnp.uint32)
-    pix = jnp.arange(R, dtype=jnp.uint32)
+    ly = jnp.arange(R, dtype=jnp.int32) // Wg
+    lx = jnp.arange(R, dtype=jnp.int32) % Wg
+    ggy = ly + gy0
+    # RNG keyed on GLOBAL GI-pixel id (sharded == single sample sequences)
+    pix = (ggy * Wg + lx).astype(jnp.uint32)
     if pool is None:
         pool = getattr(rt, "lights", None)
     assert pool is not None, "ReSTIR GI needs rt.lights"
@@ -162,18 +175,25 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     # ---- temporal reuse with reconnection Jacobian ----
     motion = sub(gb.motion) / float(scale)
     pxc = jnp.stack(jnp.meshgrid(jnp.arange(Wg, dtype=jnp.float32) + 0.5,
-                                 jnp.arange(Hg, dtype=jnp.float32) + 0.5,
-                                 indexing="xy"), -1)
+                                 jnp.arange(Hg, dtype=jnp.float32) + gy0 + 0.5,
+                                 indexing="xy"), -1)      # GLOBAL GI centers
     prev_xy = pxc + motion
     px_i = jnp.clip(prev_xy[..., 0].astype(jnp.int32), 0, Wg - 1).reshape(R)
-    py_i = jnp.clip(prev_xy[..., 1].astype(jnp.int32), 0, Hg - 1).reshape(R)
-    on_s = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < Wg)
-            & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] < Hg)).reshape(R)
-    t_pos = prev.pos.reshape(-1, 3)[py_i * Wg + px_i]
-    t_nrm = prev.nrm.reshape(-1, 3)[py_i * Wg + px_i]
-    t_rad = prev.rad.reshape(-1, 3)[py_i * Wg + px_i]
-    t_W = prev.W.reshape(-1)[py_i * Wg + px_i]
-    t_M = jnp.minimum(prev.M.reshape(-1)[py_i * Wg + px_i], GI_M_CLAMP)
+    py_g = prev_xy[..., 1].astype(jnp.int32).reshape(R)
+    on_s = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < Wg)).reshape(R) \
+        & (py_g >= 0) & (py_g < gfull_h)
+    hl = GI_HALO
+    py_i = shu.ext_row_index(py_g, hl, gshard, Hg)
+    p_pos_e = shu.extend_rows(prev.pos, hl, gshard)
+    p_nrm_e = shu.extend_rows(prev.nrm, hl, gshard)
+    p_rad_e = shu.extend_rows(prev.rad, hl, gshard)
+    p_W_e = shu.extend_rows(prev.W, hl, gshard)
+    p_M_e = shu.extend_rows(prev.M, hl, gshard)
+    t_pos = p_pos_e.reshape(-1, 3)[py_i * Wg + px_i]
+    t_nrm = p_nrm_e.reshape(-1, 3)[py_i * Wg + px_i]
+    t_rad = p_rad_e.reshape(-1, 3)[py_i * Wg + px_i]
+    t_W = p_W_e.reshape(-1)[py_i * Wg + px_i]
+    t_M = jnp.minimum(p_M_e.reshape(-1)[py_i * Wg + px_i], GI_M_CLAMP)
     t_ok = on_s & valid & (t_M > 0)
     # sample must be in front of the receiver
     t_dir = t_pos - pos
@@ -190,24 +210,26 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     y_pos, y_nrm, y_rad, w_sum, M = state
 
     # ---- spatial reuse ----
-    pos2 = pos.reshape(Hg, Wg, 3)
-    snap = (y_pos.reshape(Hg, Wg, 3), y_nrm.reshape(Hg, Wg, 3),
-            y_rad.reshape(Hg, Wg, 3), w_sum.reshape(Hg, Wg), M.reshape(Hg, Wg))
-    ph_own = hm.luminance(y_rad, xp=jnp)
-    W_own = jnp.where(ph_own > 0, w_sum / jnp.maximum(M * ph_own, 1e-20), 0.0)
-    W_own2 = W_own.reshape(Hg, Wg)
-    n2 = n.reshape(Hg, Wg, 3)
+    hl = GI_HALO
+    pos2 = shu.extend_rows(pos.reshape(Hg, Wg, 3), hl, gshard)
+    snap = (shu.extend_rows(y_pos.reshape(Hg, Wg, 3), hl, gshard),
+            shu.extend_rows(y_nrm.reshape(Hg, Wg, 3), hl, gshard),
+            shu.extend_rows(y_rad.reshape(Hg, Wg, 3), hl, gshard),
+            shu.extend_rows(w_sum.reshape(Hg, Wg), hl, gshard),
+            shu.extend_rows(M.reshape(Hg, Wg), hl, gshard))
+    n2 = shu.extend_rows(n.reshape(Hg, Wg, 3), hl, gshard)
     d2v = sub(gb.depth)
+    d2e = shu.extend_rows(d2v, hl, gshard)
     for k in range(GI_SPATIAL_TAPS):
         u_a, u_b, u_c = _rand(pix, frame, 560 + k)
         ang = u_a * (2 * jnp.pi)
         r_px = jnp.sqrt(u_b) * GI_SPATIAL_RADIUS
         dx = (jnp.cos(ang) * r_px).astype(jnp.int32)
         dy = (jnp.sin(ang) * r_px).astype(jnp.int32)
-        nx = jnp.clip(pix.astype(jnp.int32) % Wg + dx, 0, Wg - 1)
-        ny = jnp.clip(pix.astype(jnp.int32) // Wg + dy, 0, Hg - 1)
+        nx = jnp.clip(lx + dx, 0, Wg - 1)
+        ny = shu.ext_row_index(ggy + dy, hl, gshard, Hg)
         sim = ((jnp.sum(n2[ny, nx] * n, -1) > 0.85)
-               & (jnp.abs(d2v[ny, nx] - d2v.reshape(R))
+               & (jnp.abs(d2e[ny, nx] - d2v.reshape(R))
                   < 0.1 * jnp.maximum(d2v.reshape(R), 1e-3))
                & valid)
         c_pos = snap[0][ny, nx]

@@ -4,69 +4,89 @@ Reference: src/TAARenderer.cpp — AMD FSR3 upscaler context in TAA-only mode:
 jittered rendering, jitter-cancelled motion vectors, exposure-aware accumulation.
 The vendor DLL is reimplemented as a capability (SURVEY.md §7): history
 reprojection by motion vectors, 3x3 neighborhood min/max clamp (variance-based),
-disocclusion-aware blend, optional sharpening."""
+disocclusion-aware blend, optional sharpening.
+
+Row-band sharding (ops/shard_utils.RowShard): the history fetch and the 3x3
+neighborhood reach the adjacent bands through ppermute halos; reprojection
+farther than the 32-row halo clamps to the exchanged rows."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
+from hobbyrenderer_tpu.ops import shard_utils as shu
 
-def _sample_bilinear(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """img (H, W, C); xy (H, W, 2) absolute pixel coords (center convention).
+HISTORY_HALO = 32
+
+
+def _sample_bilinear_ext(img_e, xy, halo, shard, H, W):
+    """img_e: extend_rows() result; xy (H, W, 2) GLOBAL pixel coords.
 
     TPU note: gathers are per-row latency-bound, so the 2x2 footprint is
     pre-packed into a quad table with three cheap shifted copies and fetched
     with ONE flat row gather per pixel (4 separate 2D-indexed gathers measured
     ~12 ms each at 1080p; the packed form is ~6 ms total)."""
-    H, W, C = img.shape
+    He, _, C = img_e.shape
+    full_h = shu.full_height(shard, H)
     x = jnp.clip(xy[..., 0] - 0.5, 0.0, W - 1.0)
-    y = jnp.clip(xy[..., 1] - 0.5, 0.0, H - 1.0)
+    y = jnp.clip(xy[..., 1] - 0.5, 0.0, full_h - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    right = jnp.concatenate([img[:, 1:], img[:, -1:]], 1)
-    down = jnp.concatenate([img[1:], img[-1:]], 0)
+    y0e = shu.ext_row_index(y0, halo, shard, H)
+    # the +1 row of the footprint comes from the packed "down" copies, so only
+    # the base row index is gathered
+    right = jnp.concatenate([img_e[:, 1:], img_e[:, -1:]], 1)
+    down = jnp.concatenate([img_e[1:], img_e[-1:]], 0)
     downright = jnp.concatenate([right[1:], right[-1:]], 0)
-    quad = jnp.concatenate([img, right, down, downright], -1).reshape(H * W, 4 * C)
-    q = quad[y0 * W + x0]                                   # one row gather/px
+    quad = jnp.concatenate([img_e, right, down, downright], -1)
+    q = quad.reshape(He * W, 4 * C)[y0e * W + x0]           # one row gather/px
     c00, c01 = q[..., 0:C], q[..., C:2 * C]
     c10, c11 = q[..., 2 * C:3 * C], q[..., 3 * C:4 * C]
     return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
             + (c10 * (1 - fx) + c11 * fx) * fy)
 
 
-def _neighborhood_minmax(c: jnp.ndarray):
-    """3x3 min/max per channel via two reduce_window passes."""
-    mn = -jax.lax.reduce_window(-c, -jnp.inf, jax.lax.max, (3, 3, 1), (1, 1, 1), "SAME")
-    mx = jax.lax.reduce_window(c, -jnp.inf, jax.lax.max, (3, 3, 1), (1, 1, 1), "SAME")
+def _neighborhood_minmax(c_e, H, W):
+    """3x3 min/max per channel over the 1-row-extended domain."""
+    mn = -jax.lax.reduce_window(-c_e, -jnp.inf, jax.lax.max, (3, 3, 1),
+                                (1, 1, 1), "SAME")[1:1 + H]
+    mx = jax.lax.reduce_window(c_e, -jnp.inf, jax.lax.max, (3, 3, 1),
+                               (1, 1, 1), "SAME")[1:1 + H]
     return mn, mx
 
 
 def taa_resolve(hdr: jnp.ndarray, history: jnp.ndarray, motion: jnp.ndarray,
-                valid_history, settings) -> jnp.ndarray:
+                valid_history, settings, shard=None) -> jnp.ndarray:
     """One TAA step: returns the resolved frame (which is also the new history).
 
     hdr (H,W,3) jittered current frame; motion (H,W,2) = prev - cur in pixels;
-    valid_history: scalar bool (False on reset/first frame)."""
+    valid_history: scalar bool (False on reset/first frame); history is this
+    band's rows (halos exchanged here when sharded)."""
     H, W = hdr.shape[0], hdr.shape[1]
+    y0g = shu.global_y0(shard)
+    full_h = shu.full_height(shard, H)
     px = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
-                                jnp.arange(H, dtype=jnp.float32) + 0.5,
+                                jnp.arange(H, dtype=jnp.float32) + y0g + 0.5,
                                 indexing="xy"), -1)
     prev_xy = px + motion
-    hist = _sample_bilinear(history, prev_xy)
+    hist_e = shu.extend_rows(history, HISTORY_HALO, shard)
+    hist = _sample_bilinear_ext(hist_e, prev_xy, HISTORY_HALO, shard, H, W)
     # neighborhood clamp (suppresses ghosting)
-    mn, mx = _neighborhood_minmax(hdr)
+    hdr_e1 = shu.extend_rows(hdr, 1, shard)
+    mn, mx = _neighborhood_minmax(hdr_e1, H, W)
     hist = jnp.clip(hist, mn, mx)
     # disocclusion: off-screen reprojection falls back to current
     on_screen = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < W)
-                 & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] < H))
+                 & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] < full_h))
     alpha = jnp.where(on_screen[..., None], settings.taa_blend, 1.0)
     alpha = jnp.where(valid_history, alpha, 1.0)
     out = hist + (hdr - hist) * alpha
     # sharpen (ref sharpness param); settings.sharpness == 0 disables
-    blur = jax.lax.reduce_window(out, 0.0, jax.lax.add,
-                                 (3, 3, 1), (1, 1, 1), "SAME") / 9.0
+    out_e1 = shu.extend_rows(out, 1, shard)
+    blur = jax.lax.reduce_window(out_e1, 0.0, jax.lax.add,
+                                 (3, 3, 1), (1, 1, 1), "SAME")[1:1 + H] / 9.0
     out = out + (out - blur) * settings.sharpness
     return jnp.maximum(out, 0.0)

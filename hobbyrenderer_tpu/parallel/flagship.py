@@ -1,0 +1,184 @@
+"""Multi-chip FLAGSHIP deferred frame: the Normal-mode graph under shard_map.
+
+SURVEY.md §5.8 / VERDICT r1 #5: the basic sharded frame (parallel/frame.py)
+covered only raster + simple lighting; this module shards the flagship chain —
+
+  culling (replicated) -> banded raster/G-buffer resolve -> ReSTIR DI
+  (+ optional ReSTIR GI) with ppermute HALO EXCHANGE for temporal + spatial
+  reuse -> RELAX denoise (halo'd A-trous) -> IBL/lighting/sky -> TAA (halo'd
+  history reprojection) -> exposure (psum histogram) -> all_gather ->
+  bloom + tonemap (replicated post).
+
+Every screen-space pass reaches its out-of-band taps through
+ops/shard_utils.extend_rows (two ppermutes per array over ICI); RNG is keyed on
+GLOBAL pixel ids, so the sharded frame draws exactly the single-chip sample
+sequences (tested: sharded == single for the restir+denoise path,
+tests/test_parallel.py)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+try:  # JAX >= 0.6 moved shard_map around
+    shard_map = jax.shard_map
+except Exception:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from jax.sharding import PartitionSpec as P
+
+from hobbyrenderer_tpu.ops import culling as cullops
+from hobbyrenderer_tpu.ops import denoise as dnops
+from hobbyrenderer_tpu.ops import post as postops
+from hobbyrenderer_tpu.ops import raster as rasterops
+from hobbyrenderer_tpu.ops import restir as restirops
+from hobbyrenderer_tpu.ops import restir_gi as giops
+from hobbyrenderer_tpu.ops import shard_utils as shu
+from hobbyrenderer_tpu.ops import shading as shadeops
+from hobbyrenderer_tpu.ops import sky as skyops
+from hobbyrenderer_tpu.ops import taa as taaops
+from hobbyrenderer_tpu.ops.raster import TILE
+from hobbyrenderer_tpu.parallel.mesh import TILE_AXIS, build_mesh
+
+GI_SCALE = 4
+
+
+def _sun_dir(gpu, settings):
+    lt = gpu.light_type
+    is_dir = (lt == 0) & (jnp.arange(lt.shape[0]) < gpu.light_count)
+    idx = jnp.argmax(is_dir)
+    return jnp.where(is_dir.any(), gpu.light_dir[idx],
+                     jnp.asarray(settings.sun_direction))
+
+
+def _flagship_fn(gpu, rt, vc, settings, state, *, width, height, shard_h,
+                 n_dev, capacity, with_gi, dt):
+    """Per-device body (runs under shard_map)."""
+    shard = shu.make_row_shard(TILE_AXIS, n_dev, shard_h)
+    y0 = shard.y0
+
+    # replicated culling + compaction (scene work is small vs pixel work)
+    alpha_ok = jnp.asarray([True, True, False])
+    cull = cullops.cull_pairs(gpu, vc, alpha_mask=alpha_ok)
+    slots, _count = cullops.compact_mask(cull["mask"], capacity)
+
+    # banded raster + G-buffer resolve
+    out = rasterops.rasterize(gpu, vc, slots, width, height,
+                              y0=y0, shard_height=shard_h, resolve_attrs=True)
+    ro, aux, attr = out
+    gb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux, attr_img=attr,
+                                   y0=y0)
+
+    # ReSTIR DI with halo'd temporal/spatial reuse
+    direct, new_res = restirops.restir_di(
+        gpu, rt, gb, vc, settings, state["restir_reservoir"],
+        vc["frame_index"], visibility=rt is not None, shard=shard)
+    direct, dn_state = dnops.denoise(direct, gb, state["denoise_state"],
+                                     shard=shard)
+
+    # indirect: ReSTIR GI on the banded GI grid (needs rays)
+    if with_gi:
+        indirect, gi_res = giops.restir_gi(
+            gpu, rt, gb, vc, settings, state["restir_gi_reservoir"],
+            vc["frame_index"], scale=GI_SCALE, shard=shard)
+    else:
+        indirect, gi_res = 0.0, None
+
+    # ambient + sky on the band
+    vdir = skyops.view_dirs_from_pixels(vc, shard_h, width, y0=y0,
+                                        full_height=height)
+    v = -vdir
+    rough = gb.orm[..., 1]
+    metal = gb.orm[..., 2]
+    from hobbyrenderer_tpu.ops import ibl as iblops
+    sun_dir = _sun_dir(gpu, settings)
+    irr = iblops.build_sky_irradiance(sun_dir, settings)   # replicated (cheap)
+    ambient = iblops.ibl_ambient(irr, gb.normal, v, gb.albedo, metal, rough,
+                                 sun_dir, settings,
+                                 intensity=settings.ibl_intensity
+                                 * settings.ambient_scale)
+    hdr = direct + ambient + gb.emissive + indirect
+    hdr = jnp.where(gb.valid[..., None], hdr,
+                    skyops.sky_radiance(vdir, sun_dir, settings))
+
+    # TAA: halo'd history reprojection
+    hdr = taaops.taa_resolve(hdr, state["taa_history"], gb.motion,
+                             state["taa_valid"], settings, shard=shard)
+    taa_hist = hdr
+
+    # exposure: partial histogram + psum (ICI collective)
+    hist = postops.luminance_histogram(hdr)
+    hist = jax.lax.psum(hist, TILE_AXIS)
+    exposure = postops.exposure_adapt(hist, state["exposure"], dt, settings)
+
+    # post: gather the full HDR frame, replicated bloom + tonemap
+    hdr_full = jax.lax.all_gather(hdr, TILE_AXIS, axis=0, tiled=True)
+    hdr_full = postops.bloom(hdr_full, settings)
+    ldr = postops.tonemap_to_output(hdr_full, exposure)
+
+    new_state = dict(state)
+    new_state["restir_reservoir"] = new_res
+    new_state["denoise_state"] = dn_state
+    new_state["taa_history"] = taa_hist
+    new_state["taa_valid"] = jnp.bool_(True)
+    new_state["exposure"] = exposure
+    if with_gi:
+        new_state["restir_gi_reservoir"] = gi_res
+    return ldr, new_state
+
+
+class FlagshipShardedRenderer:
+    """Multi-chip flagship (Normal-mode) renderer: ReSTIR DI (+GI), denoise,
+    TAA, exposure and post under one shard_map. API-compatible
+    render(gpu, vc, settings, dt); rt enables visibility rays + GI."""
+
+    def __init__(self, gpu, width: int, height: int, rt=None, n_devices: int = 0,
+                 with_gi: bool = None, mesh=None):
+        self.mesh = mesh if mesh is not None else build_mesh(n_devices)
+        n = self.mesh.devices.size
+        assert height % (n * TILE) == 0, (
+            f"height {height} must be divisible by n_devices*TILE = {n * TILE}")
+        assert (height // n) % GI_SCALE == 0
+        self.width, self.height = width, height
+        self.n = n
+        self.shard_h = height // n
+        self.rt = rt
+        self.with_gi = (rt is not None) if with_gi is None else with_gi
+        self.capacity = max(int(gpu.lod0_pair_capacity), 1)
+        self.state: Dict[str, jnp.ndarray] = {
+            "exposure": jnp.float32(1.0),
+            "taa_valid": jnp.bool_(False),
+            "taa_history": jnp.zeros((height, width, 3), jnp.float32),
+            "restir_reservoir": restirops.reservoir_init(height, width),
+            "denoise_state": dnops.denoise_init(height, width),
+        }
+        if self.with_gi:
+            self.state["restir_gi_reservoir"] = giops.gi_reservoir_init(
+                height // GI_SCALE, width // GI_SCALE)
+        self._jitted = None
+
+    def _state_specs(self):
+        return {k: jax.tree_util.tree_map(lambda l: P() if l.ndim == 0
+                                          else P(TILE_AXIS), v)
+                for k, v in self.state.items()}
+
+    def _build(self):
+        body = functools.partial(_flagship_fn, width=self.width,
+                                 height=self.height, shard_h=self.shard_h,
+                                 n_dev=self.n, capacity=self.capacity,
+                                 with_gi=self.with_gi, dt=1.0 / 60.0)
+        st_specs = self._state_specs()
+        sharded = shard_map(body, mesh=self.mesh,
+                            in_specs=(P(), P(), P(), P(), st_specs),
+                            out_specs=(P(), st_specs),
+                            check_vma=False)
+        self._jitted = jax.jit(sharded)
+
+    def render(self, gpu, vc, settings, dt: float = 1 / 60):
+        if self._jitted is None:
+            self._build()
+        ldr, self.state = self._jitted(gpu, self.rt, vc, settings, self.state)
+        return ldr, jnp.int32(0)

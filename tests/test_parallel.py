@@ -55,3 +55,154 @@ def test_sharded_8_devices_runs():
     ldr = np.asarray(ldr)
     assert ldr.shape == (H, W, 3)
     assert (ldr.sum(-1) > 0).mean() > 0.5  # sky everywhere at least
+
+
+def test_sharded_restir_di_matches_single_device():
+    """ReSTIR DI under shard_map with ppermute halos == single-device chain
+    (same RNG by global pixel id; spatial/temporal taps through the halo)."""
+    from hobbyrenderer_tpu.graph.rendergraph import FrameContext  # noqa: F401
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.ops import restir as restirops
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    W, H = 64, 64
+    n_dev = 4
+    sc = make_default_cube_scene()
+    gpu = build_scene_gpu(sc)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    def gbuffer(gpu, vc):
+        cu = cullops.cull_pairs(gpu, vc,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+        return rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+
+    gb = jax.jit(gbuffer)(gpu, vc)
+    prev = restirops.reservoir_init(H, W)
+
+    # two sequential frames so the temporal path is exercised
+    def run_single(gb, prev):
+        d1, r1 = restirops.restir_di(gpu, None, gb, vc, settings, prev,
+                                     jnp.int32(0), visibility=False)
+        d2, r2 = restirops.restir_di(gpu, None, gb, vc, settings, r1,
+                                     jnp.int32(1), visibility=False)
+        return d2, r2
+
+    d_ref, r_ref = jax.jit(run_single)(gb, prev)
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+    specs_gb = jax.tree_util.tree_map(lambda _: P("tiles"), gb)
+    specs_res = jax.tree_util.tree_map(lambda _: P("tiles"), prev)
+
+    def body(gb_b, prev_b):
+        shard = shu.make_row_shard("tiles", n_dev, shard_h)
+        d1, r1 = restirops.restir_di(gpu, None, gb_b, vc, settings, prev_b,
+                                     jnp.int32(0), visibility=False,
+                                     shard=shard)
+        d2, r2 = restirops.restir_di(gpu, None, gb_b, vc, settings, r1,
+                                     jnp.int32(1), visibility=False,
+                                     shard=shard)
+        return d2, r2
+
+    sharded = jax.jit(shard_map(body, mesh=mesh,
+                                in_specs=(specs_gb, specs_res),
+                                out_specs=(P("tiles"),
+                                           jax.tree_util.tree_map(
+                                               lambda _: P("tiles"), prev)),
+                                check_vma=False))
+    d_sh, r_sh = sharded(gb, prev)
+
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_sh.W), np.asarray(r_ref.W),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r_sh.y), np.asarray(r_ref.y))
+
+
+def test_sharded_flagship_runs_and_matches_on_restir_chain():
+    """The flagship sharded frame (ReSTIR DI + denoise + TAA + psum exposure +
+    replicated post) runs on the virtual mesh and its restir+denoise+taa chain
+    equals the single-device composition bit-for-bit."""
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import denoise as dnops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.ops import restir as restirops
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    from hobbyrenderer_tpu.ops import taa as taaops
+    from hobbyrenderer_tpu.parallel import FlagshipShardedRenderer
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    W, H = 64, 64
+    n_dev = 2
+    sc = make_default_cube_scene()
+    gpu = build_scene_gpu(sc)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    def gbuffer(gpu, vc):
+        cu = cullops.cull_pairs(gpu, vc,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+        return rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+
+    gb = jax.jit(gbuffer)(gpu, vc)
+    prev = restirops.reservoir_init(H, W)
+    dn0 = dnops.denoise_init(H, W)
+    hist0 = jnp.zeros((H, W, 3))
+
+    def chain(gb, prev, dn, hist, shard=None):
+        d, r = restirops.restir_di(gpu, None, gb, vc, settings, prev,
+                                   jnp.int32(3), visibility=False, shard=shard)
+        d, dn2 = dnops.denoise(d, gb, dn, shard=shard)
+        out = taaops.taa_resolve(d, hist, gb.motion, jnp.bool_(True),
+                                 settings, shard=shard)
+        return out, r, dn2
+
+    ref = jax.jit(lambda gb, p, dn, h: chain(gb, p, dn, h))(gb, prev, dn0, hist0)
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+    sp = lambda t: jax.tree_util.tree_map(lambda _: P("tiles"), t)
+
+    def body(gb_b, prev_b, dn_b, hist_b):
+        shard = shu.make_row_shard("tiles", n_dev, shard_h)
+        return chain(gb_b, prev_b, dn_b, hist_b, shard=shard)
+
+    sharded = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(sp(gb), sp(prev), sp(dn0), P("tiles")),
+        out_specs=(P("tiles"), sp(prev), sp(dn0)),
+        check_vma=False))
+    got = sharded(gb, prev, dn0, hist0)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # and the full flagship renderer executes end-to-end on the mesh
+    r = FlagshipShardedRenderer(gpu, W, H, rt=None, mesh=mesh)
+    for i in range(2):
+        ldr, _ = r.render(gpu, cam.view_constants(i), settings)
+    assert np.asarray(ldr).shape == (H, W, 3)
+    assert np.isfinite(np.asarray(ldr)).all()
