@@ -38,14 +38,16 @@ def main(argv=None):
                    choices=("simple", "restir"))
     p.add_argument("--shadow-scale", type=int, default=2)
     p.add_argument("--indirect-mode", type=str, default="none",
-                   choices=("none", "sharc", "ssgi", "restir"))
+                   choices=("none", "sharc", "ssgi", "restir", "ddgi"))
+    p.add_argument("--ddgi-debug", action="store_true",
+                   help="overlay DDGI probe visualization")
     a = p.parse_args(argv)
 
     cfg = Config(scene=a.scene, width=a.width, height=a.height, mode=a.mode,
                  cache_dir=a.cache_dir, seed=a.seed,
                  execute_per_pass=a.execute_per_pass,
                  direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,
-                 indirect_mode=a.indirect_mode)
+                 indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)
     if a.describe_graph:

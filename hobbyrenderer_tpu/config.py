@@ -110,7 +110,8 @@ class Config:
     seed: int = 0
     shadow_scale: int = 2                 # RT sun-shadow resolution divisor (STATIC)
     direct_mode: str = "simple"           # "simple" analytic | "restir" (ReSTIR DI)
-    indirect_mode: str = "none"           # "none" | "sharc" | "ssgi" | "restir" (ReSTIR GI)
+    indirect_mode: str = "none"           # "none"|"sharc"|"ssgi"|"restir"|"ddgi"
+    ddgi_debug: bool = False              # probe visualization overlay
     # Parallelism: framebuffer tile-sharding across the device mesh (SURVEY.md §5.8)
     num_devices: int = 0                  # 0 = all available
     settings: RenderSettings = field(default_factory=RenderSettings)

@@ -65,7 +65,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          has_transparent: bool = True,
                          masked_capacity: int = None,
                          transparent_capacity: int = None,
-                         shadow_capacity: int = None) -> RenderGraph:
+                         shadow_capacity: int = None,
+                         ddgi_debug: bool = False) -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
@@ -351,6 +352,33 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_sharc:
         g.get("SHARC").enabled = False
 
+    use_ddgi = indirect_mode == "ddgi"
+
+    @g.add
+    @render_pass("DDGI", reads=("gbuffer", "ddgi_volume"),
+                 writes=("ddgi_indirect", "ddgi_volume"),
+                 persistent=("ddgi_volume",))
+    def _ddgi(ctx, res):
+        """DDGI probe volume: per-frame probe-ray trace + octahedral blend +
+        classification, then a quarter-res irradiance query (ref
+        src/DDGIRenderer.cpp:449-548, SURVEY.md §2.6 #44)."""
+        from hobbyrenderer_tpu.ops import ddgi as ddgiops
+        gb = res["gbuffer"]
+        vol = ddgiops.ddgi_update(res["ddgi_volume"], ctx.gpu, ctx.rt,
+                                  ctx.settings, ctx.vc["frame_index"])
+        s = 4
+        sh, sw = height // s, width // s
+        pos = gb.world_pos[::s, ::s][:sh, :sw].reshape(-1, 3)
+        nrm = gb.normal[::s, ::s][:sh, :sw].reshape(-1, 3)
+        E = ddgiops.ddgi_query(vol, pos, nrm).reshape(sh, sw, 3)
+        E = jax.image.resize(E, (height, width, 3), "bilinear")
+        ind = (gb.albedo / jnp.pi) * E
+        res["ddgi_indirect"] = jnp.where(gb.valid[..., None], ind, 0.0)
+        res["ddgi_volume"] = vol
+
+    if not use_ddgi:
+        g.get("DDGI").enabled = False
+
     use_ssgi = indirect_mode == "ssgi"
 
     @g.add
@@ -378,7 +406,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         + (("restir_direct",) if use_restir else ()) \
         + (("sharc_indirect",) if use_sharc else ()) \
         + (("ssgi_indirect",) if use_ssgi else ()) \
-        + (("restir_indirect",) if use_restir_gi else ())
+        + (("restir_indirect",) if use_restir_gi else ()) \
+        + (("ddgi_indirect",) if use_ddgi else ())
 
     @g.add
     @render_pass("DeferredLighting", reads=reads, writes=("hdr",))
@@ -417,6 +446,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             hdr = hdr + res["ssgi_indirect"]
         if use_restir_gi:
             hdr = hdr + res["restir_indirect"]
+        if use_ddgi:
+            hdr = hdr + res["ddgi_indirect"]
         res["hdr"] = jnp.where(gb.valid[..., None], hdr, 0.0)
 
     @g.add
@@ -518,12 +549,26 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     def _tonemap(ctx, res):
         res["ldr"] = postops.tonemap_to_output(res["hdr"], res["exposure"])
 
+
+    @g.add
+    @render_pass("DDGIDebug", reads=("ldr", "ddgi_volume"), writes=("ldr",))
+    def _ddgi_debug(ctx, res):
+        """Probe visualization overlay (ref DDGI probe vis, SURVEY.md
+        §2.6 #52): live probes splat their mean irradiance, dead probes red."""
+        from hobbyrenderer_tpu.ops import ddgi as ddgiops
+        res["ldr"] = ddgiops.ddgi_probe_overlay(res["ldr"], res["ddgi_volume"],
+                                                ctx.vc)
+
+    if not (use_ddgi and ddgi_debug):
+        g.get("DDGIDebug").enabled = False
+
     return g
 
 
 def initial_frame_state(width: int, height: int,
                         direct_mode: str = "simple",
-                        indirect_mode: str = "none") -> Dict[str, jnp.ndarray]:
+                        indirect_mode: str = "none",
+                        scene_bounds=None) -> Dict[str, jnp.ndarray]:
     """Persistent resources seed (ref persistent render-graph resources:
     exposure, HZB, TAA history, light reservoirs — src/CommonRenderers.cpp)."""
     h0, w0, levels = hzbops.hzb_sizes(width, height)
@@ -548,6 +593,11 @@ def initial_frame_state(width: int, height: int,
         from hobbyrenderer_tpu.ops.restir_gi import gi_reservoir_init
         state["restir_gi_reservoir"] = gi_reservoir_init(height // GI_SCALE,
                                                          width // GI_SCALE)
+    if indirect_mode == "ddgi":
+        from hobbyrenderer_tpu.ops.ddgi import ddgi_init
+        lo, hi = scene_bounds if scene_bounds is not None \
+            else ((-10.0, -10.0, -10.0), (10.0, 10.0, 10.0))
+        state["ddgi_volume"] = ddgi_init(lo, hi)
     return state
 
 
@@ -585,9 +635,15 @@ class DeferredRenderer:
                                           masked_capacity=gpu.bucket_pair_capacity((1,)),
                                           transparent_capacity=gpu.bucket_pair_capacity((2,)),
                                           shadow_capacity=gpu.shadow_pair_capacity(
-                                              _csm_lod_biases()))
+                                              _csm_lod_biases()),
+                                          ddgi_debug=bool(getattr(
+                                              config, "ddgi_debug", False)))
+        c_np = _np.asarray(gpu.inst_center)
+        r_np = _np.asarray(gpu.inst_radius)[:, None]
+        bounds = ((c_np - r_np).min(0), (c_np + r_np).max(0))
         self.state = initial_frame_state(width, height, direct_mode=direct_mode,
-                                         indirect_mode=indirect_mode)
+                                         indirect_mode=indirect_mode,
+                                         scene_bounds=bounds)
         self.config = config
         self._jitted = None
 

@@ -79,7 +79,10 @@ class Renderer:
                                              scene=self.scene)
         else:
             rt = None
-            if self.mode in (RenderingMode.NORMAL, RenderingMode.IBL):
+            needs_rt = (self.mode in (RenderingMode.NORMAL, RenderingMode.IBL)
+                        or getattr(cfg, "indirect_mode", "none")
+                        in ("ddgi", "restir"))
+            if needs_rt:
                 # RT passes (sun shadows; later ReSTIR/SHARC) need the BVH
                 from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
                 with PROFILER.scope("Init/BVH"):
