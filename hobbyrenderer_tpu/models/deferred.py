@@ -455,7 +455,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     def _sky(ctx, res):
         gb = res["gbuffer"]
         vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
-        sky = skyops.sky_radiance(vdir, _scene_sun_dir(ctx), ctx.settings)
+        sky = skyops.sky_radiance_fast(vdir, _scene_sun_dir(ctx), ctx.settings)
         res["hdr"] = jnp.where(gb.valid[..., None], res["hdr"], sky)
 
     @g.add

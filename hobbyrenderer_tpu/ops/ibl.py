@@ -96,7 +96,8 @@ def ibl_ambient(sh, n, v, albedo, metallic, roughness, sun_dir, settings,
     diffuse = diffuse_c * irr_n
 
     r = hm.reflect(-v, n, xp=jnp)
-    env_r = skyops.sky_radiance(r, sun_dir, settings, with_sun_disk=False)
+    env_r = skyops.sky_radiance_fast(r, sun_dir, settings,
+                                     with_sun_disk=False)
     rough = jnp.clip(roughness, 0.0, 1.0)[..., None]
     # fully-rough prefiltered radiance ~ E/pi = the stored irradiance quantity
     spec_env = (env_r * (1 - rough)

@@ -4,9 +4,12 @@ Reference: src/SkyRenderer.cpp + src/shaders/Atmosphere.hlsli (603 LoC) — full
 Bruneton precomputed-LUT atmosphere (transmittance/scattering/irradiance + sun disk)
 drawn at stencil==0. The LUTs ship as DDS assets in the reference.
 
-TPU build: v1 is an analytic single-scattering approximation with matching API
-(``sky_radiance(dir, sun_dir, settings)``); the precomputed-LUT version (computed
-host-side at startup, sampled as jnp arrays) replaces it in ops/atmosphere.py."""
+TPU build: sky_radiance() dispatches to the precomputed-LUT atmosphere
+(ops/atmosphere.py — transmittance + multiple-scattering LUTs built host-side
+at startup, in-scatter march per direction) by default; the analytic gradient
+remains as a cheap fallback (SKY_MODEL). sky_radiance_fast() evaluates the
+smooth march on a strided grid with a full-res analytic sun disk — image-space
+callers (deferred Sky pass, IBL specular) use it."""
 
 from __future__ import annotations
 
@@ -15,11 +18,64 @@ import jax.numpy as jnp
 from hobbyrenderer_tpu.utils import math as hm
 
 
-def sky_radiance(d, sun_dir, settings, with_sun_disk: bool = True):
-    """Analytic clear-sky: Rayleigh-ish gradient + aureole + ground haze + sun disk.
+# "bruneton": precomputed-LUT atmosphere (ops/atmosphere.py, the reference's
+# Atmosphere.hlsli capability); "gradient": the cheap analytic fallback
+SKY_MODEL = "bruneton"
 
-    d: (..., 3) unit view directions. sun_dir: (3,) direction the light TRAVELS
-    (from sun toward scene, like the reference's light direction)."""
+
+def sky_radiance(d, sun_dir, settings, with_sun_disk: bool = True):
+    """Sky radiance for view directions d (..., 3); sun_dir = travel direction
+    of sunlight (from sun toward scene, like the reference's light dir)."""
+    if SKY_MODEL == "bruneton":
+        from hobbyrenderer_tpu.ops import atmosphere as atm
+        return atm.sky_radiance_lut(d, sun_dir, settings,
+                                    with_sun_disk=with_sun_disk)
+    return _sky_gradient(d, sun_dir, settings, with_sun_disk)
+
+
+# default stride of the fast path (None scale arg). Sharded==single parity
+# tests set this to 1: the band-local bilinear upsample is not bit-identical
+# to the full-frame one at band boundaries.
+SKY_FAST_SCALE = 4
+
+
+def sky_radiance_fast(d, sun_dir, settings, scale: int = None,
+                      with_sun_disk: bool = True):
+    """Half-angular-resolution sky for (H, W, 3) direction images: the smooth
+    in-scatter march runs on a 1/scale grid and upsamples; the sun disk is
+    composited at FULL resolution with the analytic transmittance (the march
+    at 1080p costs ~25 ms/frame; this form ~6 ms)."""
+    import jax
+    if scale is None:
+        scale = SKY_FAST_SCALE
+    if d.ndim != 3 or scale == 1:       # flat (R, 3) dirs: no image to stride
+        return sky_radiance(d, sun_dir, settings, with_sun_disk=with_sun_disk)
+    H, W = d.shape[0], d.shape[1]
+    sh, sw = H // scale, W // scale
+    ds = d[::scale, ::scale][:sh, :sw]
+    L = sky_radiance(ds, sun_dir, settings, with_sun_disk=False)
+    L = jax.image.resize(L, (H, W, 3), "bilinear")
+    if with_sun_disk:
+        if SKY_MODEL == "bruneton":
+            from hobbyrenderer_tpu.ops import atmosphere as atm
+            to_sun = -hm.normalize(jnp.asarray(sun_dir), xp=jnp)
+            cos_g = jnp.sum(hm.normalize(d, xp=jnp) * to_sun, -1)
+            cos_r = jnp.cos(settings.sun_angular_radius)
+            disk = (cos_g >= cos_r) & (d[..., 1] > -0.02)
+            omega = 2 * jnp.pi * (1 - cos_r)
+            E_sun = (jnp.asarray(settings.sun_color, jnp.float32)
+                     * settings.sun_intensity)
+            T = atm.sun_transmittance_analytic(jnp.asarray(0.2), d[..., 1])
+            L = jnp.where(disk[..., None], E_sun / omega * T, L)
+        else:
+            full = sky_radiance(d, sun_dir, settings, with_sun_disk=True)
+            nodisk = sky_radiance(d, sun_dir, settings, with_sun_disk=False)
+            L = jnp.where(jnp.any(full != nodisk, -1, keepdims=True), full, L)
+    return L
+
+
+def _sky_gradient(d, sun_dir, settings, with_sun_disk: bool = True):
+    """Analytic clear-sky: Rayleigh-ish gradient + aureole + ground haze + sun disk."""
     d = hm.normalize(d, xp=jnp)
     to_sun = -hm.normalize(jnp.asarray(sun_dir), xp=jnp)
     y = jnp.clip(d[..., 1], -1.0, 1.0)

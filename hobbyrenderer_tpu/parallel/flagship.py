@@ -102,7 +102,7 @@ def _flagship_fn(gpu, rt, vc, settings, state, *, width, height, shard_h,
                                  * settings.ambient_scale)
     hdr = direct + ambient + gb.emissive + indirect
     hdr = jnp.where(gb.valid[..., None], hdr,
-                    skyops.sky_radiance(vdir, sun_dir, settings))
+                    skyops.sky_radiance_fast(vdir, sun_dir, settings))
 
     # TAA: halo'd history reprojection
     hdr = taaops.taa_resolve(hdr, state["taa_history"], gb.motion,

@@ -80,7 +80,7 @@ def _shard_frame_fn(gpu, vc, settings, state, *, width, height, shard_h,
                                  * settings.ambient_scale)
     hdr = jnp.where(gb.valid[..., None],
                     direct + ambient + gb.emissive,
-                    skyops.sky_radiance(vdir, sun_dir, settings))
+                    skyops.sky_radiance_fast(vdir, sun_dir, settings))
 
     # exposure: partial histogram + psum (ICI collective)
     hist = postops.luminance_histogram(hdr)

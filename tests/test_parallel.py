@@ -21,6 +21,17 @@ def test_mesh_has_8_devices():
 def test_sharded_deferred_matches_single_device():
     """Row-sharded frame must equal the single-device frame (same math, psum'd
     histogram is identical to the global one)."""
+    from hobbyrenderer_tpu.ops import sky as skyops
+    import pytest as _pt
+    old_scale = skyops.SKY_FAST_SCALE
+    skyops.SKY_FAST_SCALE = 1  # band-local strided sky != full-frame strided
+    try:
+        _run_sharded_parity()
+    finally:
+        skyops.SKY_FAST_SCALE = old_scale
+
+
+def _run_sharded_parity():
     W, H = 96, 64  # 64 rows = 8 devices x 1 tile row of 8? TILE=32 -> need H % 256 == 0
     # with TILE=32 and 2 devices: H=64 works
     sc = make_default_cube_scene()
