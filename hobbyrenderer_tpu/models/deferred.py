@@ -72,20 +72,41 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
     shadow_capacity = max(shadow_capacity or 4 * visible_capacity, 1)
     h0, w0, hzb_levels = hzbops.hzb_sizes(width, height)
+    hzb_eff = hzbops.hzb_effective_size(width, height)
 
     @g.add
     @render_pass("Culling", reads=("hzb",),
-                 writes=("visible_slots", "visible_count"))
+                 writes=("visible_slots", "visible_count", "occluded_mask",
+                         "occluded_count", "phase2_count",
+                         "cull_center", "cull_radius"))
     def _culling(ctx: FrameContext, res):
+        """Phase 1 of two-phase occlusion culling (Aaltonen SIGGRAPH'15, ref
+        GPUCulling.hlsl:9-21): frustum/cone survivors that ALSO passed last
+        frame's HZB raster now; the rest re-test against the fresh pyramid in
+        RasterPhase2."""
         # opaque bucket; masked gets its own alpha-tested layer below,
         # transparent a forward pass later (ref alpha-mode instance buckets)
         alpha_ok = jnp.asarray([True, not has_masked, False])
-        hzb = res["hzb"] if occlusion_culling else None
-        cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok,
-                                  hzb=hzb, hzb_levels=hzb_levels)
-        slots, count = cullops.compact_mask(cull["mask"], visible_capacity)
+        cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
+        base = cull["mask"]
+        if occlusion_culling:
+            vis_prev = cullops.hzb_test_spheres(
+                res["hzb"], hzb_levels, ctx.vc,
+                cull["ml_center_world"], cull["ml_radius_world"],
+                eff_hw=hzb_eff)
+            p1 = base & vis_prev
+            occ = base & ~vis_prev
+        else:
+            p1 = base
+            occ = jnp.zeros_like(base)
+        slots, count = cullops.compact_mask(p1, visible_capacity)
         res["visible_slots"] = slots
         res["visible_count"] = count
+        res["occluded_mask"] = occ
+        res["occluded_count"] = occ.sum().astype(jnp.int32)
+        res["phase2_count"] = jnp.int32(0)
+        res["cull_center"] = cull["ml_center_world"]
+        res["cull_radius"] = cull["ml_radius_world"]
 
     @g.add
     @render_pass("Raster", reads=("visible_slots",),
@@ -110,6 +131,52 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         # persistent: next frame's culling tests against THIS frame's pyramid
         # (temporal coherence, ref two-phase culling phase 1, GPUCulling.hlsl:9-21)
         res["hzb"] = hzbops.build_hzb(res["raster_depth"], hzb_levels, h0, w0)
+
+    @g.add
+    @render_pass("RasterPhase2",
+                 reads=("hzb", "raster_depth", "raster_visid", "raster_attr",
+                        "raster_aux", "occluded_mask", "cull_center",
+                        "cull_radius", "visible_slots", "phase2_count"),
+                 writes=("raster_depth", "raster_visid", "raster_attr",
+                         "raster_aux", "visible_slots", "phase2_count"))
+    def _raster_phase2(ctx, res):
+        """Phase 2: re-test last frame's occludees against the FRESH pyramid
+        and raster the newly-visible ones into the visibility buffer (ref
+        phase-2 re-test, src/BasePassRenderer.cpp:816-845 — this closes the
+        popping hole of one-phase temporal HZB culling)."""
+        vis2 = cullops.hzb_test_spheres(res["hzb"], hzb_levels, ctx.vc,
+                                        res["cull_center"], res["cull_radius"],
+                                        eff_hw=hzb_eff)
+        mask2 = res["occluded_mask"] & vis2
+        # newly-revealed pairs per frame are a small fraction of the visible
+        # set (camera-coherent frames); raster setup cost scales with CAPACITY,
+        # so phase 2 gets a slim table — overflowed revivals appear one frame
+        # later through the same re-test (conservative, never stale-forever)
+        phase2_capacity = max(visible_capacity // 8, 256)
+        slots2, cnt2 = cullops.compact_mask(mask2, phase2_capacity)
+        ro2, aux2, attr2 = rasterops.rasterize(ctx.gpu, ctx.vc, slots2,
+                                               width, height,
+                                               resolve_attrs=True)
+        d1 = res["raster_depth"]
+        win = ro2.depth > d1
+        offset = visible_capacity * rasterops.MESHLET_MAX_TRIS
+        del phase2_capacity
+        res["raster_depth"] = jnp.where(win, ro2.depth, d1)
+        res["raster_visid"] = jnp.where(win & (ro2.visid >= 0),
+                                        ro2.visid + offset,
+                                        res["raster_visid"])
+        attr1 = res["raster_attr"]
+        if attr2 is not None and attr1.ndim != 0:
+            res["raster_attr"] = jnp.where(win[..., None], attr2, attr1)
+        else:
+            res["raster_aux"] = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0),
+                res["raster_aux"], aux2)
+        res["visible_slots"] = jnp.concatenate([res["visible_slots"], slots2])
+        res["phase2_count"] = cnt2
+
+    if not occlusion_culling:
+        g.get("RasterPhase2").enabled = False
 
     @g.add
     @render_pass("ResolveGBuffer", reads=("raster_depth", "raster_visid",
@@ -607,7 +674,7 @@ class DeferredRenderer:
 
     def __init__(self, gpu, width: int, height: int, config=None, rt=None,
                  mode: str = RenderingMode.NORMAL,
-                 occlusion_culling: bool = False,
+                 occlusion_culling: bool = True,
                  with_taa: bool = True,
                  with_rt_shadows: bool = None,
                  direct_mode: str = None,
@@ -652,10 +719,13 @@ class DeferredRenderer:
                            dt=dt, rt=rt)
         out = self.graph.execute(ctx, state,
                                  outputs=("ldr", "raster_overflow",
-                                          "visible_count", "exposure"))
+                                          "visible_count", "occluded_count",
+                                          "phase2_count", "exposure"))
         o = out["outputs"]
         stats = {"raster_overflow": o["raster_overflow"],
                  "visible_pairs": o["visible_count"],
+                 "occluded_pairs": o["occluded_count"],
+                 "phase2_pairs": o["phase2_count"],
                  "exposure": o["exposure"]}
         return o["ldr"], stats, out["state"]
 
@@ -666,7 +736,8 @@ class DeferredRenderer:
                                config=self.config, dt=jnp.float32(dt), rt=self.rt)
             out = self.graph.execute_per_pass(
                 ctx, self.state, outputs=("ldr", "raster_overflow",
-                                          "visible_count", "exposure"))
+                                          "visible_count", "occluded_count",
+                                          "phase2_count", "exposure"))
             o = out["outputs"]
             self.state = out["state"]
             self.last_stats = {"raster_overflow": o["raster_overflow"],

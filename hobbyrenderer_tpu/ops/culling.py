@@ -96,7 +96,8 @@ def cull_pairs(gpu, vc, hzb: Optional[jnp.ndarray] = None,
             "ml_radius_world": r_world}
 
 
-def hzb_test_spheres(hzb: jnp.ndarray, levels: int, vc, centers_world, radii) -> jnp.ndarray:
+def hzb_test_spheres(hzb: jnp.ndarray, levels: int, vc, centers_world, radii,
+                     eff_hw=None) -> jnp.ndarray:
     """Occlusion test of world spheres against a min-depth pyramid (reversed-Z:
     HZB stores the MIN depth = farthest; sphere visible if its nearest depth >= HZB).
 
@@ -115,23 +116,27 @@ def hzb_test_spheres(hzb: jnp.ndarray, levels: int, vc, centers_world, radii) ->
     sphere_depth = vc["znear"] / dist
 
     h0, w0 = hzb.shape[-2], hzb.shape[-1]
+    # the IMAGE occupies only the top-left (he0, we0) of each level (build_hzb
+    # fixed-stride fold); uv maps through that extent, NOT (h0, w0)
+    he0, we0 = (float(h0), float(w0)) if eff_hw is None else eff_hw
     # uv AABB in [0,1] with y flip
     u0 = jnp.clip(mn[..., 0] * 0.5 + 0.5, 0.0, 1.0)
     u1 = jnp.clip(mx[..., 0] * 0.5 + 0.5, 0.0, 1.0)
     v0 = jnp.clip(0.5 - mx[..., 1] * 0.5, 0.0, 1.0)
     v1 = jnp.clip(0.5 - mn[..., 1] * 0.5, 0.0, 1.0)
-    # mip where AABB covers <= 2 texels at level-0 size w0 x h0
-    size_px = jnp.maximum((u1 - u0) * w0, (v1 - v0) * h0)
+    # mip where AABB covers <= 2 texels at effective level-0 size we0 x he0
+    size_px = jnp.maximum((u1 - u0) * we0, (v1 - v0) * he0)
     mip = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(size_px, 1.0))), 0, levels - 1).astype(jnp.int32)
 
     # gather 2x2 from the selected level (levels stacked on axis 0, each level
     # stored at its own resolution in the top-left corner)
-    lw = jnp.maximum(w0 // (2 ** mip), 1)
-    lh = jnp.maximum(h0 // (2 ** mip), 1)
-    x0 = jnp.clip((u0 * lw).astype(jnp.int32), 0, lw - 1)
-    x1 = jnp.clip((u1 * lw).astype(jnp.int32), 0, lw - 1)
-    y0 = jnp.clip((v0 * lh).astype(jnp.int32), 0, lh - 1)
-    y1 = jnp.clip((v1 * lh).astype(jnp.int32), 0, lh - 1)
+    scale = 1.0 / (2.0 ** mip.astype(jnp.float32))
+    lw_max = jnp.maximum(w0 // (2 ** mip), 1)
+    lh_max = jnp.maximum(h0 // (2 ** mip), 1)
+    x0 = jnp.clip((u0 * we0 * scale).astype(jnp.int32), 0, lw_max - 1)
+    x1 = jnp.clip((u1 * we0 * scale).astype(jnp.int32), 0, lw_max - 1)
+    y0 = jnp.clip((v0 * he0 * scale).astype(jnp.int32), 0, lh_max - 1)
+    y1 = jnp.clip((v1 * he0 * scale).astype(jnp.int32), 0, lh_max - 1)
     d00 = hzb[mip, y0, x0]
     d01 = hzb[mip, y0, x1]
     d10 = hzb[mip, y1, x0]

@@ -34,7 +34,11 @@ def build_hzb(depth: jnp.ndarray, levels: int, h0: int, w0: int) -> jnp.ndarray:
     each next level halves with a 2x2 min (SPD-style reduction chain — XLA's
     reduce_window replaces the single-dispatch atomic-counter SPD)."""
     H, W = depth.shape
-    # conservative resize to pow2: min over the covering footprint
+    # conservative fixed-stride fold to <= pow2: texel x covers source columns
+    # [x*fx, (x+1)*fx), so the IMAGE occupies the left ceil(W/fx) texels of
+    # each level (the rest is far=0 padding). hzb_effective_size() gives the
+    # occupied extent — occlusion lookups MUST map uv through it, not through
+    # (h0, w0) (that skew caused false culls when W < fx*w0).
     fy = -(-H // h0)
     fx = -(-W // w0)
     padded = jnp.pad(depth, ((0, fy * h0 - H), (0, fx * w0 - W)),
@@ -52,3 +56,12 @@ def build_hzb(depth: jnp.ndarray, levels: int, h0: int, w0: int) -> jnp.ndarray:
                                     (2, 2), (2, 2), "VALID")
         out = out.at[li, :h, :w].set(lvl)
     return out
+
+
+def hzb_effective_size(width: int, height: int):
+    """(he0, we0): the level-0 texel extent actually covered by the image
+    (floats; level L covers he0/2^L x we0/2^L). See build_hzb."""
+    h0, w0, _ = hzb_sizes(width, height)
+    fy = -(-height // h0)
+    fx = -(-width // w0)
+    return height / fy, width / fx

@@ -175,16 +175,18 @@ def sphere_screen_extent(center_view, radius, proj00, proj11, znear, xp=np):
 
     def axis_bounds(cx, cz):
         # 2D circle [cx, cz] radius r; find tangent lines through origin.
+        # Tangent-point DIRECTIONS (vx, vz); the projected bound is the slope
+        # vx/vz (x/z ratio) — scale factors cancel.
         t2 = xp.maximum(cx * cx + cz * cz - radius * radius, 1e-12)
         t = xp.sqrt(t2)
         inv = 1.0 / (cx * cx + cz * cz)
-        # tangent points (rotate by +-asin(r/d))
+        # tangent directions (rotate c by +-asin(r/d))
         vx = (cx * t - cz * radius) * inv
         vz = (cz * t + cx * radius) * inv
-        lo = vx / xp.maximum(vz, 1e-6) * t
+        lo = vx / xp.maximum(vz, 1e-6)
         vx2 = (cx * t + cz * radius) * inv
         vz2 = (cz * t - cx * radius) * inv
-        hi = vx2 / xp.maximum(vz2, 1e-6) * t
+        hi = vx2 / xp.maximum(vz2, 1e-6)
         return lo, hi
 
     min_x, max_x = axis_bounds(c[..., 0], cz)

@@ -224,3 +224,48 @@ def test_furnace_glass_sphere():
     err = np.abs(img - Lsky) / Lsky
     # refraction paths are longer; allow a looser tolerance than the diffuse furnace
     assert err.mean() < 0.12, f"glass furnace mean err {err.mean():.3f}"
+
+
+def test_two_phase_occlusion_no_popping():
+    """Two-phase HZB culling must produce the SAME image as no culling once
+    the pyramid is warm (phase 2 re-tests last frame's occludees against the
+    fresh HZB — ref GPUCulling.hlsl:9-21, BasePassRenderer.cpp:816-845)."""
+    from hobbyrenderer_tpu.scene.procedural import (camera_looking_at,
+                                                    make_stress_scene,
+                                                    plane_geometry)
+    from hobbyrenderer_tpu.scene.cooker import cook_mesh
+    from hobbyrenderer_tpu.scene.scene import Material, Node
+    sc = make_stress_scene(grid=4)
+    # a wall between the camera and the grid: real occlusion work
+    import numpy as _np
+    wallm = sc.add_material(Material(name="wall", roughness=0.9, double_sided=True))
+    pos, nrm, uv, idx = plane_geometry(8.0)
+    s45 = _np.float32(_np.sin(_np.pi / 4))
+    prim = sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv), material=wallm)
+    sc.add_node(Node(name="wall", mesh_primitives=[prim],
+                     translation=_np.array([0, 4.0, 5.0], _np.float32),
+                     rotation=_np.array([-s45, 0, 0, s45], _np.float32)))
+    sc.cameras.append(camera_looking_at(_np.array([0, 3, 9], _np.float32),
+                                        _np.array([0, 2, 0], _np.float32)))
+    sc.finalize()
+    gpu = build_scene_gpu(sc)
+    W2, H2 = 96, 64
+    cam = Camera(sc.cameras[-1], W2, H2)
+    cam.jitter_enabled = False
+    s = RenderSettings().as_pytree()
+
+    r_off = DeferredRenderer(gpu, W2, H2, mode=RenderingMode.NORMAL_BASIC,
+                             occlusion_culling=False, with_taa=False)
+    r_on = DeferredRenderer(gpu, W2, H2, mode=RenderingMode.NORMAL_BASIC,
+                            occlusion_culling=True, with_taa=False)
+    for i in range(2):   # frame 2 uses frame 1's HZB in phase 1
+        vc = cam.view_constants(0)
+        ldr_off, _ = r_off.render(gpu, vc, s)
+        ldr_on, _ = r_on.render(gpu, vc, s)
+    a = np.asarray(ldr_off).astype(np.int32)
+    b = np.asarray(ldr_on).astype(np.int32)
+    assert np.abs(a - b).max() <= 1, \
+        f"occlusion culling changed the image (max diff {np.abs(a-b).max()})"
+    # and it actually culls something on this scene
+    stats = r_on.last_stats
+    assert int(np.asarray(stats["occluded_pairs"])) > 0
