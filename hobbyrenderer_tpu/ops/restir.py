@@ -28,6 +28,7 @@ from hobbyrenderer_tpu.ops import lights as lightops
 from hobbyrenderer_tpu.ops import sampling as smp
 from hobbyrenderer_tpu.ops import shading as shadeops
 from hobbyrenderer_tpu.ops import shard_utils as shu
+from hobbyrenderer_tpu.ops.warp import warp_image
 from hobbyrenderer_tpu.scene.scene import LIGHT_DIRECTIONAL
 from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
@@ -167,19 +168,19 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
                                  jnp.arange(H, dtype=jnp.float32) + y0 + 0.5,
                                  indexing="xy"), -1)      # GLOBAL pixel centers
     prev_xy = pxc + motion
-    px_i = jnp.clip(prev_xy[..., 0].astype(jnp.int32), 0, W - 1).reshape(R)
-    py_g = prev_xy[..., 1].astype(jnp.int32).reshape(R)
-    on_screen = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < W)).reshape(R) \
-        & (py_g >= 0) & (py_g < full_h)
-    prev_y_e = shu.extend_rows(prev.y, HALO, shard)
-    prev_uv_e = shu.extend_rows(prev.uv, HALO, shard)
-    prev_M_e = shu.extend_rows(prev.M, HALO, shard)
-    prev_W_e = shu.extend_rows(prev.W, HALO, shard)
-    py_i = shu.ext_row_index(py_g, HALO, shard, H)
-    ty = prev_y_e[py_i, px_i]
-    tuv = prev_uv_e[py_i, px_i]
-    tM = jnp.minimum(prev_M_e[py_i, px_i], M_CLAMP_TEMPORAL)
-    tW = prev_W_e[py_i, px_i]
+    on_screen = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < W)
+                 & (prev_xy[..., 1] >= 0)
+                 & (prev_xy[..., 1] < full_h)).reshape(R)
+    # nearest-pixel reprojection of the reservoir state via the gather-free
+    # masked-shift warp (ops/warp.py; a per-pixel gather costs ~45 ms/array at
+    # 1080p). Light ids ride as f32 — exact for pools < 2^24 lights.
+    packed = jnp.concatenate([prev.y.astype(jnp.float32)[..., None], prev.uv,
+                              prev.M[..., None], prev.W[..., None]], -1)
+    pw = warp_image(packed, motion, shard=shard, halo=HALO, bilinear=False)
+    ty = jnp.round(pw[..., 0]).astype(jnp.int32).reshape(R)
+    tuv = pw[..., 1:3].reshape(R, 2)
+    tM = jnp.minimum(pw[..., 3].reshape(R), M_CLAMP_TEMPORAL)
+    tW = pw[..., 4].reshape(R)
     t_ok = on_screen & (ty >= 0)
     ph_t, _, _ = p_hat_of(jnp.where(t_ok, ty, -1), tuv)
     w_t = jnp.where(t_ok, ph_t * tW * tM, 0.0)
@@ -198,32 +199,46 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     ph_s, _, _ = p_hat_of(y, uv)
     W_snap = jnp.where((y >= 0) & (ph_s > 0),
                        w_sum / jnp.maximum(M * ph_s, 1e-20), 0.0)
-    y_snap2 = shu.extend_rows(jnp.reshape(y, (H, W)), HALO, shard)
-    uv_snap2 = shu.extend_rows(jnp.reshape(uv, (H, W, 2)), HALO, shard)
-    W_snap2 = shu.extend_rows(jnp.reshape(W_snap, (H, W)), HALO, shard)
-    M_snap2 = shu.extend_rows(jnp.reshape(M, (H, W)), HALO, shard)
-    nrm_e = shu.extend_rows(gb.normal, HALO, shard)
-    dep_e = shu.extend_rows(gb.depth, HALO, shard)
-    val_e = shu.extend_rows(gb.valid, HALO, shard)
+    # TPU redesign: each tap k uses ONE frame-wide offset (a device scalar
+    # from counter RNG) instead of per-pixel jitter, so a neighbor fetch is a
+    # single dynamic_slice over the halo-extended domain rather than a ~45 ms
+    # per-pixel gather. Offsets rotate every frame; the similarity test and
+    # own-surface W reweighting keep the merge unbiased regardless of how
+    # neighbors are chosen (the choice is value-independent).
+    snap = jnp.concatenate([
+        jnp.reshape(y, (H, W)).astype(jnp.float32)[..., None],
+        jnp.reshape(uv, (H, W, 2)),
+        jnp.reshape(W_snap, (H, W))[..., None],
+        jnp.reshape(M, (H, W))[..., None],
+        gb.normal, gb.depth[..., None],
+        gb.valid.astype(jnp.float32)[..., None]], -1)
+    PADX = HALO
+    snap_e = jnp.pad(shu.extend_rows(snap, HALO, shard),
+                     ((0, 0), (PADX, PADX), (0, 0)), mode="edge")
+    d_c = gb.depth.reshape(R)
     for k in range(spatial_taps):
-        u_a, u_b, u_c = _rand(pix, frame, 300 + k)
+        kb = pcg3d(jnp.stack([jnp.asarray(k + 1, jnp.uint32),
+                              frame, jnp.asarray(0x5EED, jnp.uint32)])[None])[0]
+        u_a = uniform_from_bits(kb[0])
+        u_b = uniform_from_bits(kb[1])
         ang = u_a * (2 * jnp.pi)
-        rad_px = jnp.sqrt(u_b) * SPATIAL_RADIUS
-        dx = (jnp.cos(ang) * rad_px).astype(jnp.int32)
-        dy = (jnp.sin(ang) * rad_px).astype(jnp.int32)
-        nx = jnp.clip(lx + dx, 0, W - 1)
-        ny_ = shu.ext_row_index(gy + dy, HALO, shard, H)
+        rad_px = 1.0 + jnp.sqrt(u_b) * (SPATIAL_RADIUS - 1.0)
+        dx = jnp.round(jnp.cos(ang) * rad_px).astype(jnp.int32)
+        dy = jnp.round(jnp.sin(ang) * rad_px).astype(jnp.int32)
+        nb = jax.lax.dynamic_slice(snap_e, (HALO + dy, PADX + dx,
+                                            jnp.int32(0)), (H, W, 10))
+        yy = jnp.round(nb[..., 0]).astype(jnp.int32).reshape(R)
+        yuv = nb[..., 1:3].reshape(R, 2)
+        W_n = nb[..., 3].reshape(R)
+        mm = nb[..., 4].reshape(R)
+        n_n = nb[..., 5:8].reshape(R, 3)
+        d_n = nb[..., 8].reshape(R)
+        val_n = nb[..., 9].reshape(R) > 0.5
         # neighbor similarity (depth + normal) guards against bias at edges
-        n_n = nrm_e[ny_, nx]
-        d_n = dep_e[ny_, nx]
-        d_c = gb.depth.reshape(R)
         similar = ((jnp.sum(n_n * n, -1) > 0.9)
                    & (jnp.abs(d_n - d_c) < 0.1 * jnp.maximum(d_c, 1e-3))
-                   & valid & val_e[ny_, nx])
-        yy = y_snap2[ny_, nx]
-        yuv = uv_snap2[ny_, nx]
-        W_n = W_snap2[ny_, nx]
-        mm = M_snap2[ny_, nx]
+                   & valid & val_n)
+        _, _, u_c = _rand(pix, frame, 300 + k)
         ph_here, _, _ = p_hat_of(jnp.where(similar, yy, -1), yuv)
         w_n = jnp.where(similar & (yy >= 0), ph_here * W_n * mm, 0.0)
         y, uv, w_sum, _ = res_update((y, uv, w_sum, M), yy, yuv, w_n, u_c)

@@ -26,11 +26,12 @@ from hobbyrenderer_tpu.ops import sampling as smp
 from hobbyrenderer_tpu.ops import shading as shadeops
 from hobbyrenderer_tpu.ops import shard_utils as shu
 from hobbyrenderer_tpu.ops.intersect import offset_ray_origin
+from hobbyrenderer_tpu.ops.warp import warp_image
 from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 
 GI_M_CLAMP = 12.0
-GI_SPATIAL_TAPS = 2
+GI_SPATIAL_TAPS = 4     # taps are one dynamic_slice each (frame-wide offsets)
 GI_SPATIAL_RADIUS = 12.0    # GI-grid pixels
 GI_HALO = 16                # GI-grid halo rows (>= spatial radius)
 
@@ -178,22 +179,20 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
                                  jnp.arange(Hg, dtype=jnp.float32) + gy0 + 0.5,
                                  indexing="xy"), -1)      # GLOBAL GI centers
     prev_xy = pxc + motion
-    px_i = jnp.clip(prev_xy[..., 0].astype(jnp.int32), 0, Wg - 1).reshape(R)
-    py_g = prev_xy[..., 1].astype(jnp.int32).reshape(R)
-    on_s = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < Wg)).reshape(R) \
-        & (py_g >= 0) & (py_g < gfull_h)
-    hl = GI_HALO
-    py_i = shu.ext_row_index(py_g, hl, gshard, Hg)
-    p_pos_e = shu.extend_rows(prev.pos, hl, gshard)
-    p_nrm_e = shu.extend_rows(prev.nrm, hl, gshard)
-    p_rad_e = shu.extend_rows(prev.rad, hl, gshard)
-    p_W_e = shu.extend_rows(prev.W, hl, gshard)
-    p_M_e = shu.extend_rows(prev.M, hl, gshard)
-    t_pos = p_pos_e.reshape(-1, 3)[py_i * Wg + px_i]
-    t_nrm = p_nrm_e.reshape(-1, 3)[py_i * Wg + px_i]
-    t_rad = p_rad_e.reshape(-1, 3)[py_i * Wg + px_i]
-    t_W = p_W_e.reshape(-1)[py_i * Wg + px_i]
-    t_M = jnp.minimum(p_M_e.reshape(-1)[py_i * Wg + px_i], GI_M_CLAMP)
+    on_s = ((prev_xy[..., 0] >= 0) & (prev_xy[..., 0] < Wg)
+            & (prev_xy[..., 1] >= 0)
+            & (prev_xy[..., 1] < gfull_h)).reshape(R)
+    # nearest-pixel reservoir reprojection via the gather-free masked-shift
+    # warp (ops/warp.py) — reservoirs move whole, never blended
+    packed = jnp.concatenate([prev.pos, prev.nrm, prev.rad,
+                              prev.W[..., None], prev.M[..., None]], -1)
+    pw = warp_image(packed, motion, shard=gshard, halo=GI_HALO,
+                    radius=4, col_pad=32, bilinear=False)
+    t_pos = pw[..., 0:3].reshape(R, 3)
+    t_nrm = pw[..., 3:6].reshape(R, 3)
+    t_rad = pw[..., 6:9].reshape(R, 3)
+    t_W = pw[..., 9].reshape(R)
+    t_M = jnp.minimum(pw[..., 10].reshape(R), GI_M_CLAMP)
     t_ok = on_s & valid & (t_M > 0)
     # sample must be in front of the receiver
     t_dir = t_pos - pos
@@ -210,40 +209,51 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     y_pos, y_nrm, y_rad, w_sum, M = state
 
     # ---- spatial reuse ----
+    # TPU redesign (as in restir.py): per-frame scalar tap offsets -> each
+    # neighbor fetch is one dynamic_slice of the packed halo-extended snapshot
+    # instead of a per-pixel gather. Neighbor choice is value-independent, so
+    # the merge stays unbiased; offsets rotate per frame and tap.
     hl = GI_HALO
-    pos2 = shu.extend_rows(pos.reshape(Hg, Wg, 3), hl, gshard)
-    snap = (shu.extend_rows(y_pos.reshape(Hg, Wg, 3), hl, gshard),
-            shu.extend_rows(y_nrm.reshape(Hg, Wg, 3), hl, gshard),
-            shu.extend_rows(y_rad.reshape(Hg, Wg, 3), hl, gshard),
-            shu.extend_rows(w_sum.reshape(Hg, Wg), hl, gshard),
-            shu.extend_rows(M.reshape(Hg, Wg), hl, gshard))
-    n2 = shu.extend_rows(n.reshape(Hg, Wg, 3), hl, gshard)
     d2v = sub(gb.depth)
-    d2e = shu.extend_rows(d2v, hl, gshard)
+    snap = jnp.concatenate([
+        y_pos.reshape(Hg, Wg, 3), y_nrm.reshape(Hg, Wg, 3),
+        y_rad.reshape(Hg, Wg, 3), w_sum.reshape(Hg, Wg)[..., None],
+        M.reshape(Hg, Wg)[..., None], n.reshape(Hg, Wg, 3),
+        d2v[..., None], pos.reshape(Hg, Wg, 3)], -1)
+    PADX = hl
+    snap_e = jnp.pad(shu.extend_rows(snap, hl, gshard),
+                     ((0, 0), (PADX, PADX), (0, 0)), mode="edge")
     for k in range(GI_SPATIAL_TAPS):
-        u_a, u_b, u_c = _rand(pix, frame, 560 + k)
+        kb = pcg3d(jnp.stack([jnp.asarray(k + 1, jnp.uint32), frame,
+                              jnp.asarray(0x61AB1E, jnp.uint32)])[None])[0]
+        u_a = uniform_from_bits(kb[0])
+        u_b = uniform_from_bits(kb[1])
         ang = u_a * (2 * jnp.pi)
-        r_px = jnp.sqrt(u_b) * GI_SPATIAL_RADIUS
-        dx = (jnp.cos(ang) * r_px).astype(jnp.int32)
-        dy = (jnp.sin(ang) * r_px).astype(jnp.int32)
-        nx = jnp.clip(lx + dx, 0, Wg - 1)
-        ny = shu.ext_row_index(ggy + dy, hl, gshard, Hg)
-        sim = ((jnp.sum(n2[ny, nx] * n, -1) > 0.85)
-               & (jnp.abs(d2e[ny, nx] - d2v.reshape(R))
+        r_px = 1.0 + jnp.sqrt(u_b) * (GI_SPATIAL_RADIUS - 1.0)
+        dx = jnp.round(jnp.cos(ang) * r_px).astype(jnp.int32)
+        dy = jnp.round(jnp.sin(ang) * r_px).astype(jnp.int32)
+        nb = jax.lax.dynamic_slice(snap_e, (hl + dy, PADX + dx, jnp.int32(0)),
+                                   (Hg, Wg, 18))
+        c_pos = nb[..., 0:3].reshape(R, 3)
+        c_nrm = nb[..., 3:6].reshape(R, 3)
+        c_rad = nb[..., 6:9].reshape(R, 3)
+        c_ws = nb[..., 9].reshape(R)
+        c_M_raw = nb[..., 10].reshape(R)
+        c_M = jnp.minimum(c_M_raw, GI_M_CLAMP)
+        n_n = nb[..., 11:14].reshape(R, 3)
+        d_n = nb[..., 14].reshape(R)
+        sim = ((jnp.sum(n_n * n, -1) > 0.85)
+               & (jnp.abs(d_n - d2v.reshape(R))
                   < 0.1 * jnp.maximum(d2v.reshape(R), 1e-3))
                & valid)
-        c_pos = snap[0][ny, nx]
-        c_nrm = snap[1][ny, nx]
-        c_rad = snap[2][ny, nx]
-        c_ws = snap[3][ny, nx]
-        c_M = jnp.minimum(snap[4][ny, nx], GI_M_CLAMP)
         ph_n = hm.luminance(c_rad, xp=jnp)
-        W_n = jnp.where(ph_n > 0, c_ws / jnp.maximum(snap[4][ny, nx] * ph_n,
+        W_n = jnp.where(ph_n > 0, c_ws / jnp.maximum(c_M_raw * ph_n,
                                                      1e-20), 0.0)
         # reconnection Jacobian: neighbor's sample seen from OUR surface
-        J = _jacobian(pos, c_pos, c_nrm, pos2[ny, nx].reshape(-1, 3))
+        J = _jacobian(pos, c_pos, c_nrm, nb[..., 15:18].reshape(R, 3))
         front_n = jnp.sum((c_pos - pos) * n, -1) > 1e-4
         ok_n = sim & front_n & (ph_n > 0)
+        _, _, u_c = _rand(pix, frame, 560 + k)
         w_n = jnp.where(ok_n, ph_n * W_n * c_M * J, 0.0)
         state = merge((y_pos, y_nrm, y_rad, w_sum, M),
                       c_pos, c_nrm, c_rad, w_n,
