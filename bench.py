@@ -27,16 +27,25 @@ def main():
                  mode=RenderingMode.NORMAL_BASIC)
     r = Renderer(cfg)
 
-    # warmup (compile)
+    # warmup (compile). NOTE: through the remote-TPU tunnel
+    # block_until_ready does NOT block; a scalar device->host fetch is the
+    # only real synchronization point, so one is issued before and after the
+    # timed loop (costs one ~30 ms round trip, amortized over n frames).
+    import jax.numpy as jnp
+    import numpy as np
+
+    def sync(x):
+        np.asarray(jnp.sum(x))
+
     for _ in range(2):
         ldr = r.render_frame()
-    jax.block_until_ready(ldr)
+    sync(ldr)
 
-    n = 8
+    n = 12
     t0 = time.perf_counter()
     for _ in range(n):
         ldr = r.render_frame()
-    jax.block_until_ready(ldr)
+    sync(ldr)
     ms = (time.perf_counter() - t0) / n * 1e3
 
     print(json.dumps({

@@ -41,13 +41,17 @@ def main(argv=None):
                    choices=("none", "sharc", "ssgi", "restir", "ddgi"))
     p.add_argument("--ddgi-debug", action="store_true",
                    help="overlay DDGI probe visualization")
+    p.add_argument("--csm-debug", action="store_true",
+                   help="cascade debug view: per-pixel cascade tint + "
+                        "shadow-map thumbnails (normal_basic mode)")
     a = p.parse_args(argv)
 
     cfg = Config(scene=a.scene, width=a.width, height=a.height, mode=a.mode,
                  cache_dir=a.cache_dir, seed=a.seed,
                  execute_per_pass=a.execute_per_pass,
                  direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,
-                 indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug)
+                 indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug,
+                 csm_debug=a.csm_debug)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)
     if a.describe_graph:

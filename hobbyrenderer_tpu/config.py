@@ -112,6 +112,7 @@ class Config:
     direct_mode: str = "simple"           # "simple" analytic | "restir" (ReSTIR DI)
     indirect_mode: str = "none"           # "none"|"sharc"|"ssgi"|"restir"|"ddgi"
     ddgi_debug: bool = False              # probe visualization overlay
+    csm_debug: bool = False               # cascade debug view (ref CSMDebugRenderer)
     # Parallelism: framebuffer tile-sharding across the device mesh (SURVEY.md §5.8)
     num_devices: int = 0                  # 0 = all available
     settings: RenderSettings = field(default_factory=RenderSettings)

@@ -66,7 +66,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          masked_capacity: int = None,
                          transparent_capacity: int = None,
                          shadow_capacity: int = None,
-                         ddgi_debug: bool = False) -> RenderGraph:
+                         ddgi_debug: bool = False,
+                         csm_debug: bool = False) -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
@@ -266,8 +267,10 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                           and mode in (RenderingMode.NORMAL, RenderingMode.IBL)):
         g.get("SunShadow").enabled = False
 
+    csm_writes = ("sun_shadow", "csm_data") if csm_debug else ("sun_shadow",)
+
     @g.add
-    @render_pass("ShadowCSM", reads=("gbuffer",), writes=("sun_shadow",))
+    @render_pass("ShadowCSM", reads=("gbuffer",), writes=csm_writes)
     def _shadow_csm(ctx, res):
         """NormalBasic sun shadows: 4-cascade depth raster from the light +
         fullscreen PCF mask (ref ShadowRenderer + ShadowMaskRenderer)."""
@@ -276,6 +279,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         gb = res["gbuffer"]
         sun_dir = _scene_sun_dir(ctx)
         data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, shadow_capacity)
+        if csm_debug:
+            res["csm_data"] = data
         # mask evaluated at half res (PCF table lookups are gather-bound on
         # TPU); PCF + bilinear upsample + TAA hide the resolution
         s = 2
@@ -629,6 +634,20 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not (use_ddgi and ddgi_debug):
         g.get("DDGIDebug").enabled = False
 
+    @g.add
+    @render_pass("CSMDebug", reads=("ldr", "csm_data", "gbuffer"),
+                 writes=("ldr",))
+    def _csm_debug(ctx, res):
+        """Cascade debug view (ref src/CSMDebugRenderer.cpp, SURVEY.md §2.6
+        #40): per-pixel cascade tint + shadow-map thumbnails."""
+        from hobbyrenderer_tpu.ops import csm as csmops
+        gb = res["gbuffer"]
+        res["ldr"] = csmops.csm_debug_overlay(res["ldr"], res["csm_data"],
+                                              ctx.vc, gb.world_pos, gb.valid)
+
+    if not (csm_debug and mode == RenderingMode.NORMAL_BASIC):
+        g.get("CSMDebug").enabled = False
+
     return g
 
 
@@ -704,7 +723,9 @@ class DeferredRenderer:
                                           shadow_capacity=gpu.shadow_pair_capacity(
                                               _csm_lod_biases()),
                                           ddgi_debug=bool(getattr(
-                                              config, "ddgi_debug", False)))
+                                              config, "ddgi_debug", False)),
+                                          csm_debug=bool(getattr(
+                                              config, "csm_debug", False)))
         c_np = _np.asarray(gpu.inst_center)
         r_np = _np.asarray(gpu.inst_radius)[:, None]
         bounds = ((c_np - r_np).min(0), (c_np + r_np).max(0))

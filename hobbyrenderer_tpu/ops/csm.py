@@ -131,6 +131,41 @@ def render_cascades(gpu, vc, sun_dir, visible_capacity: int,
     return CSMData(view_proj=vps, depth=depth, splits=splits)
 
 
+CASCADE_COLORS = ((1.0, 0.25, 0.25), (0.25, 1.0, 0.25),
+                  (0.3, 0.45, 1.0), (1.0, 1.0, 0.3))
+
+
+def csm_debug_overlay(ldr, csm: CSMData, vc, world_pos, valid):
+    """CSM debug view (ref src/CSMDebugRenderer.cpp): tint each pixel by its
+    selected cascade and inset the cascade depth maps along the bottom edge.
+
+    ldr (H, W, 3) uint8 tonemapped frame -> uint8 frame."""
+    H, W = ldr.shape[0], ldr.shape[1]
+    V = vc["view"]
+    p_view = jnp.einsum("ij,hwj->hwi", V[:3, :3], world_pos) + V[:3, 3]
+    dist = -p_view[..., 2]
+    cidx = jnp.sum((dist[..., None] > csm.splits[None, None, :])
+                   .astype(jnp.int32), axis=-1)
+    cidx = jnp.clip(cidx, 0, NUM_CASCADES - 1)
+    colors = jnp.asarray(CASCADE_COLORS, jnp.float32)[cidx]   # (H, W, 3)
+    out = ldr.astype(jnp.float32) / 255.0
+    out = jnp.where(valid[..., None], out * 0.65 + colors * 0.35, out)
+
+    # thumbnails: strided subsample of each cascade's depth map
+    th = max(H // 5, 8)
+    s = max(SHADOW_RES // th, 1)
+    pad = 8
+    for c in range(NUM_CASCADES):
+        thumb = csm.depth[c][::s, ::s][:th, :th]              # reversed-Z
+        tint = jnp.asarray(CASCADE_COLORS[c], jnp.float32)
+        img = thumb[..., None] * (0.75 * tint + 0.25)[None, None, :]
+        x0 = pad + c * (th + pad)
+        if x0 + th > W:
+            break
+        out = jax.lax.dynamic_update_slice(out, img, (H - th - pad, x0, 0))
+    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
 def csm_shadow_mask(csm: CSMData, vc, world_pos, normal, valid,
                     sun_dir, bias_scale: float = 1.0) -> jnp.ndarray:
     """Fullscreen CSM evaluation -> visibility mask (ref ShadowMask.hlsl PCF

@@ -65,3 +65,43 @@ def test_csm_box_shadows_plane():
     assert under_box.sum() > 10 and far_lit.sum() > 50
     assert mask[under_box].mean() < 0.2, f"under box should be shadowed: {mask[under_box].mean()}"
     assert mask[far_lit].mean() > 0.85, f"open plane should be lit: {mask[far_lit].mean()}"
+
+
+def test_csm_debug_overlay():
+    """--csm-debug view: cascade tint applied to lit pixels + thumbnails
+    inset (ref src/CSMDebugRenderer.cpp)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hobbyrenderer_tpu.config import Config, RenderingMode, RenderSettings
+    from hobbyrenderer_tpu.models.deferred import DeferredRenderer
+    from hobbyrenderer_tpu.scene import make_stress_scene
+    from hobbyrenderer_tpu.scene.camera import Camera
+    from hobbyrenderer_tpu.scene.gpu import build_scene_gpu
+
+    sc = make_stress_scene(grid=3)
+    gpu = build_scene_gpu(sc)
+    W, H = 96, 64
+    cam = Camera(None, W, H)
+    cam.position = (sc.center + np.asarray([0.6, 0.45, 1.1], np.float32)
+                    * sc.radius * 1.6)
+    cam.look_at(sc.center)
+    cam.jitter_enabled = False
+    s = RenderSettings().as_pytree()
+
+    cfg_dbg = Config(width=W, height=H, mode=RenderingMode.NORMAL_BASIC,
+                     csm_debug=True)
+    r_dbg = DeferredRenderer(gpu, W, H, config=cfg_dbg,
+                             mode=RenderingMode.NORMAL_BASIC, with_taa=False)
+    r_plain = DeferredRenderer(gpu, W, H, mode=RenderingMode.NORMAL_BASIC,
+                               with_taa=False)
+    vc = cam.view_constants(0)
+    ldr_dbg, _ = r_dbg.render(gpu, vc, s)
+    ldr_plain, _ = r_plain.render(gpu, vc, s)
+    a = np.asarray(ldr_dbg).astype(np.int32)
+    b = np.asarray(ldr_plain).astype(np.int32)
+    assert a.shape == b.shape
+    diff = np.abs(a - b).max(-1) > 4
+    # cascade tint on geometry pixels (upper region, away from thumbnails)
+    assert diff[: H // 2].mean() > 0.02, "no cascade tint applied"
+    # thumbnail strip along the bottom edge
+    assert diff[H - 20:].mean() > 0.1, "no shadow-map thumbnails drawn"
