@@ -41,6 +41,9 @@ def main(argv=None):
                    choices=("none", "sharc", "ssgi", "restir", "ddgi"))
     p.add_argument("--ddgi-debug", action="store_true",
                    help="overlay DDGI probe visualization")
+    p.add_argument("--tex-streaming", action="store_true",
+                   help="budgeted texture residency + async tile streaming")
+    p.add_argument("--tex-budget-mb", type=int, default=64)
     p.add_argument("--csm-debug", action="store_true",
                    help="cascade debug view: per-pixel cascade tint + "
                         "shadow-map thumbnails (normal_basic mode)")
@@ -51,7 +54,8 @@ def main(argv=None):
                  execute_per_pass=a.execute_per_pass,
                  direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,
                  indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug,
-                 csm_debug=a.csm_debug)
+                 csm_debug=a.csm_debug, tex_streaming=a.tex_streaming,
+                 tex_budget_mb=a.tex_budget_mb)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)
     if a.describe_graph:

@@ -67,7 +67,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          transparent_capacity: int = None,
                          shadow_capacity: int = None,
                          ddgi_debug: bool = False,
-                         csm_debug: bool = False) -> RenderGraph:
+                         csm_debug: bool = False,
+                         streaming: bool = False) -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
@@ -183,16 +184,26 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     @render_pass("ResolveGBuffer", reads=("raster_depth", "raster_visid",
                                           "raster_aux", "raster_attr",
                                           "visible_slots"),
-                 writes=("gbuffer",))
+                 writes=(("gbuffer", "tex_feedback") if streaming
+                         else ("gbuffer",)))
     def _resolve(ctx, res):
         ro = rasterops.RasterOutput(res["raster_depth"], res["raster_visid"],
                                     jnp.int32(0))
         attr = res["raster_attr"]
         attr = None if attr.ndim == 0 else attr
         aux = res["raster_aux"] if attr is None else None
-        res["gbuffer"] = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro,
-                                                   res["visible_slots"],
-                                                   aux=aux, attr_img=attr)
+        out = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro,
+                                        res["visible_slots"],
+                                        aux=aux, attr_img=attr,
+                                        want_feedback=streaming)
+        if streaming:
+            res["gbuffer"], fb = out
+            # sampler-feedback resolve for the host streamer (ref
+            # FeedbackManager feedback resolves)
+            res["tex_feedback"] = fb if fb is not None else jnp.zeros(
+                (ctx.gpu.mat_f.shape[0], 11), jnp.int32)
+        else:
+            res["gbuffer"] = out
 
     @g.add
     @render_pass("MaskedLayer", reads=("gbuffer",), writes=("gbuffer",))
@@ -253,8 +264,18 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         facing = (jnp.sum(L * gn, -1) > 0) & valid_s.reshape(-1)
         bias = ctx.settings.shadow_bias
         o = pos + gn * bias + L * bias
-        occ = bvhops.bvh_any_hit(ctx.rt.bvh, o, L,
-                                 t_max=jnp.where(facing, 1e8, 1e-4))
+        if getattr(ctx.rt, "btable", None) is not None \
+                and rasterops._use_pallas(None):
+            # coherent sun rays: beam-traversal kernel (ops/beam.py) — one
+            # shared BVH walk per 32x32 tile, ~80x the per-ray wavefront
+            from hobbyrenderer_tpu.ops import beam as beamops
+            occ = beamops.beam_any_hit(
+                ctx.rt.btable, o.reshape(sh, sw, 3), L.reshape(sh, sw, 3),
+                jnp.where(facing, 1e8, 1e-4).reshape(sh, sw),
+                facing.reshape(sh, sw), sh, sw).reshape(-1)
+        else:
+            occ = bvhops.bvh_any_hit(ctx.rt.bvh, o, L,
+                                     t_max=jnp.where(facing, 1e8, 1e-4))
         vis = jnp.where(facing, 1.0 - occ.astype(jnp.float32), 0.0)
         vis = jnp.where(valid_s.reshape(-1), vis, 1.0).reshape(sh, sw)
         if s > 1:
@@ -725,7 +746,9 @@ class DeferredRenderer:
                                           ddgi_debug=bool(getattr(
                                               config, "ddgi_debug", False)),
                                           csm_debug=bool(getattr(
-                                              config, "csm_debug", False)))
+                                              config, "csm_debug", False)),
+                                          streaming=gpu.tex_stream is not None)
+        self.streaming = gpu.tex_stream is not None
         c_np = _np.asarray(gpu.inst_center)
         r_np = _np.asarray(gpu.inst_radius)[:, None]
         bounds = ((c_np - r_np).min(0), (c_np + r_np).max(0))
@@ -738,16 +761,19 @@ class DeferredRenderer:
     def frame_fn(self, gpu, rt, vc, settings, state, dt):
         ctx = FrameContext(gpu=gpu, vc=vc, settings=settings, config=self.config,
                            dt=dt, rt=rt)
-        out = self.graph.execute(ctx, state,
-                                 outputs=("ldr", "raster_overflow",
-                                          "visible_count", "occluded_count",
-                                          "phase2_count", "exposure"))
+        outputs = ("ldr", "raster_overflow", "visible_count",
+                   "occluded_count", "phase2_count", "exposure")
+        if self.streaming:
+            outputs += ("tex_feedback",)
+        out = self.graph.execute(ctx, state, outputs=outputs)
         o = out["outputs"]
         stats = {"raster_overflow": o["raster_overflow"],
                  "visible_pairs": o["visible_count"],
                  "occluded_pairs": o["occluded_count"],
                  "phase2_pairs": o["phase2_count"],
                  "exposure": o["exposure"]}
+        if self.streaming:
+            stats["tex_feedback"] = o["tex_feedback"]
         return o["ldr"], stats, out["state"]
 
     def render(self, gpu, vc, settings, dt: float = 1 / 60):

@@ -59,6 +59,7 @@ class SceneRT(NamedTuple):
     split_world0: jnp.ndarray  # (Ts, 3, 3) f32 split verts at LOAD-time world
     inst_inv0: jnp.ndarray     # (N, 4, 4) f32 inverse load-time world matrix
     lights: object = None      # ops.lights.LightPool (analytic + emissive tris)
+    btable: jnp.ndarray = None  # (I+L, 128) beam-traversal table (ops.beam)
 
 
 def _subdivide_large(tri_verts: np.ndarray, max_rounds: int = 4,
@@ -133,8 +134,11 @@ def build_scene_rt(scene, gpu) -> SceneRT:
                    split_bary=jnp.asarray(split_bary),
                    split_world0=jnp.asarray(split_verts),
                    inst_inv0=jnp.asarray(inst_inv0))
+    from hobbyrenderer_tpu.ops import beam as beamops
     from hobbyrenderer_tpu.ops import lights as lightops
-    return rt._replace(lights=lightops.build_light_pool(scene, gpu))
+    return rt._replace(lights=lightops.build_light_pool(scene, gpu),
+                       btable=jnp.asarray(beamops.beam_table(
+                           np.asarray(bvh.table))))
 
 
 @jax.jit
@@ -150,6 +154,9 @@ def refit_scene_rt(rt: SceneRT, inst_transform) -> SceneRT:
     v = jnp.einsum("tij,tvj->tvi", Mi[:, :3, :3], rt.split_world0) \
         + Mi[:, None, :3, 3]
     rt = rt._replace(bvh=bvhops.refit_bvh(rt.bvh, v))
+    if rt.btable is not None:
+        from hobbyrenderer_tpu.ops import beam as beamops
+        rt = rt._replace(btable=beamops.beam_table(rt.bvh.table))
     if rt.lights is not None:
         from hobbyrenderer_tpu.ops import lights as lightops
         M_tri = M[rt.tri_inst[jnp.maximum(rt.lights.em_orig, 0)]]
@@ -299,7 +306,8 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         # texture sampling (ref bindless sampling at PT hits; LOD via a
         # ray-cone footprint approximation — the reference uses LOD 0 geometry
         # with HW-sampled textures)
-        if gpu.tex_table.shape[0] > gpu.mat_f.shape[0]:
+        streaming = getattr(gpu, "tex_stream", None) is not None
+        if streaming or gpu.tex_table.shape[0] > gpu.mat_f.shape[0]:
             from hobbyrenderer_tpu.ops import texture as texops
             from hobbyrenderer_tpu.scene.gpu import (MAT_TEX_BASE_HI,
                                                      MAT_TEX_BASE_LO,
@@ -313,7 +321,12 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
             lod = jnp.log2(jnp.maximum(tex_size * foot, 1e-6))
             bits = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
                                     jnp.full_like(pix, dim + 5)], -1))
-            ts = texops.sample_material(gpu, tex_size, tex_base, uv_s, lod, bits)
+            if streaming:
+                ts = texops.sample_material_streamed(gpu.tex_stream, mat,
+                                                     uv_s, lod, bits)
+            else:
+                ts = texops.sample_material(gpu, tex_size, tex_base, uv_s,
+                                            lod, bits)
             albedo = albedo * ts.albedo
             alpha_v = alpha_v * ts.alpha
             rough = jnp.clip(rough * ts.roughness, shadeops.MIN_ROUGHNESS, 1.0)

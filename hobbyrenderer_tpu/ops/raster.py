@@ -625,7 +625,8 @@ class GBuffer(NamedTuple):
 
 def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
                     sample_textures=None, y0: int = 0,
-                    attr_img=None, textured: bool = True) -> GBuffer:
+                    attr_img=None, textured: bool = True,
+                    want_feedback: bool = False) -> GBuffer:
     """Per-pixel attribute resolve from the visibility buffer.
 
     Two sources (the reference does this in the raster pixel shader,
@@ -711,7 +712,10 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
     # one stochastic-trilinear row gather per pixel, modulating the factors.
     # An all-untextured scene's table has exactly one 1x1 neutral texel per
     # material — skip the whole path statically then.
-    if textured and gpu.tex_table.shape[0] > gpu.mat_f.shape[0]:
+    tex_feedback = None
+    streaming = getattr(gpu, "tex_stream", None) is not None
+    if textured and (streaming
+                     or gpu.tex_table.shape[0] > gpu.mat_f.shape[0]):
         from hobbyrenderer_tpu.ops import texture as texops
         from hobbyrenderer_tpu.scene.gpu import (MAT_TEX_BASE_HI, MAT_TEX_BASE_LO,
                                                  MAT_TEX_SIZE, MAT_UV_SCALE)
@@ -725,7 +729,16 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
         frame = vc["frame_index"].astype(jnp.uint32)
         key = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
                                jnp.full_like(pix, 311)], -1))
-        ts = texops.sample_material(gpu, tex_size, tex_base, uv_s, lod, key)
+        if streaming:
+            # residency-clamped sampling + the demand histogram the host
+            # streamer consumes (ref sampler-feedback resolve)
+            ts = texops.sample_material_streamed(gpu.tex_stream, mat, uv_s,
+                                                 lod, key)
+            tex_feedback = texops.texture_feedback(
+                jnp.where(valid, mat, 0), jnp.where(valid, lod, 30.0),
+                gpu.mat_f.shape[0])
+        else:
+            ts = texops.sample_material(gpu, tex_size, tex_base, uv_s, lod, key)
         albedo = albedo * ts.albedo
         alpha = alpha * ts.alpha
         rough = rough * ts.roughness
@@ -764,7 +777,7 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
     z = jnp.zeros((H, W), jnp.float32)
     zero3 = jnp.zeros((H, W, 3), jnp.float32)
     vmask = valid[..., None]
-    return GBuffer(
+    gb = GBuffer(
         albedo=jnp.where(vmask, albedo, zero3),
         normal=jnp.where(vmask, n_shade, zero3),
         geo_normal=jnp.where(vmask, gn, zero3),
@@ -777,3 +790,6 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
         valid=valid,
         alpha=jnp.where(valid, alpha_margin, 0.0),
     )
+    if want_feedback:
+        return gb, tex_feedback
+    return gb

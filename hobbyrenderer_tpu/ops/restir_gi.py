@@ -268,8 +268,17 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     L = to_s / jnp.maximum(dist, 1e-6)[..., None]
     o_v = offset_ray_origin(pos, gn, L)
     shoot = valid & (Wgt > 0) & (dist > 1e-4)
-    occ = bvhops.bvh_any_hit(rt.bvh, o_v, L,
-                             t_max=jnp.where(shoot, dist - 2e-3, 1e-4))
+    tmax_v = jnp.where(shoot, dist - 2e-3, 1e-4)
+    if getattr(rt, "btable", None) is not None \
+            and jax.default_backend() == "tpu":
+        # post-spatial-reuse neighbors share samples, so receiver->sample
+        # rays are tile-coherent: beam kernel (ops/beam.py)
+        from hobbyrenderer_tpu.ops import beam as beamops
+        occ = beamops.beam_any_hit(
+            rt.btable, o_v.reshape(Hg, Wg, 3), L.reshape(Hg, Wg, 3),
+            tmax_v.reshape(Hg, Wg), shoot.reshape(Hg, Wg), Hg, Wg).reshape(R)
+    else:
+        occ = bvhops.bvh_any_hit(rt.bvh, o_v, L, t_max=tmax_v)
     Wgt = jnp.where(occ, 0.0, Wgt)
 
     cos_r = jnp.maximum(jnp.sum(L * n, -1), 0.0)

@@ -62,6 +62,11 @@ def sample_material(gpu, tex_size, tex_base, uv, lod, rng_key3) -> TexSample:
     yi = jnp.floor(ty).astype(jnp.int32) % Sl
     idx = off + yi * Sl + xi
     rows = gpu.tex_table[jnp.clip(idx, 0, gpu.tex_table.shape[0] - 1)]  # (...,4) u32
+    return _decode_rows(rows)
+
+
+def _decode_rows(rows) -> TexSample:
+    """Unpack (..., 4) u32 packed texel rows (scene/textures.py layout)."""
 
     def u8(word, byte):
         return ((rows[..., word] >> (8 * byte)) & 0xFF).astype(jnp.float32) / 255.0
@@ -78,6 +83,73 @@ def sample_material(gpu, tex_size, tex_base, uv, lod, rng_key3) -> TexSample:
     return TexSample(albedo=_srgb_to_linear(base), alpha=alpha,
                      normal_ts=normal_ts, occlusion=occ, roughness=rough,
                      metallic=metal, emissive=_srgb_to_linear(emis))
+
+
+def sample_material_streamed(stream, mat, uv, lod, rng_key3) -> TexSample:
+    """Stochastic-trilinear sample through the STREAMING residency tables
+    (scene/streaming.py StreamTables; ref D3D12 reserved-resource sampling +
+    residency clamp).
+
+    The requested lod is clamped to the material's finest FULLY-resident mip;
+    tail mips (<= 32x32, always resident) read dense rows at the pool head,
+    streamed mips go through the page table. Costs the same ONE texel row
+    gather as the dense path plus three small-table gathers (resident mip,
+    virtual-tile base, page id)."""
+    from hobbyrenderer_tpu.scene.streaming import PAGE_TEXELS, TAIL_MAX, TILE
+    MIPS = stream.vt_base.shape[1]
+    M = stream.mat_resident.shape[0]
+    mc = jnp.clip(mat, 0, M - 1)
+    u0 = uniform_from_bits(rng_key3[..., 0])
+    u1 = uniform_from_bits(rng_key3[..., 1])
+    u2 = uniform_from_bits(rng_key3[..., 2])
+
+    S = jnp.maximum(stream.mat_tex_size[mc], 1)
+    max_l = jnp.round(jnp.log2(S.astype(jnp.float32))).astype(jnp.int32)
+    l = jnp.clip(jnp.floor(lod + u0).astype(jnp.int32), 0, max_l)
+    l = jnp.maximum(l, stream.mat_resident[mc])          # residency clamp
+    l = jnp.clip(l, 0, MIPS - 1)
+    Sl = jnp.maximum(S >> l, 1)
+    Slf = Sl.astype(jnp.float32)
+
+    tx_ = uv[..., 0] * Slf - 0.5 + u1
+    ty_ = uv[..., 1] * Slf - 0.5 + u2
+    xi = jnp.floor(tx_).astype(jnp.int32) % Sl
+    yi = jnp.floor(ty_).astype(jnp.int32) % Sl
+
+    flat = mc * MIPS + l
+    is_tail = Sl <= TAIL_MAX
+    # tail: dense rows at the pool head
+    row_t = stream.tail_off.reshape(-1)[flat] + yi * Sl + xi
+    # streamed: virtual tile -> page -> pool row
+    tiles_x = jnp.maximum(Sl // TILE, 1)
+    vt = (stream.vt_base.reshape(-1)[flat]
+          + (yi // TILE) * tiles_x + (xi // TILE))
+    V = stream.page_table.shape[0]
+    page = stream.page_table[jnp.clip(vt, 0, V - 1)]
+    row_s = (stream.pool_base + page * PAGE_TEXELS
+             + (yi % TILE) * TILE + (xi % TILE))
+    # page < 0 cannot happen for mips >= mat_resident; guard with the 1x1 tail
+    idx = jnp.where(is_tail, row_t,
+                    jnp.where(page >= 0, row_s,
+                              stream.tail_off.reshape(-1)[mc * MIPS + MIPS - 1]))
+    rows = stream.tex_pool[jnp.clip(idx, 0, stream.tex_pool.shape[0] - 1)]
+    return _decode_rows(rows)
+
+
+def texture_feedback(mat, lod, n_mats: int, stride: int = 4):
+    """Per-frame sampler-feedback resolve (ref FeedbackManager feedback
+    resolves): strided (mat, mip) demand histogram BEFORE the residency clamp.
+
+    mat (H, W) i32, lod (H, W) f32 -> (n_mats, MAX_MIPS) i32 counts."""
+    from hobbyrenderer_tpu.scene.textures import MAX_MIPS
+    m = jnp.clip(mat[::stride, ::stride], 0, n_mats - 1)
+    l = jnp.clip(jnp.floor(lod[::stride, ::stride]).astype(jnp.int32),
+                 0, MAX_MIPS - 1)
+    seg = (m * MAX_MIPS + l).reshape(-1)
+    ones = jnp.ones(seg.shape, jnp.int32)
+    return jax.ops.segment_sum(ones, seg,
+                               num_segments=n_mats * MAX_MIPS
+                               ).reshape(n_mats, MAX_MIPS)
 
 
 def uv_lod(uv_img, tex_size_img):

@@ -44,8 +44,15 @@ class Renderer:
             else:
                 from hobbyrenderer_tpu.scene.loader import load_gltf_scene
                 self.scene = load_gltf_scene(cfg.scene, cache_dir=cfg.cache_dir)
+        self.streamer = None
+        if getattr(cfg, "tex_streaming", False):
+            from hobbyrenderer_tpu.scene.streaming import (PAGE_TEXELS,
+                                                           TextureStreamer)
+            pages = max((cfg.tex_budget_mb * (1 << 20)) // (PAGE_TEXELS * 16),
+                        16)
+            self.streamer = TextureStreamer(self.scene, budget_pages=pages)
         with PROFILER.scope("Init/Upload"):
-            self.gpu = build_scene_gpu(self.scene)
+            self.gpu = build_scene_gpu(self.scene, streamer=self.streamer)
         cam_desc = self.scene.cameras[0] if self.scene.cameras else None
         self.camera = Camera(cam_desc, cfg.render_width, cfg.render_height)
         if cam_desc is None or np.allclose(self.camera.position, [0, 1, 5]):
@@ -115,12 +122,27 @@ class Renderer:
             with PROFILER.scope("Frame/RTRefit"):
                 self._model.rt = refit_scene_rt(self._model.rt,
                                                 self.gpu.inst_transform)
+        if self.streamer is not None and self.gpu.tex_stream is not None:
+            # apply any finished tile-upload batch (budgeted async IO)
+            with PROFILER.scope("Frame/TexStreaming"):
+                import dataclasses as _dc
+                self.gpu = _dc.replace(
+                    self.gpu,
+                    tex_stream=self.streamer.apply_updates(self.gpu.tex_stream))
         with PROFILER.scope("Frame/ViewConstants"):
             vc = self.camera.view_constants(self.frame_index)
         with PROFILER.scope("Frame/Render"):
             settings = cfg.settings.as_pytree()
             out = self._model.render(self.gpu, vc, settings, dt)
             ldr = out[0] if isinstance(out, tuple) else out
+        if self.streamer is not None and self.frame_index % 8 == 7:
+            # feedback fetch on the MAIN thread (device access is not
+            # thread-safe through every backend); every 8th frame bounds the
+            # sync cost — the reference similarly rations feedback resolves
+            # (30/frame of a sparse map, FeedbackManager.h:38)
+            fb = getattr(self._model, "last_stats", {}).get("tex_feedback")
+            if fb is not None:
+                self.streamer.publish_feedback(np.asarray(fb))
         self.camera.end_frame()
         self.camera_state.publish(self.camera, self._scene_key)
         self.frame_index += 1
@@ -155,8 +177,10 @@ class Renderer:
             self._model.reload()
 
     def shutdown(self):
-        """Flush camera persistence (ref Renderer::Shutdown)."""
+        """Flush camera persistence, stop streaming IO (ref Renderer::Shutdown)."""
         self.camera_state.stop(flush=True)
+        if self.streamer is not None:
+            self.streamer.stop()
 
     def stats(self) -> dict:
         """Per-frame pipeline statistics (ref pipeline statistics queries)."""

@@ -19,7 +19,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dataclasses_replace
 from typing import Any, Dict, List
 
 import jax
@@ -119,6 +119,9 @@ class SceneGPU:
     light_cone: Any         # (L, 2) f32 cos(inner), cos(outer)
     light_count: Any        # () i32 actual number of lights
 
+    # texture streaming (scene/streaming.py StreamTables; None = dense table)
+    tex_stream: Any = None
+
     def tree_flatten(self):
         import dataclasses as dc
         fields = [f.name for f in dc.fields(self)]
@@ -206,8 +209,12 @@ def _texture_arrays(scene: Scene) -> Dict[str, np.ndarray]:
                 mat_mip_off=t["mat_mip_off"])
 
 
-def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True) -> SceneGPU:
-    """Flatten the host Scene into the SceneGPU pytree (upload happens via jnp)."""
+def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True,
+                    streamer=None) -> SceneGPU:
+    """Flatten the host Scene into the SceneGPU pytree (upload happens via jnp).
+
+    streamer: a scene.streaming.TextureStreamer — texture pixels then live in
+    its budgeted paged pool instead of the fully-resident dense table."""
     # --- vertex pool ---
     vtx_offsets = []
     pos_l, nrm_l, uv_l, tan_l = [], [], [], []
@@ -354,7 +361,15 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
     pair_lod = cat(pl_l, np.int32)
 
     # --- materials ---
-    tex_arrays = _texture_arrays(scene)
+    if streamer is not None:
+        # streaming: no dense table; sizes come from the streamer's layout
+        tex_arrays = dict(
+            tex_table=np.zeros((1, 4), np.uint32),
+            mat_tex_size=streamer.mat_size.copy(),
+            mat_mip_off=np.zeros((len(scene.materials) or 1,
+                                  streamer.tail_off.shape[1]), np.int32))
+    else:
+        tex_arrays = _texture_arrays(scene)
     Mt = max(len(scene.materials), 1)
     mat_f = np.zeros((Mt, 20), np.float32)
     mat_i = np.full((Mt, 8), -1, np.int32)
@@ -429,7 +444,10 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True)
     # store LOD meshlet ranges on the pair list side only; prim_ml_* not needed on device
     if device_put:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-    return SceneGPU(**arrays)
+    gpu = SceneGPU(**arrays)
+    if streamer is not None:
+        gpu = dataclasses_replace(gpu, tex_stream=streamer.initial_tables())
+    return gpu
 
 
 def update_instance_transforms(gpu: SceneGPU, scene: Scene) -> SceneGPU:

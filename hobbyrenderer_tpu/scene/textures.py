@@ -200,6 +200,48 @@ NEUTRAL = np.array([255, 255, 255, 255,    # albedo RGBA
                     0, 0, 0, 0], np.uint8)
 
 
+def material_texel_chain(scene, mi: int) -> Optional[List[np.ndarray]]:
+    """One material's packed-texel mip chain: list of (S, S, 16) uint8 arrays
+    (w0..w3 byte layout per module doc), or None for untextured materials.
+
+    This is the pixel SOURCE shared by the dense table build and the
+    streaming tile loader (scene/streaming.py AsyncTileIO analogue)."""
+    images: List[Optional[np.ndarray]] = getattr(scene, "images", []) or []
+    m = scene.materials[mi]
+
+    def get_img(i):
+        if i is None or i < 0 or i >= len(images) or images[i] is None:
+            return None
+        return images[i]
+
+    srcs = [get_img(m.base_color_tex), get_img(m.normal_tex),
+            get_img(m.orm_tex), get_img(m.emissive_tex)]
+    dims = [max(s.shape[0], s.shape[1]) for s in srcs if s is not None]
+    if not dims:
+        return None
+    s = 1 << int(np.ceil(np.log2(min(max(dims), MAX_TEX_SIZE))))
+    s = max(s, 4)
+
+    def fetch(img, default):
+        if img is None:
+            return np.broadcast_to(np.asarray(default, np.uint8),
+                                   (s, s, len(default))).copy()
+        return _resize_u8(img, s)[..., :len(default)]
+
+    base = fetch(srcs[0], (255, 255, 255, 255))          # sRGB RGBA
+    nrm = fetch(srcs[1], (128, 128, 255))                # tangent-space
+    orm = fetch(srcs[2], (255, 255, 255))                # occ, rough, metal
+    emis = fetch(srcs[3], (255, 255, 255))               # sRGB
+    texel = np.concatenate([
+        base,
+        nrm[..., 0:2], orm[..., 0:1], orm[..., 1:2],
+        orm[..., 2:3], emis[..., 0:3],
+        np.zeros((s, s, 4), np.uint8),
+    ], -1)
+    return [np.clip(np.round(lvl), 0, 255).astype(np.uint8)
+            for lvl in _mip_chain(texel)]
+
+
 def build_texture_table(scene) -> Dict[str, np.ndarray]:
     """Pack every material's textures into the global mip-chained texel table.
 
@@ -219,43 +261,21 @@ def build_texture_table(scene) -> Dict[str, np.ndarray]:
         return images[i]
 
     for mi, m in enumerate(mats):
-        srcs = [get_img(m.base_color_tex), get_img(m.normal_tex),
-                get_img(m.orm_tex), get_img(m.emissive_tex)]
-        dims = [max(s.shape[0], s.shape[1]) for s in srcs if s is not None]
-        if not dims:
+        chain = material_texel_chain(scene, mi)
+        if chain is None:
             mat_size[mi] = 1
             mip_off[mi, :] = cursor
             rows.append(NEUTRAL[None, :])
             cursor += 1
             continue
-        s = 1 << int(np.ceil(np.log2(min(max(dims), MAX_TEX_SIZE))))
-        s = max(s, 4)
-        mat_size[mi] = s
-
-        def fetch(img, default):
-            if img is None:
-                return np.broadcast_to(np.asarray(default, np.uint8),
-                                       (s, s, len(default))).copy()
-            return _resize_u8(img, s)[..., :len(default)]
-
-        base = fetch(srcs[0], (255, 255, 255, 255))          # sRGB RGBA
-        nrm = fetch(srcs[1], (128, 128, 255))                # tangent-space
-        orm = fetch(srcs[2], (255, 255, 255))                # occ, rough, metal
-        emis = fetch(srcs[3], (255, 255, 255))               # sRGB
-        texel = np.concatenate([
-            base,                                            # w0
-            nrm[..., 0:2], orm[..., 0:1], orm[..., 1:2],     # w1
-            orm[..., 2:3], emis[..., 0:3],                   # w2
-            np.zeros((s, s, 4), np.uint8),                   # w3 spare
-        ], -1)                                               # (s, s, 16)
-        chain = _mip_chain(texel)
+        mat_size[mi] = chain[0].shape[0]
         lvl_cursor = cursor
         last_off = cursor
         for li in range(MAX_MIPS):
             if li < len(chain):
                 mip_off[mi, li] = lvl_cursor
                 last_off = lvl_cursor
-                lvl = np.clip(np.round(chain[li]), 0, 255).astype(np.uint8)
+                lvl = chain[li]
                 rows.append(lvl.reshape(-1, 16))
                 lvl_cursor += lvl.shape[0] * lvl.shape[1]
             else:
