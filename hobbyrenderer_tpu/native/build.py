@@ -41,10 +41,16 @@ def get_lib():
                                 "-o", so, src], check=True, capture_output=True)
             lib = ctypes.CDLL(so)
             i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
             lib.build_meshlets.restype = ctypes.c_int
             lib.build_meshlets.argtypes = [
                 i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, i32p, i32p, i32p, i32p, i32p, i32p]
+            lib.simplify_qem.restype = ctypes.c_int
+            lib.simplify_qem.argtypes = [
+                f32p, ctypes.c_int32, i32p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_float, i32p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
             _lib = lib
         except Exception:
             _lib = None
@@ -78,3 +84,26 @@ def build_meshlets_native(tris: np.ndarray, n_verts: int,
     n_v = int(vo[n - 1] + vc[n - 1]) if n > 0 else 0
     return (vo[:n].copy(), vc[:n].copy(), to[:n].copy(), tc[:n].copy(),
             mv[:n_v].copy(), mt[:T * 3].reshape(-1, 3).copy())
+
+
+def simplify_qem_native(positions: np.ndarray, tris: np.ndarray,
+                        target_tris: int, error_limit: float):
+    """Quadric-error-metric simplification in C++ (meshcook.cpp simplify_qem;
+    the meshopt_simplifyWithAttributes role, ref src/SceneLoader.cpp:1995-2044).
+
+    positions (V, 3) f32, tris (T, 3) i32 -> (simplified (T', 3) i32,
+    max collapse error in object units) or None if native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    positions = np.ascontiguousarray(positions, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    T = tris.shape[0]
+    if T == 0:
+        return tris, 0.0
+    out = np.zeros((T, 3), np.int32)
+    err = np.zeros(1, np.float32)
+    n = lib.simplify_qem(positions.reshape(-1), np.int32(positions.shape[0]),
+                         tris.reshape(-1), np.int32(T), np.int32(target_tris),
+                         np.float32(error_limit), out.reshape(-1), err)
+    return out[:n].copy(), float(err[0])

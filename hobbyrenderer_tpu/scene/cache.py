@@ -116,9 +116,20 @@ def load_or_cook_meshes(prim_specs: List[dict], cache_key: Optional[str],
         cached = load_cooked_meshes(cache_key, cache_dir, mtime)
         if cached is not None and len(cached) == len(prim_specs):
             return cached
-    cooked = [cook_mesh(s["positions"], s["indices"], normals=s.get("normals"),
-                        uvs=s.get("uvs"), tangents=s.get("tangents"))
-              for s in prim_specs]
+    # parallel per-primitive cook (ref ParallelFor, src/SceneLoader.cpp:1784);
+    # the heavy stages (numpy vector math, the C++ QEM simplifier + meshlet
+    # scan via ctypes) release the GIL, so threads scale on real scenes
+    def _cook(s):
+        return cook_mesh(s["positions"], s["indices"], normals=s.get("normals"),
+                         uvs=s.get("uvs"), tangents=s.get("tangents"))
+
+    if len(prim_specs) > 1:
+        import concurrent.futures as _cf
+        workers = min(len(prim_specs), os.cpu_count() or 4, 12)
+        with _cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            cooked = list(ex.map(_cook, prim_specs))
+    else:
+        cooked = [_cook(s) for s in prim_specs]
     if cache_key and cache_dir and os.path.exists(cache_key):
         save_cooked_meshes(cooked, cache_key, cache_dir,
                            os.path.getmtime(cache_key))

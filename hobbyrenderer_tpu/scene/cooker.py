@@ -32,6 +32,7 @@ LOD_INDEX_TARGET = 0.6   # per-level index count target factor
 LOD_MIN_INDICES = 1024   # stop threshold
 LOD_MIN_REDUCTION = 0.85  # stop if simplified > 85% of previous
 LOD_ERROR_SCALE = 1.5    # accumulated error multiplier per level
+LOD_ERROR_BOUND = 0.1    # max collapse error as a fraction of mesh extent
 
 
 @dataclass
@@ -321,7 +322,15 @@ def cook_mesh(positions: np.ndarray,
                       tangents_packed=tpacked, center=c.astype(np.float32), radius=r)
 
     # LOD chain (ref SceneLoader.cpp:1995-2044): level 0 = full; each next level
-    # simplifies toward 0.6x indices; stop at <1024 indices or <15% reduction.
+    # simplifies toward 0.6x indices via quadric edge collapse (C++,
+    # native/meshcook.cpp simplify_qem — the meshopt_simplifyWithAttributes
+    # role: border/seam-preserving, flip-rejecting, endpoint placement so
+    # vertex attributes survive) with grid clustering as the portable
+    # fallback; stop at <1024 indices or <15% reduction.
+    try:
+        from hobbyrenderer_tpu.native.build import simplify_qem_native
+    except Exception:
+        simplify_qem_native = lambda *a: None
     cur = tri.astype(np.int32)
     err = 0.0
     extent = float(np.linalg.norm(positions.max(0) - positions.min(0))) if positions.size else 1.0
@@ -333,6 +342,15 @@ def cook_mesh(positions: np.ndarray,
         if lod + 1 >= max_lods:
             break
         target = int(cur.shape[0] * LOD_INDEX_TARGET)
+        res = simplify_qem_native(positions, cur, max(target, 1),
+                                  LOD_ERROR_BOUND * extent)
+        if res is not None:
+            nxt, lvl_err = res
+            if nxt.shape[0] >= cur.shape[0] * LOD_MIN_REDUCTION or nxt.shape[0] == 0:
+                break
+            err = max(err * LOD_ERROR_SCALE, lvl_err)
+            cur = nxt
+            continue
         nxt, trial_cell = cur, cell
         for _ in range(6):  # grow cell until target reduction achieved
             nxt = simplify_grid(positions, cur, trial_cell)
