@@ -114,6 +114,9 @@ class Renderer:
             self.scene.update(self.time_s)
             dirty_rt = bool(self.scene.dirty_instances)
             self.gpu = update_instance_transforms(self.gpu, self.scene)
+            if self.scene.dirty_materials:
+                from hobbyrenderer_tpu.scene.gpu import update_material_constants
+                self.gpu = update_material_constants(self.gpu, self.scene)
         if dirty_rt and getattr(self._model, "rt", None) is not None:
             # animated/moved instances: refit the RT BVH on device so shadow
             # rays / ReSTIR visibility / PT stay correct (per-frame TLAS

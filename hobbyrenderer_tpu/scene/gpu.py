@@ -488,3 +488,25 @@ def update_instance_transforms(gpu: SceneGPU, scene: Scene) -> SceneGPU:
     )
     scene.dirty_instances.clear()
     return gpu
+
+
+def update_material_constants(gpu: SceneGPU, scene: Scene) -> SceneGPU:
+    """Re-upload dirty material rows (ref UploadDirtyMaterialConstants,
+    src/Renderer.cpp:974-1024). Animated field today: emissive * strength
+    (the reference's emissiveIntensity JSON animation channel)."""
+    import dataclasses as dc
+    if not scene.dirty_materials:
+        return gpu
+    idx = np.asarray(sorted(i for i in scene.dirty_materials
+                            if i < gpu.mat_f.shape[0]), np.int32)
+    if idx.size == 0:
+        scene.dirty_materials.clear()
+        return gpu
+    em = np.stack([np.asarray(scene.materials[i].emissive, np.float32)
+                   * np.float32(scene.materials[i].emissive_strength)
+                   for i in idx])
+    rows = gpu.mat_f[idx]
+    rows = rows.at[:, MAT_EMISSIVE:MAT_EMISSIVE + 3].set(jnp.asarray(em))
+    gpu = dc.replace(gpu, mat_f=gpu.mat_f.at[idx].set(rows))
+    scene.dirty_materials.clear()
+    return gpu

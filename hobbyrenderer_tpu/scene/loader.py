@@ -26,6 +26,7 @@ import numpy as np
 
 from hobbyrenderer_tpu.scene.cache import load_or_cook_meshes
 from hobbyrenderer_tpu.scene.cooker import cook_mesh
+from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.scene.scene import (ALPHA_BLEND, ALPHA_MASKED, ALPHA_OPAQUE,
                                            Animation, AnimationChannel, CameraDesc,
                                            Light, LIGHT_DIRECTIONAL, LIGHT_POINT,
@@ -358,10 +359,246 @@ def _build_scene(g: GLTFFile, cache_key: Optional[str], cache_dir: Optional[str]
 
 
 def load_gltf_scene(path: str, cache_dir: Optional[str] = ".hr_cache") -> Scene:
-    """File entry point (ref SceneLoader::LoadGLTFScene)."""
+    """File entry point (ref SceneLoader::LoadGLTFScene). Dispatches
+    `.scene.json` composite scenes to load_scene_json."""
+    if path.endswith(".scene.json") or path.endswith(".json"):
+        return load_scene_json(path, cache_dir=cache_dir)
     g = GLTFFile.from_path(path)
     key = os.path.abspath(path)
     return _build_scene(g, cache_key=key, cache_dir=cache_dir)
+
+
+def _merge_scene(dst: Scene, src: Scene, parent_node: int):
+    """Append one loaded glTF model under dst node `parent_node` (the model
+    re-parenting of LoadJSONScene, ref src/SceneLoader.cpp:355-372).
+
+    Returns (light_ids, camera_ids) of the appended lights/cameras — their
+    world-space data was baked in the model's own frame and must be re-derived
+    after dst.finalize() via _reframe_world (the reference instead re-reads
+    node transforms every frame)."""
+    img_off = len(dst.images)
+    dst.images.extend(src.images)
+    mat_map = {0: 0}
+    for i, m in enumerate(src.materials):
+        if i == 0:
+            continue
+        import copy as _copy
+        m2 = _copy.deepcopy(m)
+        for f in ("base_color_tex", "normal_tex", "orm_tex", "emissive_tex"):
+            ti = getattr(m2, f)
+            if ti is not None and ti >= 0:
+                setattr(m2, f, ti + img_off)
+        mat_map[i] = dst.add_material(m2)
+    mesh_map = [dst.add_mesh(cm, material=mat_map[src.mesh_materials[ci]])
+                for ci, cm in enumerate(src.meshes)]
+    node_off = len(dst.nodes)
+    for n in src.nodes:
+        n2 = Node(name=n.name,
+                  parent=(n.parent + node_off if n.parent >= 0 else parent_node),
+                  translation=np.asarray(n.translation, np.float32).copy(),
+                  rotation=np.asarray(n.rotation, np.float32).copy(),
+                  scale=np.asarray(n.scale, np.float32).copy(),
+                  mesh_primitives=[mesh_map[p] for p in n.mesh_primitives],
+                  dynamic=n.dynamic)
+        dst.add_node(n2)
+    light_ids = []
+    for l in src.lights:
+        if l.name == "default_sun":
+            continue  # per-model defaults don't compose; dst adds its own
+        import copy as _copy
+        light_ids.append((dst.add_light(_copy.deepcopy(l)), parent_node))
+    cam_ids = []
+    for c in src.cameras:
+        import copy as _copy
+        dst.cameras.append(_copy.deepcopy(c))
+        cam_ids.append((len(dst.cameras) - 1, parent_node))
+    for a in src.animations:
+        a2 = Animation(name=a.name, duration=a.duration)
+        for ch in a.channels:
+            a2.channels.append(AnimationChannel(
+                target_node=ch.target_node + node_off,
+                path=ch.path, times=ch.times, values=ch.values,
+                interpolation=ch.interpolation))
+            if ch.target_node >= 0:
+                dst.nodes[ch.target_node + node_off].dynamic = True
+        dst.animations.append(a2)
+    return light_ids, cam_ids
+
+
+def _dir_to_quat(d: np.ndarray) -> np.ndarray:
+    """Quaternion rotating -Z onto direction d (graph 'direction' keys)."""
+    d = np.asarray(hm.normalize(np.asarray(d, np.float32)), np.float32)
+    fwd = np.array([0, 0, -1], np.float32)
+    c = float(np.dot(fwd, d))
+    if c > 1 - 1e-8:
+        return np.array([0, 0, 0, 1], np.float32)
+    if c < -1 + 1e-8:
+        return np.array([0, 1, 0, 0], np.float32)  # 180 deg about Y
+    ax = np.cross(fwd, d)
+    s = np.sqrt((1 + c) * 2)
+    return np.asarray(hm.normalize(np.array(
+        [ax[0] / s, ax[1] / s, ax[2] / s, s * 0.5], np.float32)), np.float32)
+
+
+def load_scene_json(path: str, cache_dir: Optional[str] = ".hr_cache") -> Scene:
+    """Composite `.scene.json` scene: multiple glTF models + a transform graph
+    + graph-level lights/cameras + JSON animations.
+
+    Ref SceneLoader::LoadJSONScene (src/SceneLoader.cpp:184-560): `models` is
+    an array of relative glTF paths; `graph` nodes carry TRS (or scalar
+    `scaling`), optional `model` index (re-parents that model's roots),
+    `children`, and typed payloads (DirectionalLight irradiance/angularSize,
+    SpotLight intensity/cone angles, PerspectiveCamera fov/near/exposure,
+    EnvironmentLight path); `animations` hold name-targeted keyframe channels
+    (translation | rotation | emissiveIntensity), ref ParseJSONAnimations
+    (src/SceneLoader.cpp:709-960). No RH->LH flips: this build keeps glTF
+    handedness end to end."""
+    import json as _json
+
+    with open(path, "r") as f:
+        doc = _json.load(f)
+    base = os.path.dirname(os.path.abspath(path))
+    sc = Scene()
+    model_paths = doc.get("models", [])
+    model_scenes = [load_gltf_scene(os.path.join(base, p), cache_dir=cache_dir)
+                    for p in model_paths]
+    attached = [False] * len(model_scenes)
+    fix_lights, fix_cams = [], []
+
+    def parse_graph_node(nd: dict, parent: int):
+        node = Node(name=nd.get("name", f"graph_{len(sc.nodes)}"), parent=parent)
+        if "translation" in nd:
+            node.translation = np.asarray(nd["translation"], np.float32)
+        if "rotation" in nd:
+            r = nd["rotation"]
+            node.rotation = (np.array([0, 0, 0, 1], np.float32)
+                             if np.isscalar(r) else np.asarray(r, np.float32))
+        if "direction" in nd:
+            node.rotation = _dir_to_quat(np.asarray(nd["direction"], np.float32))
+        if "scale" in nd:
+            node.scale = np.asarray(nd["scale"], np.float32)
+        if "scaling" in nd:
+            node.scale = np.full(3, float(nd["scaling"]), np.float32)
+        ni = sc.add_node(node)
+        typ = nd.get("type")
+        if typ == "DirectionalLight":
+            li = sc.add_light(Light(
+                type=LIGHT_DIRECTIONAL,
+                color=np.asarray(nd.get("color", [1, 1, 1]), np.float32),
+                intensity=float(nd.get("irradiance", 1.0)),
+                radius=float(nd.get("angularSize", 0.0)),
+                name=node.name))
+            fix_lights.append((li, ni))
+        elif typ == "SpotLight":
+            li = sc.add_light(Light(
+                type=LIGHT_SPOT,
+                color=np.asarray(nd.get("color", [1, 1, 1]), np.float32),
+                intensity=float(nd.get("intensity", 1.0)),
+                radius=float(nd.get("radius", 0.0)),
+                range=float(nd.get("range", 1e9)),
+                inner_cone=np.deg2rad(float(nd.get("innerAngle", 0.0))),
+                outer_cone=np.deg2rad(float(nd.get("outerAngle", 45.0))),
+                name=node.name))
+            fix_lights.append((li, ni))
+        elif typ in ("PerspectiveCamera", "PerspectiveCameraEx"):
+            fov = float(nd.get("verticalFov", 1.0))
+            if fov > 3.15:           # degrees-authored scene files
+                fov = np.deg2rad(fov)
+            cam = CameraDesc(name=node.name, fov_y=fov,
+                             znear=float(nd.get("zNear", 0.1)))
+            sc.cameras.append(cam)
+            fix_cams.append((len(sc.cameras) - 1, ni))
+        elif typ == "EnvironmentLight":
+            sc.env_map_path = os.path.join(base, nd.get("path", ""))
+        mi = nd.get("model")
+        if mi is not None and 0 <= int(mi) < len(model_scenes) \
+                and not attached[int(mi)]:
+            fl, fc = _merge_scene(sc, model_scenes[int(mi)], ni)
+            fix_lights.extend(fl)
+            fix_cams.extend(fc)
+            attached[int(mi)] = True
+        for ch in nd.get("children", []):
+            parse_graph_node(ch, ni)
+
+    for root in doc.get("graph", []):
+        parse_graph_node(root, -1)
+    # models never referenced by the graph attach at the root (a bare
+    # {"models": [...]} file is a valid scene)
+    for mi, ms in enumerate(model_scenes):
+        if not attached[mi]:
+            ni = sc.add_node(Node(name=f"model_{mi}"))
+            fl, fc = _merge_scene(sc, ms, ni)
+            fix_lights.extend(fl)
+            fix_cams.extend(fc)
+            attached[mi] = True
+
+    # JSON animations: channels target node NAMES (ref ParseJSONAnimations)
+    name_to_node = {}
+    for i, n in enumerate(sc.nodes):
+        name_to_node.setdefault(n.name, i)
+    name_to_mat = {}
+    for i, m in enumerate(sc.materials):
+        name_to_mat.setdefault(m.name, i)
+    for a in doc.get("animations", []):
+        anim = Animation(name=a.get("name", "anim"))
+        dur = 0.0
+        for ch in a.get("channels", []):
+            targets = ch.get("targets", [ch.get("target")])
+            attr = ch.get("attribute", "")
+            mode = {"step": "STEP"}.get(ch.get("mode", "linear"), "LINEAR")
+            data = ch.get("data", [])
+            if not data or not targets or targets[0] is None:
+                continue
+            if "Cameras" in str(targets[0]):
+                continue  # benchmark fly-throughs; the renderer owns its camera
+            times = np.asarray([k.get("time", 0.0) for k in data], np.float32)
+            vals = [k.get("value", 0.0) for k in data]
+            if np.isscalar(vals[0]):
+                values = np.asarray(vals, np.float32)[:, None]
+            else:
+                values = np.asarray(vals, np.float32)
+            for tgt in targets:
+                if attr == "emissiveIntensity":
+                    mi_t = name_to_mat.get(tgt, -1)
+                    if mi_t < 0:
+                        continue
+                    anim.channels.append(AnimationChannel(
+                        target_node=-1, target_material=mi_t,
+                        path="emissiveIntensity", times=times, values=values,
+                        interpolation=mode))
+                else:
+                    ni_t = name_to_node.get(tgt, -1)
+                    if ni_t < 0 or attr not in ("translation", "rotation",
+                                                "scale"):
+                        continue
+                    anim.channels.append(AnimationChannel(
+                        target_node=ni_t, path=attr, times=times,
+                        values=values, interpolation=mode))
+                    sc.nodes[ni_t].dynamic = True
+            if len(times):
+                dur = max(dur, float(times[-1]))
+        anim.duration = dur
+        if anim.channels:
+            sc.animations.append(anim)
+
+    sc.finalize()
+    # re-derive merged/graph light + camera frames from final node worlds
+    for li, ni in fix_lights:
+        w = sc.nodes[ni].world
+        l = sc.lights[li]
+        l.position = hm.transform_points(w, l.position[None])[0].astype(np.float32)
+        l.direction = np.asarray(hm.normalize(
+            w[:3, :3] @ np.asarray(l.direction, np.float32)), np.float32)
+    for ci, ni in fix_cams:
+        w = sc.nodes[ni].world
+        cam = sc.cameras[ci]
+        cam.position = hm.transform_points(w, cam.position[None])[0].astype(np.float32)
+        fwd = np.asarray(hm.normalize(w[:3, :3] @ np.array([0, 0, -1], np.float32)),
+                         np.float32)
+        cam.pitch = float(np.arctan2(fwd[1], np.linalg.norm(fwd[[0, 2]])))
+        cam.yaw = float(np.arctan2(-fwd[0], -fwd[2]))
+    sc.lights_dirty = True
+    return sc
 
 
 def load_gltf_from_memory(data: Union[dict, bytes, str]) -> Scene:

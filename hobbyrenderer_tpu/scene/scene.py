@@ -95,7 +95,9 @@ class AnimationChannel:
     src/SceneLoader.cpp animation ingest)."""
 
     target_node: int = -1
-    path: str = "translation"          # translation | rotation | scale | weights
+    target_material: int = -1          # for material channels (emissiveIntensity)
+    path: str = "translation"          # translation | rotation | scale |
+    #                                    emissiveIntensity (ref JSON animations)
     times: np.ndarray = None           # (K,)
     values: np.ndarray = None          # (K, D)
     interpolation: str = "LINEAR"
@@ -151,6 +153,7 @@ class Scene:
         self.dirty_instances: set = set()
         self.dirty_materials: set = set()
         self.lights_dirty = True
+        self.env_map_path: str = ""       # EnvironmentLight (.scene.json)
 
     # -- construction helpers ------------------------------------------------
 
@@ -253,7 +256,16 @@ class Scene:
                 continue
             t = np.float32(time_s % anim.duration)
             for ch in anim.channels:
-                if ch.target_node < 0 or ch.times is None or len(ch.times) == 0:
+                if ch.times is None or len(ch.times) == 0:
+                    continue
+                if ch.path == "emissiveIntensity":
+                    if ch.target_material >= 0:
+                        v = _sample_channel(ch, t)
+                        self.materials[ch.target_material].emissive_strength = \
+                            float(np.ravel(v)[0])
+                        self.dirty_materials.add(ch.target_material)
+                    continue
+                if ch.target_node < 0:
                     continue
                 v = _sample_channel(ch, t)
                 node = self.nodes[ch.target_node]
