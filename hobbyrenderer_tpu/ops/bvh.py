@@ -53,12 +53,27 @@ PHASES = ((24, 1 / 2), (48, 1 / 16), (160, 1 / 32), (800, None))
 
 class BVH(NamedTuple):
     """4-wide unified-table BVH. Static shape facts derive from array shapes:
-    L = (3 * table.rows + 1) // 4, I = (L - 1) // 3, K = order.size // L."""
+    L = (3 * table.rows + 1) // 4, I = (L - 1) // 3, K = order.size // L.
+
+    table_w is an OPTIONAL 16-ary view of the SAME tree (same sorted triangle
+    order, same binary box levels): interior rows hold 16 child AABBs (96 f32),
+    leaf rows hold leaf_w triangle records. Rationale: the measured cost of a
+    random HBM row gather is per-ROW, nearly independent of row width (8- vs
+    160-wide within 15%), so a 16-ary step fetches 4x the tree per gather and
+    incoherent wavefront traversal does ~2.5x fewer gathers. The 4-wide table
+    stays for the beam kernel (ops/beam.py) and tiny scenes."""
 
     table: jnp.ndarray     # (I + L, 40) f32 unified node rows
     order: jnp.ndarray     # (L * K,) i32 leaf slot -> triangle id (-1 pad)
     root_box: jnp.ndarray  # (6,) f32 scene bounds (lo, hi)
     num_tris: int          # original triangle count
+    table_w: jnp.ndarray = None  # (Iw + Lw, max(96, 10*leaf_w)) or None
+
+    @property
+    def leaf_w(self) -> int:
+        # 16-wide leaf triangle count from the row width (160 -> 16, 640 -> 64);
+        # a shape fact, so it stays static under jit
+        return self.table_w.shape[1] // 10 if self.table_w is not None else 0
 
     @property
     def num_leaves(self) -> int:
@@ -141,6 +156,49 @@ def _assemble_table(leaf_rows, levels, L: int, xp):
     return leaf_rows
 
 
+def _assemble_table_wide(leaf_rows4, levels, L4: int, leaf_w: int, xp):
+    """16-ary view over the same binary levels: (Iw + Lw, max(96, 10*leaf_w)).
+
+    leaf_rows4 (L4, 40) reshapes contiguously into (Lw, 10*leaf_w); 16-ary
+    interior level k's children are binary level 4(k+1) below the root."""
+    N = L4 * 4
+    Lw = N // leaf_w
+    n_bin = int(np.log2(L4)) if L4 > 1 else 0
+    W = max(96, 10 * leaf_w)
+    leaf_rows = leaf_rows4.reshape(Lw, 10 * leaf_w)
+    if leaf_rows.shape[1] < W:
+        leaf_rows = xp.concatenate(
+            [leaf_rows, xp.zeros((Lw, W - leaf_rows.shape[1]),
+                                 leaf_rows.dtype)], axis=1)
+    m = 0
+    while 16 ** (m + 1) <= Lw:
+        m += 1
+    rows = []
+    for k in range(m):
+        ell = n_bin - 4 * (k + 1)    # levels[ell] holds 16^(k+1) boxes
+        lo, hi = levels[ell]
+        boxes = xp.concatenate([lo, hi], axis=1)       # (16^(k+1), 6)
+        rows.append(boxes.reshape(16 ** k, 96))
+    if rows:
+        interior = xp.concatenate(rows, axis=0)
+        pad = xp.zeros((interior.shape[0], W - 96), interior.dtype)
+        interior = xp.concatenate([interior, pad], axis=1)
+        return xp.concatenate([interior, leaf_rows], axis=0)
+    return leaf_rows
+
+
+def _wide_leaf_size(L4: int):
+    """leaf_w so that Lw = L4*4/leaf_w is a power of 16 (implicit heap)."""
+    if L4 < 4:
+        return None
+    n_bin = int(np.log2(L4))
+    if n_bin % 4 == 2:
+        return 16
+    if n_bin % 4 == 0:
+        return 64
+    return None
+
+
 def _leaf_data(sorted_tris, tri_id, L: int, leaf_size: int, xp):
     """Sorted triangles -> (leaf_rows (L, 40), leaf lo/hi (L, 3))."""
     v0 = sorted_tris[:, 0]
@@ -192,7 +250,11 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
     root_lo, root_hi = levels[-1]
     root_box = np.concatenate([root_lo[0], root_hi[0]]).astype(np.float32)
 
+    leaf_w = _wide_leaf_size(L)
     arrays = dict(table=table, order=tri_id, root_box=root_box)
+    if leaf_w is not None:
+        arrays["table_w"] = _assemble_table_wide(
+            leaf_rows, levels, L, leaf_w, np).astype(np.float32)
     if device_put:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
     return BVH(num_tris=T, **arrays)
@@ -220,7 +282,11 @@ def refit_bvh(bvh: BVH, tri_verts) -> BVH:
     table = _assemble_table(leaf_rows, levels, L, jnp)
     root_lo, root_hi = levels[-1]
     root_box = jnp.concatenate([root_lo[0], root_hi[0]])
-    return bvh._replace(table=table, root_box=root_box)
+    bvh = bvh._replace(table=table, root_box=root_box)
+    if bvh.table_w is not None:
+        bvh = bvh._replace(table_w=_assemble_table_wide(
+            leaf_rows, levels, L, bvh.leaf_w, jnp))
+    return bvh
 
 
 class HitRecord(NamedTuple):
@@ -240,6 +306,42 @@ def _sort4(keys, vals):
         vals[i], vals[j] = (jnp.where(swap, vals[j], vals[i]),
                             jnp.where(swap, vals[i], vals[j]))
     cs(0, 1); cs(2, 3); cs(0, 2); cs(1, 3); cs(1, 2)
+    return keys, vals
+
+
+def _batcher_pairs(n: int):
+    """Batcher odd-even mergesort comparator pairs (63 for n=16)."""
+    pairs = []
+
+    def merge(lo, m, r):
+        step = r * 2
+        if step < m:
+            merge(lo, m, step)
+            merge(lo + r, m, step)
+            for i in range(lo + r, lo + m - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, m):
+        if m > 1:
+            h = m // 2
+            sort(lo, h)
+            sort(lo + h, h)
+            merge(lo, m, 1)
+
+    sort(0, n)
+    return pairs
+
+
+def _sortn(keys, vals, n: int):
+    """n-wide sorting network on parallel lanes (Batcher odd-even)."""
+    for i, j in _batcher_pairs(n):
+        swap = keys[i] > keys[j]
+        keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                            jnp.where(swap, keys[i], keys[j]))
+        vals[i], vals[j] = (jnp.where(swap, vals[j], vals[i]),
+                            jnp.where(swap, vals[i], vals[j]))
     return keys, vals
 
 
@@ -350,6 +452,61 @@ def _step(bvh, o3, d3, inv3, t_min, any_hit, leaf_size, I, D, state):
     return node, sp, live, stack, best_t, best_tri, bu, bv, bf
 
 
+def _step_wide(table_w, I, leaf_w, o3, d3, inv3, t_min, any_hit, D, state):
+    """One lockstep iteration over the 16-ary wide table (ONE row gather for
+    16 child boxes or leaf_w triangles — the gather-count optimization)."""
+    node, sp, live, stack, best_t, best_tri, bu, bv, bf = state
+    row = table_w[node]                                       # 1 gather
+    c = row.T
+    is_leaf = node >= I
+
+    do_leaf = is_leaf & live
+    for k in range(leaf_w):
+        tid = c[k * 10 + 9]
+        t, tu, tv, hit, front = _tri_hit_soa(o3, d3, c, k * 10, t_min, best_t)
+        hit &= do_leaf & (tid >= 0.0)
+        best_t = jnp.where(hit, t, best_t)
+        best_tri = jnp.where(hit, tid.astype(jnp.int32), best_tri)
+        bu = jnp.where(hit, tu, bu)
+        bv = jnp.where(hit, tv, bv)
+        bf = jnp.where(hit, front, bf)
+
+    keys, cidx = [], []
+    for ch in range(16):
+        h, tc = _ray_aabb_soa(o3, inv3, c, 6 * ch, best_t)
+        h &= ~is_leaf & live & (c[6 * ch] <= c[6 * ch + 3])
+        keys.append(jnp.where(h, tc, INF))
+        cidx.append(16 * node + 1 + ch)
+    if not any_hit:
+        keys, cidx = _sortn(keys, cidx, 16)   # near-first visit order
+    hitc = [k < INF for k in keys]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+    for slot in range(15, 0, -1):             # far to near
+        pm = hitc[slot]
+        stack = jnp.where(pm[:, None] & (lane == sp[:, None]),
+                          cidx[slot][:, None], stack)
+        sp = sp + pm.astype(jnp.int32)
+    descend = hitc[0]
+
+    need_pop = live & (is_leaf | ~descend)
+    can_pop = sp > 0
+    spm1 = jnp.maximum(sp - 1, 0)
+    popped = jnp.sum(jnp.where(lane == spm1[:, None], stack, 0), axis=1)
+    node = jnp.where(descend & ~is_leaf, cidx[0],
+                     jnp.where(need_pop & can_pop, popped, node))
+    sp = jnp.where(need_pop & can_pop, spm1, sp)
+    live = live & ~(need_pop & ~can_pop)
+    if any_hit:
+        live = live & ~(best_tri >= 0)
+    return node, sp, live, stack, best_t, best_tri, bu, bv, bf
+
+
+# wide-table phases: depth is ~half the 4-ary tree's, so step budgets shrink
+# accordingly (measured live fractions drain ~2x faster per step)
+PHASES_W = ((12, 1 / 2), (24, 1 / 16), (80, 1 / 32), (400, None))
+
+
 def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
               max_steps: int = None):
     """Phased wavefront traversal (see module docstring)."""
@@ -358,6 +515,12 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
     I = bvh.n_interior
     leaf_size = bvh.leaf_size
     D = 3 * bvh.depth + 2
+    wide = bvh.table_w is not None
+    if wide:
+        Lw = (bvh.order.shape[0]) // bvh.leaf_w
+        I_w = (Lw - 1) // 15
+        depth_w = max(1, int(round(np.log2(max(Lw, 2)) / 4)))
+        D = 15 * depth_w + 2
     if t_max is None:
         t_max = jnp.full((R,), INF)
     else:
@@ -382,6 +545,9 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
 
         def body(c):
             s, i = c
+            if wide:
+                return (_step_wide(bvh.table_w, I_w, bvh.leaf_w, o3, d3, inv3,
+                                   t_min, any_hit, D, s), i + 1)
             return (_step(bvh, o3, d3, inv3, t_min, any_hit, leaf_size,
                           I, D, s), i + 1)
 
@@ -390,14 +556,15 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
 
     # compaction only pays for itself on wide wavefronts: below ~64k lanes the
     # extra while_loop dispatches + argsorts cost more than the tail they save
+    PH = PHASES_W if wide else PHASES
     total_steps = max_steps if max_steps is not None else \
-        sum(s for s, _ in PHASES)
+        sum(s for s, _ in PH)
     if R < 65536:
         phases = [(total_steps, None)]
     else:
         phases = []
         left = total_steps
-        for steps, keep in PHASES:
+        for steps, keep in PH:
             phases.append((min(steps, left), keep if left > steps else None))
             left -= min(steps, left)
             if left <= 0:

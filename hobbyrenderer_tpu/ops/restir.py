@@ -74,13 +74,14 @@ def _fallback_pool(gpu):
     p = jnp.where(alive, 1.0, 0.0)
     tot = jnp.maximum(p.sum(), 1e-20)
     z3 = jnp.zeros((1, 3), jnp.float32)
-    return lightops.LightPool(
+    pool = lightops.LightPool(
         n_analytic=jnp.asarray(A, jnp.int32),
         n_total=jnp.asarray(A, jnp.int32),
         em_v0=z3, em_e1=z3, em_e2=z3, em_rad=z3,
         em_orig=jnp.full((1,), -1, jnp.int32),
         power_cdf=jnp.cumsum(jnp.concatenate([p / tot, jnp.zeros(1)])),
         power_pdf=jnp.concatenate([p / tot, jnp.zeros(1)]))
+    return lightops.pack_pool(pool, gpu)
 
 
 def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
@@ -122,7 +123,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     def p_hat_of(li, uv):
         """Target: luminance of unshadowed reflected radiance of sample
         (li, uv) (ref RAB_GetLightSampleTargetPdfForSurface)."""
-        L, rad, dist = lightops.pool_light_incident(gpu, pool, li, uv, pos)
+        L, rad, dist = lightops.pool_light_incident_packed(pool, li, uv, pos)
         f = shadeops.eval_brdf(n, v, L, albedo, metal, rough)
         ph = hm.luminance(f * rad, xp=jnp)
         return jnp.where(valid & (li >= 0), ph, 0.0), L, dist
@@ -138,6 +139,10 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     # ---- presampled candidate tiles (RIS presampling) ----
     tile_ids, tile_inv = lightops.presample_lights(pool, frame)
     T, S = tile_ids.shape
+    # (id, inv_pdf) packed per slot: one row gather per candidate, not two
+    # (ids < 2^24 are exact in f32)
+    tile_pack = jnp.stack([tile_ids.astype(jnp.float32).reshape(-1),
+                           tile_inv.reshape(-1)], -1)
     # pixel block -> tile (8x8 blocks share a tile; decorrelated per frame)
     bx = (pix % W) // 8
     by = (pix // W) // 8
@@ -155,8 +160,9 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         u_l, u_r, u_u = _rand(pix, frame, 100 + c)
         u_v, _, _ = _rand(pix, frame, 150 + c)
         slot = jnp.minimum((u_l * S).astype(jnp.int32), S - 1)
-        li = tile_ids[tile, slot]
-        inv_pdf = tile_inv[tile, slot]
+        trow = tile_pack[tile * S + slot]
+        li = jnp.round(trow[..., 0]).astype(jnp.int32)
+        inv_pdf = trow[..., 1]
         cuv = jnp.stack([u_u, u_v], -1)
         ph, _L, _d = p_hat_of(li, cuv)
         state = res_update(state, li, cuv, ph * inv_pdf, u_r)
@@ -256,8 +262,8 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     cos_max = jnp.cos(settings.sun_angular_radius)
     L_final = jnp.where(is_sun[..., None],
                         smp.sample_cone(L_y, cos_max, u_s1, u_s2), L_y)
-    _, rad, dist = lightops.pool_light_incident(gpu, pool, jnp.maximum(y, 0),
-                                                uv, pos)
+    _, rad, dist = lightops.pool_light_incident_packed(pool, jnp.maximum(y, 0),
+                                                       uv, pos)
     f = shadeops.eval_brdf(n, v, L_final, albedo, metal, rough)
     contrib = f * rad * Wgt[..., None]
     if visibility and rt is not None:

@@ -88,7 +88,7 @@ def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame):
     li = tile_ids[tile, slot]
     inv_pdf = tile_inv[tile, slot]
     uv = jnp.stack([u2, u3], -1)
-    L, rad_l, dist = lightops.pool_light_incident(gpu, pool, li, uv, p)
+    L, rad_l, dist = lightops.pool_light_incident_packed(pool, li, uv, p)
     f = shadeops.eval_brdf(n_s, -d, L, albedo, metal, rough)
     direct = f * rad_l * inv_pdf[..., None]
     # NEE shadow ray
