@@ -57,11 +57,10 @@ class BVH(NamedTuple):
 
     table_w is an OPTIONAL 16-ary view of the SAME tree (same sorted triangle
     order, same binary box levels): interior rows hold 16 child AABBs (96 f32),
-    leaf rows hold leaf_w triangle records. Rationale: the measured cost of a
-    random HBM row gather is per-ROW, nearly independent of row width (8- vs
-    160-wide within 15%), so a 16-ary step fetches 4x the tree per gather and
-    incoherent wavefront traversal does ~2.5x fewer gathers. The 4-wide table
-    stays for the beam kernel (ops/beam.py) and tiny scenes."""
+    leaf rows hold leaf_w triangle records. The idea was that a random HBM row
+    gather costs per-ROW (nearly width-independent), so one 16-ary step
+    fetches 4x the tree; MEASURED it loses 7x anyway — the per-step compute
+    over all lanes dominates (see build_bvh). Not built by default."""
 
     table: jnp.ndarray     # (I + L, 40) f32 unified node rows
     order: jnp.ndarray     # (L * K,) i32 leaf slot -> triangle id (-1 pad)
@@ -217,8 +216,15 @@ def _leaf_data(sorted_tris, tri_id, L: int, leaf_size: int, xp):
 
 
 def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
-              device_put: bool = True) -> BVH:
-    """tri_verts: (T, 3, 3) float32 world/object-space triangles."""
+              device_put: bool = True, wide: bool = False) -> BVH:
+    """tri_verts: (T, 3, 3) float32 world/object-space triangles.
+
+    wide=True additionally builds the 16-ary table_w view. MEASURED SLOWER on
+    TPU for incoherent wavefronts (0.06 vs 0.43 Mrays/s on the 236k-tri stress
+    scene, 1M random rays): the per-step VPU work (16 box tests + up to 64
+    dense leaf triangle tests + a 63-comparator sorting network, all over every
+    lane) swamps the 2.5x gather-count saving. Off by default; kept for
+    narrow-wavefront / coherent experiments."""
     tri_verts = np.asarray(tri_verts, np.float32)
     T = tri_verts.shape[0]
     assert T > 0, "empty BVH"
@@ -250,7 +256,7 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
     root_lo, root_hi = levels[-1]
     root_box = np.concatenate([root_lo[0], root_hi[0]]).astype(np.float32)
 
-    leaf_w = _wide_leaf_size(L)
+    leaf_w = _wide_leaf_size(L) if wide else None
     arrays = dict(table=table, order=tri_id, root_box=root_box)
     if leaf_w is not None:
         arrays["table_w"] = _assemble_table_wide(
