@@ -40,7 +40,14 @@ HALO = 32                   # row-shard halo >= SPATIAL_RADIUS (exact taps)
 
 
 class Reservoir(NamedTuple):
-    """Per-pixel light reservoir (ref RTXDI light reservoir buffers)."""
+    """Per-pixel light reservoir (ref RTXDI light reservoir buffers).
+
+    Within a frame the chain also threads the winner's PACKED LIGHT ROW as a
+    local alongside its id, so every p-hat after the candidate stage evaluates
+    from in-hand data — zero per-pixel pool gathers (a 2M-lane row gather
+    costs ~13 ms at 1080p and the chain needs ~15 evaluations). Across frames
+    only the id persists; temporal reuse re-gathers the row from the LIVE
+    pool (one gather/frame), which also keeps animated lights current."""
 
     y: jnp.ndarray       # (H, W) i32 selected pool light id (-1 = empty)
     uv: jnp.ndarray      # (H, W, 2) f32 area-light sample point
@@ -120,53 +127,71 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     rough = gb.orm.reshape(R, 3)[:, 1]
     metal = gb.orm.reshape(R, 3)[:, 2]
 
-    def p_hat_of(li, uv):
-        """Target: luminance of unshadowed reflected radiance of sample
-        (li, uv) (ref RAB_GetLightSampleTargetPdfForSurface)."""
-        L, rad, dist = lightops.pool_light_incident_packed(pool, li, uv, pos)
+    def p_hat_rows(rows, li, uv):
+        """Target: luminance of unshadowed reflected radiance of the sample
+        described by in-hand packed rows (ref
+        RAB_GetLightSampleTargetPdfForSurface) — no pool gather."""
+        L, rad, dist = lightops.light_incident_rows(rows, uv, pos)
         f = shadeops.eval_brdf(n, v, L, albedo, metal, rough)
         ph = hm.luminance(f * rad, xp=jnp)
         return jnp.where(valid & (li >= 0), ph, 0.0), L, dist
 
-    def res_update(state, cand_y, cand_uv, cand_w, u):
-        y, uv, w_sum, M = state
+    def res_update(state, cand_y, cand_uv, cand_row, cand_w, u):
+        y, uv, row, w_sum, M = state
         w_sum_new = w_sum + cand_w
         take = (u * jnp.maximum(w_sum_new, 1e-20)) < cand_w
         return (jnp.where(take, cand_y, y),
                 jnp.where(take[..., None], cand_uv, uv),
+                jnp.where(take[..., None], cand_row, row),
                 w_sum_new, M + 1.0)
 
-    # ---- presampled candidate tiles (RIS presampling) ----
-    tile_ids, tile_inv = lightops.presample_lights(pool, frame)
-    T, S = tile_ids.shape
-    # (id, inv_pdf) packed per slot: one row gather per candidate, not two
-    # (ids < 2^24 are exact in f32)
-    tile_pack = jnp.stack([tile_ids.astype(jnp.float32).reshape(-1),
-                           tile_inv.reshape(-1)], -1)
-    # pixel block -> tile (8x8 blocks share a tile; decorrelated per frame)
-    bx = (pix % W) // 8
-    by = (pix // W) // 8
-    tbits = pcg3d(jnp.stack([bx.astype(jnp.uint32), by.astype(jnp.uint32),
-                             jnp.broadcast_to(frame, bx.shape)], -1))
-    tile = (tbits[..., 0] % T).astype(jnp.int32)
+    # ---- presampled candidate ROW tiles (RIS presampling) ----
+    # (T, S=128, 18) packed-light-row tiles; each 128-pixel row SEGMENT pulls
+    # one whole tile per candidate as a single contiguous chunk row (~130k
+    # block-granular gathers/frame ~= 3 ms), and pixel x reads slot x % 128 —
+    # stratified within the tile's iid power-samples. Replaces a per-pixel
+    # per-candidate pool gather (2 x 8 x ~13 ms at 1080p).
+    tile_rows = lightops.presample_light_rows(pool, frame)
+    T, S, CH = tile_rows.shape
+    flat = tile_rows.reshape(T, S * CH)        # minor dim 2304 = 18 x 128
+    nseg = (W + S - 1) // S
+    Wp = nseg * S
+    gy_img = jnp.arange(H, dtype=jnp.uint32) + jnp.uint32(y0)
+    seg = jnp.arange(nseg, dtype=jnp.uint32)
+
+    def candidate_rows(c):
+        """(R, CH) packed candidate rows for candidate c: per (global
+        scanline, segment) pick one tile (rotating per frame) and fetch it as
+        ONE contiguous chunk row; pixel x reads slot x % S. 3-D intermediates
+        only — a (H, nseg, C, S, CH) form pads 8x under TPU tiling (OOM)."""
+        sbits = pcg3d(jnp.stack([
+            jnp.broadcast_to(gy_img[:, None], (H, nseg)),
+            jnp.broadcast_to(seg[None, :] * jnp.uint32(num_candidates)
+                             + jnp.uint32(c), (H, nseg)),
+            jnp.broadcast_to(frame, (H, nseg))], -1))
+        tsel = (sbits[..., 0] % jnp.uint32(T)).astype(jnp.int32)
+        fetched = flat[tsel]                   # (H, nseg, S*CH) chunk rows
+        fetched = fetched.reshape(H, Wp, CH)[:, :W]
+        return fetched.reshape(R, CH)
 
     # ---- initial candidates (GenerateInitialSamples) ----
     y = jnp.full((R,), -1, jnp.int32)
     uv = jnp.zeros((R, 2))
+    row = jnp.zeros((R, 16))
     w_sum = jnp.zeros((R,))
     M = jnp.zeros((R,))
-    state = (y, uv, w_sum, M)
+    state = (y, uv, row, w_sum, M)
     for c in range(num_candidates):
-        u_l, u_r, u_u = _rand(pix, frame, 100 + c)
+        _u_l, u_r, u_u = _rand(pix, frame, 100 + c)
         u_v, _, _ = _rand(pix, frame, 150 + c)
-        slot = jnp.minimum((u_l * S).astype(jnp.int32), S - 1)
-        trow = tile_pack[tile * S + slot]
-        li = jnp.round(trow[..., 0]).astype(jnp.int32)
-        inv_pdf = trow[..., 1]
+        crows = candidate_rows(c)
+        crow = crows[:, :16]
+        li = jnp.round(crows[:, 17]).astype(jnp.int32)
+        inv_pdf = crows[:, 16]
         cuv = jnp.stack([u_u, u_v], -1)
-        ph, _L, _d = p_hat_of(li, cuv)
-        state = res_update(state, li, cuv, ph * inv_pdf, u_r)
-    y, uv, w_sum, M = state
+        ph, _L, _d = p_hat_rows(crow, li, cuv)
+        state = res_update(state, li, cuv, crow, ph * inv_pdf, u_r)
+    y, uv, row, w_sum, M = state
 
     # ---- temporal reuse (TemporalResampling) ----
     motion = gb.motion  # prev - cur, pixels
@@ -188,10 +213,15 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     tM = jnp.minimum(pw[..., 3].reshape(R), M_CLAMP_TEMPORAL)
     tW = pw[..., 4].reshape(R)
     t_ok = on_screen & (ty >= 0)
-    ph_t, _, _ = p_hat_of(jnp.where(t_ok, ty, -1), tuv)
+    # refresh the temporal sample's packed row from the LIVE pool — the one
+    # per-pixel pool gather in the chain (keeps animated lights current)
+    Np = pool.packed.shape[0]
+    trow = pool.packed[jnp.clip(ty, 0, Np - 1)]
+    ph_t, _, _ = p_hat_rows(trow, jnp.where(t_ok, ty, -1), tuv)
     w_t = jnp.where(t_ok, ph_t * tW * tM, 0.0)
     u1, _, _ = _rand(pix, frame, 200)
-    y, uv, w_sum, _ = res_update((y, uv, w_sum, M), ty, tuv, w_t, u1)
+    y, uv, row, w_sum, _ = res_update((y, uv, row, w_sum, M), ty, tuv, trow,
+                                      w_t, u1)
     M = M + jnp.where(t_ok, tM, 0.0)
 
     # ---- spatial reuse (SpatialResampling): merge K jittered neighbors ----
@@ -202,7 +232,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     #   cand_w = ph_here(y_n) * W_n * M_n
     # where W_n = w_sum_n / (M_n * ph_n(y_n)) uses the NEIGHBOR's p-hat —
     # evaluating both at the current surface would cancel algebraically.
-    ph_s, _, _ = p_hat_of(y, uv)
+    ph_s, _, _ = p_hat_rows(row, y, uv)
     W_snap = jnp.where((y >= 0) & (ph_s > 0),
                        w_sum / jnp.maximum(M * ph_s, 1e-20), 0.0)
     # TPU redesign: each tap k uses ONE frame-wide offset (a device scalar
@@ -217,7 +247,8 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         jnp.reshape(W_snap, (H, W))[..., None],
         jnp.reshape(M, (H, W))[..., None],
         gb.normal, gb.depth[..., None],
-        gb.valid.astype(jnp.float32)[..., None]], -1)
+        gb.valid.astype(jnp.float32)[..., None],
+        jnp.reshape(row, (H, W, 16))], -1)
     PADX = HALO
     snap_e = jnp.pad(shu.extend_rows(snap, HALO, shard),
                      ((0, 0), (PADX, PADX), (0, 0)), mode="edge")
@@ -232,7 +263,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         dx = jnp.round(jnp.cos(ang) * rad_px).astype(jnp.int32)
         dy = jnp.round(jnp.sin(ang) * rad_px).astype(jnp.int32)
         nb = jax.lax.dynamic_slice(snap_e, (HALO + dy, PADX + dx,
-                                            jnp.int32(0)), (H, W, 10))
+                                            jnp.int32(0)), (H, W, 26))
         yy = jnp.round(nb[..., 0]).astype(jnp.int32).reshape(R)
         yuv = nb[..., 1:3].reshape(R, 2)
         W_n = nb[..., 3].reshape(R)
@@ -240,30 +271,30 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         n_n = nb[..., 5:8].reshape(R, 3)
         d_n = nb[..., 8].reshape(R)
         val_n = nb[..., 9].reshape(R) > 0.5
+        yrow = nb[..., 10:26].reshape(R, 16)
         # neighbor similarity (depth + normal) guards against bias at edges
         similar = ((jnp.sum(n_n * n, -1) > 0.9)
                    & (jnp.abs(d_n - d_c) < 0.1 * jnp.maximum(d_c, 1e-3))
                    & valid & val_n)
         _, _, u_c = _rand(pix, frame, 300 + k)
-        ph_here, _, _ = p_hat_of(jnp.where(similar, yy, -1), yuv)
+        ph_here, _, _ = p_hat_rows(yrow, jnp.where(similar, yy, -1), yuv)
         w_n = jnp.where(similar & (yy >= 0), ph_here * W_n * mm, 0.0)
-        y, uv, w_sum, _ = res_update((y, uv, w_sum, M), yy, yuv, w_n, u_c)
+        y, uv, row, w_sum, _ = res_update((y, uv, row, w_sum, M), yy, yuv,
+                                          yrow, w_n, u_c)
         M = M + jnp.where(similar & (yy >= 0), mm, 0.0)
 
     # ---- finalize W ----
-    ph_y, L_y, dist_y = p_hat_of(y, uv)
+    ph_y, L_y, dist_y = p_hat_rows(row, y, uv)
     Wgt = jnp.where((y >= 0) & (ph_y > 0), w_sum / jnp.maximum(M * ph_y, 1e-20), 0.0)
 
     # ---- shade winner with one visibility ray (ShadeSamples) ----
-    la = jnp.clip(y, 0, gpu.light_type.shape[0] - 1)
-    is_sun = (y >= 0) & (y < pool.n_analytic) \
-        & (gpu.light_type[la] == LIGHT_DIRECTIONAL)
+    is_sun = (y >= 0) & (row[:, 13] < 0.5) \
+        & (jnp.round(row[:, 0]).astype(jnp.int32) == LIGHT_DIRECTIONAL)
     u_s1, u_s2, _ = _rand(pix, frame, 400)
     cos_max = jnp.cos(settings.sun_angular_radius)
     L_final = jnp.where(is_sun[..., None],
                         smp.sample_cone(L_y, cos_max, u_s1, u_s2), L_y)
-    _, rad, dist = lightops.pool_light_incident_packed(pool, jnp.maximum(y, 0),
-                                                       uv, pos)
+    _, rad, dist = lightops.light_incident_rows(row, uv, pos)
     f = shadeops.eval_brdf(n, v, L_final, albedo, metal, rough)
     contrib = f * rad * Wgt[..., None]
     if visibility and rt is not None:
