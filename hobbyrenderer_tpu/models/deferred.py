@@ -34,6 +34,8 @@ from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 
 
 GI_SCALE = 4      # ReSTIR GI grid divisor (ray budget, SURVEY.md §7)
+GI_HALF_RATE = True   # frame-alternating checkerboard GI tracing (Rg/2 rays)
+GI_TRACE_STEPS = 512  # bounce-ray traversal step cap (tail truncation)
 
 
 def _csm_lod_biases():
@@ -350,7 +352,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         ind, new_res = giops.restir_gi(
             ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
             res["restir_gi_reservoir"], ctx.vc["frame_index"],
-            scale=GI_SCALE)
+            scale=GI_SCALE, half_rate=GI_HALF_RATE,
+            trace_max_steps=GI_TRACE_STEPS)
         res["restir_indirect"] = ind
         res["restir_gi_reservoir"] = new_res
 

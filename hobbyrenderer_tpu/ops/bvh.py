@@ -560,12 +560,13 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, any_hit: bool,
         s, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
         return s
 
-    # compaction only pays for itself on wide wavefronts: below ~64k lanes the
+    # compaction only pays for itself on real wavefronts: below ~16k lanes the
     # extra while_loop dispatches + argsorts cost more than the tail they save
+    # (GI's half-rate grids sit at ~65k lanes and measurably need the phases)
     PH = PHASES_W if wide else PHASES
     total_steps = max_steps if max_steps is not None else \
         sum(s for s, _ in PH)
-    if R < 65536:
+    if R < 16384:
         phases = [(total_steps, None)]
     else:
         phases = []

@@ -115,10 +115,19 @@ def _jacobian(recv_pos, s_pos, s_nrm, src_pos):
 
 
 def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
-              scale: int = 4, pool=None, shard=None):
+              scale: int = 4, pool=None, shard=None, half_rate: bool = False,
+              trace_max_steps: int = None):
     """One ReSTIR GI frame at 1/scale res. Returns (indirect (H, W, 3)
     full-res diffuse indirect, new GIReservoir (Hg, Wg)). shard: optional
-    FULL-RES RowShard; the GI grid shards with it (shard_h % scale == 0)."""
+    FULL-RES RowShard; the GI grid shards with it (shard_h % scale == 0).
+
+    half_rate: trace NEW bounce rays on alternating frames only (odd frames
+    are temporal-reservoir playback; the wavefront BVH walk — the pass's cost
+    ceiling — executes every other frame via lax.cond), the ray-budget trade
+    the reference exposes as checkerboard modes (src/RTXDIRenderer.cpp:96-247).
+    trace_max_steps: optional traversal step cap for the bounce rays (GI
+    tolerates a truncated far tail: the final visibility ray still kills
+    occluded samples)."""
     H, W = gb.depth.shape
     Hg, Wg = H // scale, W // scale
     R = Hg * Wg
@@ -150,9 +159,32 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     d_local = smp.cosine_sample_hemisphere(u1, u2)
     d = smp.to_world(n, d_local)
     o = offset_ray_origin(pos, gn, d)
-    hit = bvhops.bvh_closest_hit(rt.bvh, o, d)
-    s_pos, s_nrm, s_rad = _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame)
-    ok0 = valid & (hit.tri >= 0)
+    if half_rate:
+        # frame-alternating trace: even frames trace the WHOLE GI grid, odd
+        # frames are pure temporal playback (lax.cond — the untaken branch
+        # does not execute, so the two BVH traversals run every OTHER frame).
+        # Uniform across pixels, so the temporal/spatial M dynamics match the
+        # full-rate chain exactly (a pixel-interlaced variant was measured
+        # ~12% dark: M-clamped history weighting went parity-asymmetric).
+        active = (frame % 2) == 0      # scalar
+
+        def trace(_):
+            hit = bvhops.bvh_closest_hit(rt.bvh, o, d,
+                                         max_steps=trace_max_steps)
+            sp, sn, sr = _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame)
+            return sp, sn, sr, hit.tri
+
+        def skip(_):
+            return (jnp.zeros((R, 3)), jnp.zeros((R, 3)), jnp.zeros((R, 3)),
+                    jnp.full((R,), -1, jnp.int32))
+
+        s_pos, s_nrm, s_rad, hit_tri = jax.lax.cond(active, trace, skip, None)
+        ok0 = valid & (hit_tri >= 0)
+    else:
+        hit = bvhops.bvh_closest_hit(rt.bvh, o, d, max_steps=trace_max_steps)
+        s_pos, s_nrm, s_rad = _hit_radiance(gpu, rt, pool, hit, o, d, pix,
+                                            frame)
+        ok0 = valid & (hit.tri >= 0)
     # target p_hat = luminance of incoming radiance (receiver-BRDF-free,
     # Ouyang §4.1); candidate pdf = cos/pi cancels against the cosine in the
     # integrand only at FINAL shading, so keep both explicit:
@@ -163,7 +195,9 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
 
     y_pos, y_nrm, y_rad = s_pos, s_nrm, s_rad
     w_sum = w0
-    M = jnp.ones((R,))
+    # an un-traced (playback) frame drew NO candidate: M = 0
+    M = (jnp.full((R,), active.astype(jnp.float32)) if half_rate
+         else jnp.ones((R,)))
 
     def merge(state, c_pos, c_nrm, c_rad, c_w, c_M, u):
         y_pos, y_nrm, y_rad, w_sum, M = state

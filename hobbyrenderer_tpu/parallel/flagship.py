@@ -44,6 +44,8 @@ from hobbyrenderer_tpu.ops.raster import TILE
 from hobbyrenderer_tpu.parallel.mesh import TILE_AXIS, build_mesh
 
 GI_SCALE = 4
+GI_HALF_RATE = True   # same checkerboard trade as models/deferred.py
+GI_TRACE_STEPS = 512
 
 
 def _sun_dir(gpu, settings):
@@ -83,7 +85,8 @@ def _flagship_fn(gpu, rt, vc, settings, state, *, width, height, shard_h,
     if with_gi:
         indirect, gi_res = giops.restir_gi(
             gpu, rt, gb, vc, settings, state["restir_gi_reservoir"],
-            vc["frame_index"], scale=GI_SCALE, shard=shard)
+            vc["frame_index"], scale=GI_SCALE, shard=shard,
+            half_rate=GI_HALF_RATE, trace_max_steps=GI_TRACE_STEPS)
     else:
         indirect, gi_res = 0.0, None
 

@@ -133,3 +133,65 @@ def test_restir_gi_in_deferred_graph():
     assert ldr.shape == (H, W, 3)
     assert np.isfinite(ldr).all()
     assert "restir_gi_reservoir" in r.state
+
+
+def test_restir_gi_half_rate_converges():
+    """The frame-interlaced (half_rate) GI chain stays unbiased: un-traced
+    rows contribute M=0 candidates and lean on temporal reuse, so the
+    time-average still converges to brute force."""
+    sc = _wall_scene()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    gb = jax.jit(lambda g, v: _gbuffer(g, v, max(int(gpu.lod0_pair_capacity), 1))
+                 )(gpu, vc)
+
+    Hg, Wg = H // SCALE, W // SCALE
+    R = Hg * Wg
+    sub = lambda img: img[::SCALE, ::SCALE][:Hg, :Wg]
+    pos = sub(gb.world_pos).reshape(R, 3)
+    n = sub(gb.normal).reshape(R, 3)
+    gn = sub(gb.geo_normal).reshape(R, 3)
+    valid = np.asarray(sub(gb.valid).reshape(R))
+    alb = sub(gb.albedo).reshape(R, 3)
+
+    def mc(seed):
+        key = jax.random.PRNGKey(seed)
+        u1 = jax.random.uniform(key, (R,))
+        u2 = jax.random.uniform(jax.random.fold_in(key, 1), (R,))
+        d = smp.to_world(n, smp.cosine_sample_hemisphere(u1, u2))
+        o = offset_ray_origin(pos, gn, d)
+        hit = bvhops.bvh_closest_hit(rt.bvh, o, d)
+        pix = jnp.arange(R, dtype=jnp.uint32)
+        _sp, _sn, rad = giops._hit_radiance(
+            gpu, rt, rt.lights, hit, o, d, pix, jnp.uint32(seed + 7000))
+        return alb * rad
+    mcj = jax.jit(mc)
+    ref = np.zeros((R, 3), np.float32)
+    NREF = 96
+    for s in range(NREF):
+        ref += np.asarray(mcj(s))
+    ref /= NREF
+
+    step = jax.jit(lambda res, i: giops.restir_gi(
+        gpu, rt, gb, vc, settings, res, i, scale=SCALE, half_rate=True))
+    res = giops.gi_reservoir_init(Hg, Wg)
+    acc = np.zeros((H, W, 3), np.float32)
+    n_frames = 64
+    for i in range(n_frames):
+        ind, res = step(res, jnp.int32(i))
+        acc += np.asarray(ind)
+    avg = (acc / n_frames)[::SCALE, ::SCALE][:Hg, :Wg].reshape(R, 3)
+
+    lit = valid & (ref.sum(-1) > 2e-3)
+    assert lit.sum() > 20
+    # half the candidate rate -> ~2x the noise of the full-rate chain, so the
+    # tight MAD bound is not meaningful here; assert ENERGY (the bias the
+    # interlaced variant failed at 0.88x) plus a loose MAD sanity bound
+    ratio = avg[lit].sum() / (ref[lit].sum() + 1e-9)
+    assert 0.85 < ratio < 1.15, f"half-rate GI energy off: {ratio:.3f}"
+    rel = np.abs(avg[lit] - ref[lit]).sum() / (ref[lit].sum() + 1e-9)
+    assert rel < 0.6, f"half-rate ReSTIR GI deviates {rel:.3f}"
