@@ -19,12 +19,13 @@ def main():
     from hobbyrenderer_tpu.renderer import Renderer
 
     W, H = 1920, 1080
-    # NORMAL_BASIC = the raster deferred pipeline (culling/raster/resolve/
-    # lighting/TAA/bloom/exposure/tonemap) — same pipeline as the recorded
-    # baseline; the RT passes (sun shadows, ReSTIR) are gated on traversal
-    # optimization and enter the headline bench once under budget
+    # The FLAGSHIP Normal mode: deferred raster + ReSTIR DI (temporal+spatial
+    # reservoir reuse, RT winner visibility) + half-rate ReSTIR GI + RELAX
+    # denoise + TAA/bloom/exposure/tonemap — the reference's headline config
+    # (src/Renderer.cpp:1300-1313) and BASELINE.json's north-star target
     cfg = Config(scene="stress", width=W, height=H,
-                 mode=RenderingMode.NORMAL_BASIC)
+                 mode=RenderingMode.NORMAL,
+                 direct_mode="restir", indirect_mode="restir")
     r = Renderer(cfg)
 
     # warmup (compile). NOTE: through the remote-TPU tunnel

@@ -279,15 +279,18 @@ def presample_lights(pool: LightPool, frame,
 
 
 def presample_light_rows(pool: LightPool, frame,
-                         n_tiles: int = PRESAMPLE_TILES * 8,
-                         tile_size: int = PRESAMPLE_TILE_SIZE // 8):
-    """Presample tiles carrying FULL packed light rows: (T, S, 18) f32 =
+                         n_tiles: int = PRESAMPLE_TILES * PRESAMPLE_TILE_SIZE
+                         // 128,
+                         tile_size: int = 128):
+    """Presample tiles carrying FULL packed light rows: (T, S=128, 18) f32 =
     [packed row (16), inv_pdf, id]. One T*S-row gather at presample time
     (~0.1 ms) replaces a 2M-lane gather per ReSTIR candidate (~13 ms each at
-    1080p). Default geometry: 1024 tiles x 128 slots (same 131k samples as
-    the reference's 128x1024, ref src/RTXDIRenderer.cpp:41-49) so one tile ==
-    one contiguous chunk that a 128-pixel row segment fetches as a single row
-    of the flattened (T, S*18) table."""
+    1080p). S is PINNED to 128 (the VPU lane width): one tile == one
+    contiguous chunk that a 128-pixel row segment fetches as a single row of
+    the flattened (T, S*18) table, and the Pallas candidate kernel
+    (ops/restir_pallas.py) holds a chunk's slots on the lane axis.
+    Total samples = the reference-scaled PRESAMPLE budget
+    (ref src/RTXDIRenderer.cpp:41-49)."""
     ids, inv = presample_lights(pool, frame, n_tiles, tile_size)
     N = pool.packed.shape[0]
     rows = pool.packed[jnp.clip(ids, 0, N - 1)]

@@ -93,7 +93,8 @@ def _fallback_pool(gpu):
 
 def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
               num_candidates: int = 8, visibility: bool = True,
-              spatial_taps: int = SPATIAL_TAPS, pool=None, shard=None):
+              spatial_taps: int = SPATIAL_TAPS, pool=None, shard=None,
+              force_kernel: bool = False):
     """Full ReSTIR DI chain for one frame.
 
     gb: GBuffer; prev: last frame's reservoir (already at this frame's pixel
@@ -158,40 +159,76 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     Wp = nseg * S
     gy_img = jnp.arange(H, dtype=jnp.uint32) + jnp.uint32(y0)
     seg = jnp.arange(nseg, dtype=jnp.uint32)
+    # ONE tile per (global scanline, segment), rotating per frame; fetched as
+    # one contiguous chunk row. All candidates share the segment's tile (the
+    # reference likewise shares one presample tile per pixel block): candidate
+    # c of the pixel at segment rank r reads slot (r + 17c) % S — distinct
+    # slots per pixel (sampling the tile's iid power-draws without
+    # replacement), realized as a STATIC circular shift, so the whole
+    # candidate stage costs exactly one gather. 3-D intermediates only — a
+    # (H, nseg, C, S, CH) form pads 8x under TPU tiling (OOM).
+    sbits = pcg3d(jnp.stack([
+        jnp.broadcast_to(gy_img[:, None], (H, nseg)),
+        jnp.broadcast_to(seg[None, :], (H, nseg)),
+        jnp.broadcast_to(frame, (H, nseg))], -1))
+    tsel = (sbits[..., 0] % jnp.uint32(T)).astype(jnp.int32)
+    fetched = flat[tsel].reshape(H, nseg, S, CH)   # (H, nseg, S, CH)
 
     def candidate_rows(c):
-        """(R, CH) packed candidate rows for candidate c: per (global
-        scanline, segment) pick one tile (rotating per frame) and fetch it as
-        ONE contiguous chunk row; pixel x reads slot x % S. 3-D intermediates
-        only — a (H, nseg, C, S, CH) form pads 8x under TPU tiling (OOM)."""
-        sbits = pcg3d(jnp.stack([
-            jnp.broadcast_to(gy_img[:, None], (H, nseg)),
-            jnp.broadcast_to(seg[None, :] * jnp.uint32(num_candidates)
-                             + jnp.uint32(c), (H, nseg)),
-            jnp.broadcast_to(frame, (H, nseg))], -1))
-        tsel = (sbits[..., 0] % jnp.uint32(T)).astype(jnp.int32)
-        fetched = flat[tsel]                   # (H, nseg, S*CH) chunk rows
-        fetched = fetched.reshape(H, Wp, CH)[:, :W]
-        return fetched.reshape(R, CH)
+        """(R, CH) packed candidate rows for candidate c (see above)."""
+        shift = (17 * c) % S
+        rolled = (fetched if shift == 0 else
+                  jnp.concatenate([fetched[:, :, shift:],
+                                   fetched[:, :, :shift]], axis=2))
+        return rolled.reshape(H, Wp, CH)[:, :W].reshape(R, CH)
 
     # ---- initial candidates (GenerateInitialSamples) ----
-    y = jnp.full((R,), -1, jnp.int32)
-    uv = jnp.zeros((R, 2))
-    row = jnp.zeros((R, 16))
-    w_sum = jnp.zeros((R,))
-    M = jnp.zeros((R,))
-    state = (y, uv, row, w_sum, M)
-    for c in range(num_candidates):
-        _u_l, u_r, u_u = _rand(pix, frame, 100 + c)
-        u_v, _, _ = _rand(pix, frame, 150 + c)
-        crows = candidate_rows(c)
-        crow = crows[:, :16]
-        li = jnp.round(crows[:, 17]).astype(jnp.int32)
-        inv_pdf = crows[:, 16]
-        cuv = jnp.stack([u_u, u_v], -1)
-        ph, _L, _d = p_hat_rows(crow, li, cuv)
-        state = res_update(state, li, cuv, crow, ph * inv_pdf, u_r)
-    y, uv, row, w_sum, M = state
+    if jax.default_backend() == "tpu" or force_kernel:
+        # fused Pallas kernel: chunk DMA + p-hat + RIS update in VMEM
+        # (ops/restir_pallas.py; statistically identical draws to the XLA
+        # loop below — same tiles, slots, and counter RNG)
+        from hobbyrenderer_tpu.ops import restir_pallas as rpk
+        Hp = -(-H // rpk.ROWS) * rpk.ROWS
+
+        def pad2(v1d):
+            return jnp.pad(v1d.reshape(H, W).astype(jnp.float32),
+                           ((0, Hp - H), (0, Wp - W)))
+
+        planes = [pad2(pos[:, 0]), pad2(pos[:, 1]), pad2(pos[:, 2]),
+                  pad2(n[:, 0]), pad2(n[:, 1]), pad2(n[:, 2]),
+                  pad2(albedo[:, 0]), pad2(albedo[:, 1]), pad2(albedo[:, 2]),
+                  pad2(rough), pad2(metal), pad2(valid)]
+        flat3 = tile_rows.transpose(0, 2, 1)
+        tselp = jnp.pad(tsel, ((0, Hp - H), (0, 0)))
+        yf, uf, vf, wf, rowf = rpk.restir_candidates(
+            flat3, tselp, planes, cam, frame, jnp.asarray(y0),
+            num_candidates=num_candidates, w_log=W,
+            interpret=force_kernel and jax.default_backend() != "tpu")
+        y = jnp.round(yf[:H, :W]).astype(jnp.int32).reshape(R)
+        uv = jnp.stack([uf[:H, :W].reshape(R), vf[:H, :W].reshape(R)], -1)
+        w_sum = wf[:H, :W].reshape(R)
+        row = rowf[:H, :, :W].transpose(0, 2, 1).reshape(R, 16)
+        M = jnp.full((R,), float(num_candidates))
+    else:
+        y = jnp.full((R,), -1, jnp.int32)
+        uv = jnp.zeros((R, 2))
+        row = jnp.zeros((R, 16))
+        w_sum = jnp.zeros((R,))
+        M = jnp.zeros((R,))
+        state = (y, uv, row, w_sum, M)
+        for c in range(num_candidates):
+            # one counter-RNG eval per candidate: slot choice is the lane
+            # rank (stratified within the chunk), so only (accept, uv) need
+            # randomness
+            u_r, u_u, u_v = _rand(pix, frame, 100 + c)
+            crows = candidate_rows(c)
+            crow = crows[:, :16]
+            li = jnp.round(crows[:, 17]).astype(jnp.int32)
+            inv_pdf = crows[:, 16]
+            cuv = jnp.stack([u_u, u_v], -1)
+            ph, _L, _d = p_hat_rows(crow, li, cuv)
+            state = res_update(state, li, cuv, crow, ph * inv_pdf, u_r)
+        y, uv, row, w_sum, M = state
 
     # ---- temporal reuse (TemporalResampling) ----
     motion = gb.motion  # prev - cur, pixels
