@@ -74,12 +74,13 @@ class TextureStreamer:
 
     def __init__(self, scene, budget_pages: int = 4096,
                  tiles_per_frame: int = 128, hysteresis_s: float = 1.0,
-                 sync_mode: bool = False):
+                 sync_mode: bool = False, now_fn=time.monotonic):
         self.scene = scene
         self.budget_pages = budget_pages
         self.tiles_per_frame = tiles_per_frame
         self.hysteresis_s = hysteresis_s
         self.sync_mode = sync_mode
+        self._now = now_fn            # injectable clock (tests)
         M = len(scene.materials)
         self.n_mats = M
 
@@ -187,7 +188,7 @@ class TextureStreamer:
         fb = np.asarray(fb)           # already host-side (renderer fetches on
         #                               the main thread; device access is not
         #                               thread-safe through every backend)
-        now = time.monotonic()
+        now = self._now()
         seen = fb > 0
         self.last_demand[seen] = now
         for mi in range(self.n_mats):
@@ -240,7 +241,7 @@ class TextureStreamer:
     def _schedule(self):
         """One budget's worth of tile loads toward the desired residency.
         Returns an _Upload batch or None."""
-        now = time.monotonic()
+        now = self._now()
         rows_l, tex_l, entries = [], [], []
         freed: List[int] = []
         budget = self.tiles_per_frame

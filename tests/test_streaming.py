@@ -85,12 +85,15 @@ def test_streaming_budget_per_frame():
 
 
 def test_streaming_eviction_after_hysteresis():
-    import time as _t
+    # injectable clock: the hysteresis window must be immune to how long the
+    # surrounding test run takes (wall-clock flaked under a loaded full suite)
+    clock = {"t": 0.0}
     sc = _textured_scene()
     M = len(sc.materials)
     mi = M - 2
     st = TextureStreamer(sc, budget_pages=256, tiles_per_frame=128,
-                         hysteresis_s=2.0, sync_mode=True)
+                         hysteresis_s=2.0, sync_mode=True,
+                         now_fn=lambda: clock["t"])
     tables = st.initial_tables()
     for _ in range(32):
         st.publish_feedback(_feedback(M, {mi: 0}))
@@ -101,12 +104,13 @@ def test_streaming_eviction_after_hysteresis():
     assert int(np.asarray(tables.mat_resident)[mi]) == 0
     free_before = len(st.free_pages)
     # demand only a coarse mip; within hysteresis nothing is dropped
+    clock["t"] += 0.5
     st.publish_feedback(_feedback(M, {mi: 3}))
     st.poll()
     tables = st.apply_updates(tables)
     assert int(np.asarray(tables.mat_resident)[mi]) == 0, \
         "downgraded before hysteresis expired"
-    _t.sleep(2.2)
+    clock["t"] += 2.2
     st.publish_feedback(_feedback(M, {mi: 3}))
     st.poll()
     tables = st.apply_updates(tables)
