@@ -559,10 +559,16 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                  writes=("hdr",))
     def _transparent(ctx, res):
         """Forward transparency (ref TransparentPassRenderer: forward shading
-        into the HDR target, depth-read-no-write, Fresnel split, Beer-Lambert
-        tint of the background). Single nearest transparent layer per pixel
-        (no per-pixel sorting; depth peeling = future work)."""
-        from hobbyrenderer_tpu.scene.gpu import (MAT_ATTEN_COLOR, MAT_BASE_COLOR,
+        into the HDR target, depth-read-no-write, Fresnel split, refraction
+        through the downsampled opaque mip chain with roughness-driven LOD +
+        Beer-Lambert absorption over the in-medium travel — ref
+        src/BasePassRenderer.cpp:694-814, src/shaders/BasePass.hlsl:266-483).
+        Single nearest transparent layer per pixel (no per-pixel sorting;
+        depth peeling = future work)."""
+        from hobbyrenderer_tpu.ops import refraction as refrops
+        from hobbyrenderer_tpu.scene.gpu import (MAT_ATTEN_COLOR,
+                                                 MAT_ATTEN_DIST,
+                                                 MAT_BASE_COLOR, MAT_IOR,
                                                  MAT_METALLIC, MAT_ROUGHNESS,
                                                  MAT_TRANSMISSION)
         gb = res["gbuffer"]
@@ -600,9 +606,16 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         alpha = jnp.clip(tgb.alpha, 0.0, 1.0)
         transmission = mf[..., MAT_TRANSMISSION]
         atten = mf[..., MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3]
-        # Beer-Lambert-style tint of the background through the surface
-        bg = res["hdr"] * (atten * transmission[..., None]
-                           + (1.0 - transmission[..., None]))
+        # the scene seen THROUGH the surface: refracted + roughness-blurred
+        # fetch of the lit-opaque mip chain, Beer-Lambert over the travel
+        opaque_pos = jnp.where(gb.valid[..., None], gb.world_pos,
+                               tgb.world_pos + vdir)
+        bg_refr = refrops.refracted_background(
+            res["hdr"], ctx.vc, tgb.world_pos, opaque_pos, tgb.normal, vdir,
+            mf[..., MAT_IOR], rough, atten, mf[..., MAT_ATTEN_DIST],
+            tgb.valid)
+        bg = (bg_refr * transmission[..., None]
+              + res["hdr"] * (1.0 - transmission[..., None]))
         coverage = jnp.clip(alpha * (1.0 - transmission) + transmission * 0.04,
                             0.0, 1.0)[..., None]
         out = bg * (1.0 - coverage) + shaded * coverage
