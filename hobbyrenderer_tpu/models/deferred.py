@@ -432,7 +432,12 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                 ctx.gpu.light_dir[sun_idx], ctx.gpu.light_color[sun_idx],
                 ctx.gpu.light_range[sun_idx], ctx.gpu.light_cone[sun_idx], hpos)
             ndl = jnp.maximum(jnp.sum(hn * Lh, -1), 0.0)
-            L_hit = h_emis + h_alb / jnp.pi * radh * ndl[..., None]
+            # multi-bounce propagation: the cache's previous-frame value at
+            # the HIT cell is the indirect exitance there (ref SHARC
+            # path-continuation cache lookups) — one extra bounce per frame
+            fb, fb_hit = sharcops.sharc_query(cache, hpos, hn, cam)
+            L_hit = (h_emis + h_alb / jnp.pi * radh * ndl[..., None]
+                     + jnp.where(fb_hit[..., None], fb, 0.0))
             # cosine-sampled bounce: indirect irradiance/pi estimate = albedo*L
             sample = alb * L_hit
             # miss -> 0: sky visibility is covered by the IBL ambient term

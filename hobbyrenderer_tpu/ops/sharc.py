@@ -8,13 +8,18 @@ texture). SURVEY.md §2.6 #42.
 
 TPU design (no atomics, SURVEY.md §7 "hash-grid cache without atomics"):
 - Cells: camera-distance-scaled voxel grid + normal octant, folded to a 32-bit
-  key; DIRECT-MAPPED slots (slot = hash(key) & (N-1)). Collisions replace
-  stale entries and otherwise drop the newcomer — the capacity/quality
-  tradeoff of the reference's linear probing, resolved without CAS loops.
-- Update: secondary-bounce samples are sorted by slot and segment-averaged, so
-  each slot receives ONE scatter per frame (deterministic, no atomics).
+  key; hashed base slot + PROBES-way linear probing (the reference's CAS probe
+  loop becomes PROBES parallel gathers + a vectorized first-fit select — no
+  per-lane loops).
+- Update: each sample picks its probe slot (key match > empty/stale > base),
+  samples are sorted by slot and segment-averaged, so each slot receives ONE
+  scatter per frame (deterministic, no atomics).
 - Resolve: vectorized EMA + age-based eviction over all entries.
-- Query: per-pixel key -> slot gather, validated by key equality.
+- Query: per-pixel key -> PROBES slot gathers, validated by key equality.
+- Multi-bounce: the update inserts direct light at the bounce hit PLUS the
+  cache's own previous-frame value at the hit cell (ref SHARC path-continuation
+  lookups), so energy propagates one extra bounce per frame toward the full
+  multi-bounce solution.
 """
 
 from __future__ import annotations
@@ -27,7 +32,8 @@ import jax.numpy as jnp
 from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 
-CACHE_ENTRIES = 1 << 18       # 262k entries (ref 2^20..2^22; scaled down)
+CACHE_ENTRIES = 1 << 20       # 1M entries (ref 2^20..2^22); n must be pow2
+PROBES = 4                    # linear-probe window (ref linear probing)
 BASE_CELL = 0.25              # voxel size at distance ~1
 STALE_FRAMES = 64.0           # eviction age (ref ~1s hysteresis)
 EMA = 0.05
@@ -40,6 +46,7 @@ class SharcCache(NamedTuple):
 
 
 def sharc_init(n: int = CACHE_ENTRIES) -> SharcCache:
+    assert n & (n - 1) == 0, "cache size must be a power of two"
     return SharcCache(key=jnp.zeros(n, jnp.uint32),
                       radiance=jnp.zeros((n, 3), jnp.float32),
                       age=jnp.full(n, 1e9, jnp.float32))
@@ -66,21 +73,42 @@ def _cell_key(pos, normal, cam_pos):
 
 
 def _slot_of(key, n):
+    """Base probe slot for a key (probe window = base..base+PROBES-1 mod n)."""
     h = pcg3d(jnp.stack([key, key ^ jnp.uint32(0x9E3779B9),
                          jnp.full_like(key, 17)], -1))[..., 2]
     return (h % jnp.uint32(n)).astype(jnp.int32)
+
+
+def _probe_slots(key, n):
+    """(..., PROBES) candidate slots, wrapping in the pow2 table."""
+    base = _slot_of(key, n)
+    return (base[..., None] + jnp.arange(PROBES, dtype=jnp.int32)) & (n - 1)
 
 
 def sharc_update(cache: SharcCache, sample_pos, sample_normal, sample_radiance,
                  sample_valid, cam_pos) -> SharcCache:
     """Insert/blend secondary-bounce samples (ref SHARCUpdate.hlsl).
 
-    Samples are sorted by slot; per-slot segment means produce one candidate
-    per slot; existing entries EMA-blend on key match, stale/empty slots are
-    (re)claimed, mismatched live slots keep their data."""
+    Each sample first-fit-picks a slot in its probe window (key match, else
+    empty/stale, else base — the reference's linear-probe insert, done as
+    PROBES gathers + select). Samples are then sorted by slot; per-slot
+    segment means produce one candidate per slot; existing entries EMA-blend
+    on key match, stale/empty slots are (re)claimed, mismatched live slots
+    keep their data."""
     n = cache.key.shape[0]
     key = _cell_key(sample_pos, sample_normal, cam_pos)
-    slot = jnp.where(sample_valid, _slot_of(key, n), n)   # n = dropped
+    cand = _probe_slots(key, n)                       # (R, PROBES)
+    ck = cache.key[cand]
+    cage = cache.age[cand]
+    is_match = ck == key[..., None]
+    is_free = (ck == 0) | (cage > STALE_FRAMES)
+    # first-fit priority: match (2) > free (1) > none (0); earlier probe wins
+    prio = is_match.astype(jnp.int32) * 2 + is_free.astype(jnp.int32)
+    rank = prio * PROBES + (PROBES - 1 - jnp.arange(PROBES, dtype=jnp.int32))
+    pick = jnp.argmax(rank, axis=-1)
+    slot = jnp.take_along_axis(cand, pick[..., None], axis=-1)[..., 0]
+
+    slot = jnp.where(sample_valid, slot, n)           # n = dropped
     order = jnp.argsort(slot)
     slot_s = slot[order]
     key_s = key[order]
@@ -123,11 +151,16 @@ def sharc_resolve(cache: SharcCache) -> SharcCache:
 
 
 def sharc_query(cache: SharcCache, pos, normal, cam_pos):
-    """Screen-space lookup (ref SHARCQuery.hlsl): returns (radiance, hit)."""
+    """Screen-space lookup (ref SHARCQuery.hlsl): PROBES gathers, first key
+    match wins. Returns (radiance, hit)."""
     n = cache.key.shape[0]
     key = _cell_key(pos, normal, cam_pos)
-    slot = _slot_of(key, n)
-    ck = cache.key[slot]
+    cand = _probe_slots(key, n)
+    ck = cache.key[cand]
+    live = cache.age[cand] < 2.0 * STALE_FRAMES
+    m = (ck == key[..., None]) & live                 # (..., PROBES)
+    first = jnp.argmax(m, axis=-1)
+    slot = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
+    hit = jnp.any(m, axis=-1)
     rad = cache.radiance[slot]
-    hit = (ck == key) & (cache.age[slot] < 2.0 * STALE_FRAMES)
     return jnp.where(hit[..., None], rad, 0.0), hit
