@@ -70,11 +70,16 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          shadow_capacity: int = None,
                          ddgi_debug: bool = False,
                          csm_debug: bool = False,
-                         streaming: bool = False) -> RenderGraph:
+                         streaming: bool = False,
+                         scene_radius: float = 30.0) -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
     shadow_capacity = max(shadow_capacity or 4 * visible_capacity, 1)
+    # scene-adaptive CSM range: a fixed world-unit shadow distance (v1: 60)
+    # breaks on assets of a different scale; size it to the scene's bounding
+    # sphere once at build time (ref ShadowRenderer's scene-fit cascades)
+    csm_max_distance = float(min(max(2.0 * scene_radius, 20.0), 400.0))
     h0, w0, hzb_levels = hzbops.hzb_sizes(width, height)
     hzb_eff = hzbops.hzb_effective_size(width, height)
 
@@ -301,7 +306,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         from hobbyrenderer_tpu.ops import sss as sssops
         gb = res["gbuffer"]
         sun_dir = _scene_sun_dir(ctx)
-        data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, shadow_capacity)
+        data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, shadow_capacity,
+                                      max_distance=csm_max_distance)
         if csm_debug:
             res["csm_data"] = data
         # mask evaluated at half res (PCF table lookups are gather-bound on
@@ -752,6 +758,10 @@ class DeferredRenderer:
         self.rt = rt
         import numpy as _np
         alpha_modes = _np.asarray(gpu.inst_alpha_mode)
+        _c = _np.asarray(gpu.inst_center).reshape(-1, 3)
+        _r = _np.asarray(gpu.inst_radius).reshape(-1)
+        scene_radius = (float((_np.linalg.norm(_c, axis=1) + _r).max())
+                        if _c.size else 30.0)
         self.graph = build_deferred_graph(width, height, cap, mode=mode,
                                           with_rt_shadows=with_rt_shadows and rt is not None,
                                           occlusion_culling=occlusion_culling,
@@ -768,7 +778,8 @@ class DeferredRenderer:
                                               config, "ddgi_debug", False)),
                                           csm_debug=bool(getattr(
                                               config, "csm_debug", False)),
-                                          streaming=gpu.tex_stream is not None)
+                                          streaming=gpu.tex_stream is not None,
+                                          scene_radius=scene_radius)
         self.streaming = gpu.tex_stream is not None
         c_np = _np.asarray(gpu.inst_center)
         r_np = _np.asarray(gpu.inst_radius)[:, None]
