@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--describe-graph", action="store_true",
                    help="print the pass graph (RenderGraphUI analogue)")
+    p.add_argument("--export-graph", type=str, default=None, metavar="PATH",
+                   help="write the executed pass graph + traced resource "
+                        "shapes (+ per-pass ms under --execute-per-pass) "
+                        "as JSON (ref RenderGraphUI)")
     p.add_argument("--timings", action="store_true",
                    help="print per-pass CPU timings after the run")
     p.add_argument("--execute-per-pass", action="store_true")
@@ -62,6 +66,9 @@ def main(argv=None):
         print(r.describe_graph())
     stats = r.run(num_frames=a.frames, screenshot=a.screenshot)
     print(json.dumps(stats))
+    if a.export_graph:
+        with open(a.export_graph, "w") as f:
+            json.dump(r.export_graph(), f, indent=1)
     if a.timings:
         print(r.timings())
     return 0

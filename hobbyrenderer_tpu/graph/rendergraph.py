@@ -46,6 +46,14 @@ class AccessError(RuntimeError):
     pass
 
 
+def _describe_value(v) -> Any:
+    """Compact shape/dtype summary of a resource (works on tracers)."""
+    leaves = jax.tree_util.tree_leaves(v)
+    descs = [f"{tuple(x.shape)}:{x.dtype}" if hasattr(x, "shape") else repr(x)
+             for x in leaves]
+    return descs[0] if len(descs) == 1 else descs
+
+
 class _GuardedResources:
     """Dict wrapper enforcing declared reads/writes (trace-time validation)."""
 
@@ -169,7 +177,9 @@ class RenderGraph:
                     f"but never wrote them")
             store.update(guard.written)
             log.append({"pass": p.name, "enabled": True,
-                        "wrote": sorted(guard.written)})
+                        "wrote": sorted(guard.written),
+                        "shapes": {k: _describe_value(v)
+                                   for k, v in guard.written.items()}})
         self.last_run_log = log
         result = {}
         for name in outputs:
@@ -235,3 +245,24 @@ class RenderGraph:
             lines.append(f"[{flag}] {p.name:24s} reads={sorted(p.reads)} "
                          f"writes={sorted(p.writes)} persistent={sorted(p.persistent)}")
         return "\n".join(lines)
+
+    def export_json(self) -> Dict[str, Any]:
+        """Machine-readable graph dump (ref src/RenderGraphUI.cpp: the pass /
+        resource browser): schedule order, declared access, enable state,
+        per-resource traced shapes/dtypes from the last execution, and the
+        last per-pass device timings if --execute-per-pass ran."""
+        shape_of: Dict[str, Any] = {}
+        for entry in self.last_run_log:
+            for k, v in entry.get("shapes", {}).items():
+                shape_of[k] = v
+        ms_of = {t["pass"]: t["ms"] for t in self.last_pass_timings}
+        passes = []
+        for i, p in enumerate(self.passes):
+            passes.append({
+                "order": i, "name": p.name, "enabled": p.enabled,
+                "reads": sorted(p.reads), "writes": sorted(p.writes),
+                "persistent": sorted(p.persistent),
+                **({"device_ms": round(ms_of[p.name], 3)}
+                   if p.name in ms_of else {}),
+            })
+        return {"passes": passes, "resources": shape_of}

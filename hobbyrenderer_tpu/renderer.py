@@ -188,13 +188,25 @@ class Renderer:
     def stats(self) -> dict:
         """Per-frame pipeline statistics (ref pipeline statistics queries)."""
         s = getattr(self._model, "last_stats", None)
-        if s is None:
-            return {}
-        import numpy as np
-        return {k: np.asarray(v).item() for k, v in s.items()}
+        out = ({} if s is None
+               else {k: np.asarray(v).item() for k, v in s.items()
+                     if k != "tex_feedback"})
+        if self.streamer is not None:
+            # residency dashboard row (ref Streaming UI: pool occupancy,
+            # per-material resident mips)
+            st = self.streamer
+            out["stream_free_pages"] = len(st.free_pages)
+            out["stream_budget_pages"] = st.budget_pages
+            out["stream_resident_mips"] = st.resident.tolist()
+        return out
 
     def describe_graph(self) -> str:
         return self._model.graph.describe() if hasattr(self._model, "graph") else "(no graph)"
+
+    def export_graph(self) -> dict:
+        """Machine-readable pass/resource dump (ref RenderGraphUI)."""
+        g = getattr(self._model, "graph", None)
+        return g.export_json() if g is not None else {}
 
     def timings(self) -> str:
         out = PROFILER.table()

@@ -63,3 +63,24 @@ def test_mode_switch(tmp_path):
     ldr = r.render_frame()
     assert np.asarray(ldr).shape == (32, 48, 3)
     r.shutdown()
+
+
+def test_export_graph_json():
+    """RenderGraphUI analogue: the JSON export carries schedule order,
+    declared access, and traced resource shapes; it must round-trip json."""
+    import json
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+    cfg = Config(scene="cube", width=64, height=48,
+                 mode=RenderingMode.NORMAL_BASIC)
+    r = Renderer(cfg)
+    r.render_frame()
+    dump = r.export_graph()
+    js = json.dumps(dump)         # must be serializable
+    assert len(dump["passes"]) > 5
+    names = [p["name"] for p in dump["passes"]]
+    assert "Culling" in names and "TAA" in names
+    ldr_shape = dump["resources"].get("ldr", "")
+    assert "48, 64" in str(ldr_shape), f"traced ldr shape missing: {ldr_shape}"
+    orders = [p["order"] for p in dump["passes"]]
+    assert orders == sorted(orders)
