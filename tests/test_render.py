@@ -269,3 +269,23 @@ def test_two_phase_occlusion_no_popping():
     # and it actually culls something on this scene
     stats = r_on.last_stats
     assert int(np.asarray(stats["occluded_pairs"])) > 0
+
+
+def test_env_brdf_fit_matches_lut():
+    """The gather-free analytic split-sum fit must track the GGX-integrated
+    BRDF LUT (CommonResources analogue) across (NdotV, roughness)."""
+    import jax.numpy as jnp
+    from hobbyrenderer_tpu.ops import ibl as iblops
+    lut = iblops.build_brdf_lut(res=32, samples=256)      # (32, 32, 2)
+    ndv = (np.arange(32, dtype=np.float32) + 0.5) / 32
+    rough = (np.arange(32, dtype=np.float32) + 0.5) / 32
+    NV, RG = np.meshgrid(ndv, rough, indexing="ij")
+    A, B = iblops.env_brdf(jnp.asarray(NV), jnp.asarray(RG))
+    errA = np.abs(np.asarray(A) - lut[..., 0])
+    errB = np.abs(np.asarray(B) - lut[..., 1])
+    assert errA.mean() < 0.02 and errB.mean() < 0.02, \
+        f"fit drift: A {errA.mean():.4f} B {errB.mean():.4f}"
+    assert errA.max() < 0.08 and errB.max() < 0.08, \
+        f"fit outlier: A {errA.max():.4f} B {errB.max():.4f}"
+    # physical sanity: energy term in [0, 1.1], bias small for smooth surfaces
+    assert lut[..., 0].max() <= 1.1 and lut[..., 0].min() >= 0.0
