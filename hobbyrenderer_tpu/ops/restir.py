@@ -91,10 +91,46 @@ def _fallback_pool(gpu):
     return lightops.pack_pool(pool, gpu)
 
 
+def boiling_filter_mask(w_sum_2d, live_2d, mult: float = 20.0,
+                        radius: int = 16, shard=None):
+    """Boiling-filter kill mask (ref RTXDI BoilingFilter.hlsli): reservoirs
+    whose weight vastly exceeds the local mean are fireflies-in-waiting that
+    temporal feedback would amplify into 'boiling' blobs.
+
+    The reference averages w_sum over a GPU wave via WaveActiveSum; the TPU
+    shape is a separable (2r+1)^2 windowed mean — translation-invariant, so a
+    row-sharded band (halo rows via ppermute) computes bit-identical means to
+    the single-chip frame, keeping the sharded==single contract. Rows outside
+    the global framebuffer contribute zero weight AND zero count in both
+    paths. Returns True where the reservoir must be reset."""
+    H, W = w_sum_2d.shape
+    r = radius
+    w = jnp.where(live_2d, w_sum_2d, 0.0)
+    cnt = live_2d.astype(jnp.float32)
+    we = shu.extend_rows(w, r, shard)
+    ce = shu.extend_rows(cnt, r, shard)
+    y0 = shu.global_y0(shard)
+    full_h = shu.full_height(shard, H)
+    gy = jnp.arange(-r, H + r) + y0
+    inside = ((gy >= 0) & (gy < full_h)).astype(jnp.float32)[:, None]
+    we = we * inside
+    ce = ce * inside
+
+    def box(x):
+        v = jax.lax.reduce_window(x, 0.0, jax.lax.add, (2 * r + 1, 1),
+                                  (1, 1), "VALID")              # rows
+        v = jnp.pad(v, ((0, 0), (r, r)))
+        return jax.lax.reduce_window(v, 0.0, jax.lax.add, (1, 2 * r + 1),
+                                     (1, 1), "VALID")           # cols
+
+    mean = box(we) / jnp.maximum(box(ce), 1.0)
+    return live_2d & (w_sum_2d > mult * jnp.maximum(mean, 1e-20))
+
+
 def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
               num_candidates: int = 8, visibility: bool = True,
               spatial_taps: int = SPATIAL_TAPS, pool=None, shard=None,
-              force_kernel: bool = False):
+              force_kernel: bool = False, boiling_mult: float = 20.0):
     """Full ReSTIR DI chain for one frame.
 
     gb: GBuffer; prev: last frame's reservoir (already at this frame's pixel
@@ -260,6 +296,14 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     y, uv, row, w_sum, _ = res_update((y, uv, row, w_sum, M), ty, tuv, trow,
                                       w_t, u1)
     M = M + jnp.where(t_ok, tM, 0.0)
+
+    # ---- boiling filter (ref RTXDI BoilingFilter.hlsli) ----
+    if boiling_mult > 0.0:
+        kill = boiling_filter_mask(jnp.reshape(w_sum, (H, W)),
+                                   jnp.reshape(y >= 0, (H, W)),
+                                   mult=boiling_mult, shard=shard).reshape(R)
+        y = jnp.where(kill, -1, y)
+        w_sum = jnp.where(kill, 0.0, w_sum)
 
     # ---- spatial reuse (SpatialResampling): merge K jittered neighbors ----
     # Snapshot the post-temporal reservoir with each pixel's contribution

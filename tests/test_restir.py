@@ -100,3 +100,24 @@ def test_restir_deferred_renders():
     assert ldr.shape == (H, W, 3)
     assert (ldr.sum(-1) > 0).mean() > 0.5
     assert "restir_reservoir" in r.state
+
+
+def test_boiling_filter_kills_outliers_only():
+    """Ref RTXDI BoilingFilter: a reservoir whose w_sum dwarfs the local mean
+    is reset; a uniform field passes through untouched."""
+    import jax.numpy as jnp
+    from hobbyrenderer_tpu.ops.restir import boiling_filter_mask
+    H, W = 64, 96
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (H, W)).astype(np.float32))
+    live = jnp.ones((H, W), bool)
+    kill = np.asarray(boiling_filter_mask(w, live, mult=20.0))
+    assert not kill.any(), "uniform field must not boil"
+    w_hot = w.at[30, 40].set(500.0)
+    kill = np.asarray(boiling_filter_mask(w_hot, live, mult=20.0))
+    assert kill[30, 40], "outlier must be killed"
+    assert kill.sum() == 1, f"only the outlier: {kill.sum()}"
+    # dead reservoirs don't pollute the mean and are never killed
+    live2 = live.at[30, 40].set(False)
+    kill = np.asarray(boiling_filter_mask(w_hot, live2, mult=20.0))
+    assert not kill.any()
