@@ -12,12 +12,33 @@ import sys
 import time
 
 
+def _wait_for_device(max_wait_s: float = 900.0) -> None:
+    """The axon TPU tunnel occasionally drops and recovers after minutes; a
+    bench run that lands in that window must wait, not record garbage."""
+    import jax
+    import numpy as np
+
+    t0 = time.monotonic()
+    while True:
+        try:
+            import jax.numpy as jnp
+            np.asarray(jnp.zeros(8) + 1.0)
+            return
+        except Exception as e:                     # backend init failure
+            if time.monotonic() - t0 > max_wait_s:
+                raise
+            print(f"# device unavailable ({type(e).__name__}); retrying...",
+                  file=sys.stderr)
+            time.sleep(30.0)
+
+
 def main():
     import jax
 
     from hobbyrenderer_tpu.config import Config, RenderingMode
     from hobbyrenderer_tpu.renderer import Renderer
 
+    _wait_for_device()
     W, H = 1920, 1080
     # The FLAGSHIP Normal mode: deferred raster + ReSTIR DI (temporal+spatial
     # reservoir reuse, RT winner visibility) + half-rate ReSTIR GI + RELAX
