@@ -60,6 +60,9 @@ class SceneRT(NamedTuple):
     inst_inv0: jnp.ndarray     # (N, 4, 4) f32 inverse load-time world matrix
     lights: object = None      # ops.lights.LightPool (analytic + emissive tris)
     btable: jnp.ndarray = None  # (I+L, 128) beam-traversal table (ops.beam)
+    em_index: jnp.ndarray = None  # (T,) i32 original tri -> light-pool emissive
+    #                               entry (-1 = not NEE-sampled); the inverse
+    #                               of lights.em_orig, for hit-emission MIS
 
 
 def _subdivide_large(tri_verts: np.ndarray, max_rounds: int = 4,
@@ -136,7 +139,15 @@ def build_scene_rt(scene, gpu) -> SceneRT:
                    inst_inv0=jnp.asarray(inst_inv0))
     from hobbyrenderer_tpu.ops import beam as beamops
     from hobbyrenderer_tpu.ops import lights as lightops
-    return rt._replace(lights=lightops.build_light_pool(scene, gpu),
+    pool = lightops.build_light_pool(scene, gpu)
+    # inverse of em_orig: original tri id -> pool emissive entry (-1 = none)
+    T = rt.tri_inst.shape[0]
+    em_index = np.full(T, -1, np.int32)
+    orig = np.asarray(pool.em_orig)
+    live = orig >= 0
+    em_index[orig[live]] = np.nonzero(live)[0].astype(np.int32)
+    return rt._replace(lights=pool,
+                       em_index=jnp.asarray(em_index),
                        btable=jnp.asarray(beamops.beam_table(
                            np.asarray(bvh.table))))
 
@@ -272,8 +283,11 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
                                                      jv.reshape(height, width)], -1))
     sun_idx, has_sun = _sun_index(gpu)
 
+    from hobbyrenderer_tpu.ops import lights as lightops
+    use_pool = rt.lights is not None and rt.em_index is not None
+
     def bounce_body(carry, bounce):
-        o, d, radiance, throughput, active, inside, sigma_t = carry
+        o, d, radiance, throughput, active, inside, sigma_t, prev_pdf = carry
         dim = 1 + bounce * 8
         hit = bvhops.bvh_closest_hit(rt.bvh, o, d)
         miss = (hit.tri < 0) & active
@@ -341,22 +355,93 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         alpha_fail = active & (alpha_v < mf[:, MAT_ALPHA_CUTOFF])
         shade_ok = active & ~alpha_fail
 
-        # emitted light (emissive surfaces are not in the NEE light set -> no double count)
-        radiance = radiance + jnp.where(shade_ok[..., None], throughput * emissive, 0.0)
-
         v = -d
-        # ---- NEE: sample one light uniformly (estimator weight = light_count) ----
+        # lobe probabilities are needed by BOTH the MIS weights below and the
+        # bounce sampler, so they are computed once up front
+        ior = jnp.maximum(mf[:, MAT_IOR], 1.01)
+        atten_c = jnp.clip(mf[:, MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3], 1e-4, 1.0)
+        atten_d = jnp.maximum(mf[:, MAT_ATTEN_DIST], 1e-3)
+        cos_i = jnp.maximum(jnp.sum(v * n, -1), 0.0)
+        eta_tr = jnp.where(inside, 1.0 / ior, ior)       # n_transmitted/n_incident
+        F_d = _fresnel_dielectric(cos_i, eta_tr)
+        p_transmit = jnp.clip(trans * (1.0 - F_d), 0.0, 0.98)
+        diffuse_c, f0, alpha = shadeops.brdf_params(albedo, metallic, rough)
+        # transmissive materials route their non-Fresnel energy through the
+        # transmission lobe; the reflection side keeps only (1-trans) diffuse
+        diffuse_c = diffuse_c * (1.0 - trans)[..., None]
+        w_spec = hm.luminance(f0, xp=jnp) + 1e-4
+        w_diff = hm.luminance(diffuse_c, xp=jnp) + 1e-4
+        p_spec = w_spec / (w_spec + w_diff)
+        v_loc = smp.to_local(n, v)
+        v_loc = v_loc.at[..., 2].set(jnp.maximum(v_loc[..., 2], 1e-4))
+
+        # ---- emitted light at the hit ----
+        # Emissive triangles that are ALSO in the NEE pool would be counted by
+        # both estimators; MIS (power heuristic) splits the energy (ref
+        # PathTracer.hlsl MIS). prev_pdf <= 0 marks transports NEE cannot
+        # produce (primary ray, transmission, alpha pass-through) -> full
+        # hit-side weight with the material's own (textured) emissive. Pooled
+        # hits use the POOL radiance so both MIS halves integrate the same
+        # light (the pool is untextured and power-conserving under
+        # subsampling; ReSTIR lights the same quantity).
+        if use_pool:
+            pool = rt.lights
+            A_n = pool.power_pdf.shape[0] - pool.em_v0.shape[0]
+            orig_t = rt.split_to_orig[jnp.maximum(hit.tri, 0)]
+            e_idx = rt.em_index[orig_t]
+            in_pool = shade_ok & (e_idx >= 0) & (prev_pdf > 0.0)
+            e_c = jnp.maximum(e_idx, 0)
+            nx2 = jnp.cross(pool.em_e1[e_c], pool.em_e2[e_c])
+            area_h = 0.5 * jnp.linalg.norm(nx2, axis=-1)
+            n_eh = nx2 / jnp.maximum(2.0 * area_h, 1e-12)[..., None]
+            cos_lh = jnp.abs(jnp.sum(n_eh * (-d), -1))
+            d2h = jnp.maximum(hit.t * hit.t, 1e-8)
+            pdf_light_h = (pool.power_pdf[A_n + e_c] * d2h
+                           / jnp.maximum(area_h * cos_lh, 1e-8))
+            w_hit = smp.power_heuristic(prev_pdf, pdf_light_h)
+            em_out = jnp.where(in_pool[..., None],
+                               pool.em_rad[e_c] * w_hit[..., None], emissive)
+        else:
+            em_out = emissive
+        radiance = radiance + jnp.where(shade_ok[..., None],
+                                        throughput * em_out, 0.0)
+
+        # ---- NEE over the polymorphic pool (power-proportional selection;
+        # ref PrepareLights' power CDF) with MIS against the BRDF sampler for
+        # area (emissive-triangle) sources; analytic lights are delta ----
         u_l, u1, u2 = rand3(dim + 0)
-        nl = jnp.maximum(gpu.light_count, 1)
-        li = jnp.minimum((u_l * nl).astype(jnp.int32), nl - 1)
-        L, rad, dist = shadeops.light_incident(
-            gpu.light_type[li], gpu.light_pos[li], gpu.light_dir[li],
-            gpu.light_color[li], gpu.light_range[li], gpu.light_cone[li], pos)
-        is_sun = gpu.light_type[li] == LIGHT_DIRECTIONAL
-        # soft sun: cone sample around the sun direction (ref cone-sampled sun)
-        cos_max = jnp.cos(settings.sun_angular_radius)
-        L_sun = smp.sample_cone(L, cos_max, u1, u2)
-        L = jnp.where(is_sun[..., None], L_sun, L)
+        if use_pool:
+            n_src = pool.power_pdf.shape[0]
+            s = jnp.clip(jnp.searchsorted(pool.power_cdf, u_l), 0, n_src - 1)
+            pdf_sel = jnp.maximum(pool.power_pdf[s], 1e-12)
+            L, rad, dist, (is_em_s, area_s, cos_ls, d2s) = \
+                lightops.pool_light_incident(gpu, pool, s,
+                                             jnp.stack([u1, u2], -1), pos,
+                                             return_aux=True)
+            la = jnp.clip(s, 0, gpu.light_type.shape[0] - 1)
+            is_sun = ~is_em_s & (gpu.light_type[la] == LIGHT_DIRECTIONAL)
+            cos_max = jnp.cos(settings.sun_angular_radius)
+            L = jnp.where(is_sun[..., None],
+                          smp.sample_cone(L, cos_max, u1, u2), L)
+            pdf_light_sol = pdf_sel * d2s / jnp.maximum(area_s * cos_ls, 1e-8)
+            l_loc_nee = smp.to_local(n, L)
+            pdf_b = (1.0 - p_transmit) * smp.brdf_mix_pdf(v_loc, l_loc_nee,
+                                                          alpha, p_spec)
+            w_nee = jnp.where(is_em_s,
+                              smp.power_heuristic(pdf_light_sol, pdf_b), 1.0)
+            inv_sel = w_nee / pdf_sel
+        else:
+            nl = jnp.maximum(gpu.light_count, 1)
+            li = jnp.minimum((u_l * nl).astype(jnp.int32), nl - 1)
+            L, rad, dist = shadeops.light_incident(
+                gpu.light_type[li], gpu.light_pos[li], gpu.light_dir[li],
+                gpu.light_color[li], gpu.light_range[li], gpu.light_cone[li],
+                pos)
+            is_sun = gpu.light_type[li] == LIGHT_DIRECTIONAL
+            cos_max = jnp.cos(settings.sun_angular_radius)
+            L = jnp.where(is_sun[..., None],
+                          smp.sample_cone(L, cos_max, u1, u2), L)
+            inv_sel = nl.astype(jnp.float32)
         # transmissive energy is carried by the transmission lobe, not NEE
         f = shadeops.eval_brdf(n, v, L, albedo * (1.0 - trans)[..., None],
                                metallic, rough)
@@ -365,7 +450,7 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         so = offset_ray_origin(pos, gn, L)
         occluded = bvhops.bvh_any_hit(rt.bvh, so, L,
                                       t_max=jnp.where(nee_active, dist - 2e-3, 1e-4))
-        contrib = throughput * f * rad * nl.astype(jnp.float32)
+        contrib = throughput * f * rad * inv_sel[..., None]
         radiance = radiance + jnp.where((nee_active & ~occluded)[..., None], contrib, 0.0)
 
         # ---- Russian roulette (ref PathTracer.hlsl:263-270) ----
@@ -376,13 +461,6 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         throughput = throughput / p_cont[..., None]
 
         # ---- transmission lobe (dielectric Fresnel + refraction) ----
-        ior = jnp.maximum(mf[:, MAT_IOR], 1.01)
-        atten_c = jnp.clip(mf[:, MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3], 1e-4, 1.0)
-        atten_d = jnp.maximum(mf[:, MAT_ATTEN_DIST], 1e-3)
-        cos_i = jnp.maximum(jnp.sum(v * n, -1), 0.0)
-        eta_tr = jnp.where(inside, 1.0 / ior, ior)       # n_transmitted/n_incident
-        F_d = _fresnel_dielectric(cos_i, eta_tr)
-        p_transmit = jnp.clip(trans * (1.0 - F_d), 0.0, 0.98)
         u_t, _ = rand2(dim + 4)
         do_transmit = shade_ok & (u_t < p_transmit)
         eta_rel = jnp.where(inside, ior, 1.0 / ior)[..., None]  # n_i/n_t
@@ -398,16 +476,6 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         # ---- BRDF sampling: diffuse (cosine) or specular (GGX-VNDF) ----
         u_sel, us1 = rand2(dim + 2)
         ud1, ud2 = rand2(dim + 3)
-        diffuse_c, f0, alpha = shadeops.brdf_params(albedo, metallic, rough)
-        # transmissive materials route their non-Fresnel energy through the
-        # transmission lobe; the reflection side keeps only (1-trans) diffuse
-        diffuse_c = diffuse_c * (1.0 - trans)[..., None]
-        w_spec = hm.luminance(f0, xp=jnp) + 1e-4
-        w_diff = hm.luminance(diffuse_c, xp=jnp) + 1e-4
-        p_spec = w_spec / (w_spec + w_diff)
-
-        v_loc = smp.to_local(n, v)
-        v_loc = v_loc.at[..., 2].set(jnp.maximum(v_loc[..., 2], 1e-4))
         h_loc = smp.sample_ggx_vndf(v_loc, alpha, us1, ud2)
         l_spec_loc = hm.normalize(
             2.0 * jnp.sum(v_loc * h_loc, -1, keepdims=True) * h_loc - v_loc, xp=jnp)
@@ -444,10 +512,18 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
                       offset_ray_origin(pos, -gn, d_new),
                       offset_ray_origin(pos, gn, d_new))
         d = d_new
-        return (o, d, radiance, throughput, active, inside, sigma_t), None
+        # solid-angle pdf of the sampled bounce direction, consumed by the MIS
+        # hit-emission weight next bounce; 0 marks NEE-unreachable transports
+        l_loc_b = smp.to_local(n, d_new)
+        pdf_bounce = (1.0 - p_transmit) * smp.brdf_mix_pdf(v_loc, l_loc_b,
+                                                           alpha, p_spec)
+        prev_pdf = jnp.where(do_transmit | alpha_fail | ~shade_ok,
+                             0.0, pdf_bounce)
+        return (o, d, radiance, throughput, active, inside, sigma_t,
+                prev_pdf), None
 
     carry = (o, d, jnp.zeros((R, 3)), jnp.ones((R, 3)), jnp.ones((R,), bool),
-             jnp.zeros((R,), bool), jnp.zeros((R, 3)))
+             jnp.zeros((R,), bool), jnp.zeros((R, 3)), jnp.zeros((R,)))
     carry, _ = jax.lax.scan(bounce_body, carry,
                             jnp.arange(max_bounces, dtype=jnp.int32))
     return carry[2]

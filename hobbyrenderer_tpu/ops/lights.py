@@ -174,7 +174,7 @@ def refit_light_pool(pool: LightPool, M_tri) -> LightPool:
     return pool
 
 
-def pool_light_incident(gpu, pool: LightPool, li, uv, pos):
+def pool_light_incident(gpu, pool: LightPool, li, uv, pos, return_aux=False):
     """Incident (L, radiance, dist) of polymorphic light li at pos.
 
     li (R,) i32 pool ids; uv (R, 2) the sample point for AREA lights (folded
@@ -210,6 +210,10 @@ def pool_light_incident(gpu, pool: LightPool, li, uv, pos):
     L = jnp.where(is_em[..., None], L_e, L_a)
     rad = jnp.where(is_em[..., None], rad_e, rad_a)
     dist = jnp.where(is_em, dist_e, dist_a)
+    if return_aux:
+        # area-measure geometry for MIS: solid-angle pdf of the sampled
+        # direction = pdf_select * d^2 / (area * cos_l) (emissive only)
+        return L, rad, dist, (is_em, area, cos_l, d2)
     return L, rad, dist
 
 

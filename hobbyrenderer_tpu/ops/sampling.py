@@ -97,3 +97,23 @@ def sample_sphere_surface(u1, u2):
 def power_heuristic(pdf_a, pdf_b):
     a2 = pdf_a * pdf_a
     return a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-12)
+
+
+def ggx_ndf(n_dot_h, alpha):
+    a2 = alpha * alpha
+    d = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(jnp.pi * d * d, 1e-12)
+
+
+def brdf_mix_pdf(v_loc, l_loc, alpha, p_spec):
+    """Solid-angle pdf of the diffuse(cosine)/specular(GGX-VNDF) mixture
+    sampler at direction l (local space, n=+z) — the BSDF side of the MIS
+    weights for emissive-triangle NEE (ref PathTracer.hlsl MIS)."""
+    ndl = jnp.maximum(l_loc[..., 2], 0.0)
+    ndv = jnp.maximum(v_loc[..., 2], 1e-5)
+    h = hm.normalize(v_loc + l_loc, xp=jnp)
+    ndh = jnp.maximum(h[..., 2], 0.0)
+    # VNDF pdf: G1(v) * D(h) / (4 ndv)
+    pdf_s = smith_g1(ndv, alpha) * ggx_ndf(ndh, alpha) / (4.0 * ndv)
+    pdf_d = ndl / jnp.pi
+    return p_spec * pdf_s + (1.0 - p_spec) * pdf_d

@@ -289,3 +289,110 @@ def test_env_brdf_fit_matches_lut():
         f"fit outlier: A {errA.max():.4f} B {errB.max():.4f}"
     # physical sanity: energy term in [0, 1.1], bias small for smooth surfaces
     assert lut[..., 0].max() <= 1.1 and lut[..., 0].min() >= 0.0
+
+
+def test_pt_emissive_nee_matches_quadrature():
+    """Emissive-triangle NEE + BRDF-hit MIS must converge to the analytic
+    direct-lighting integral: a diffuse plane under an emissive quad, no sky.
+    The expected value is a numpy quadrature of the SAME BRDF integrand over
+    the quad's area, so any double count or missing MIS half fails loudly."""
+    import jax
+    import jax.numpy as jnp
+    from hobbyrenderer_tpu.config import RenderSettings
+    from hobbyrenderer_tpu.models.pathtracer import build_scene_rt, trace_paths
+    from hobbyrenderer_tpu.ops import shading as shadeops
+    from hobbyrenderer_tpu.scene import Camera
+    from hobbyrenderer_tpu.scene.cooker import cook_mesh
+    from hobbyrenderer_tpu.scene.gpu import build_scene_gpu
+    from hobbyrenderer_tpu.scene.procedural import (camera_looking_at,
+                                                    plane_geometry)
+    from hobbyrenderer_tpu.scene.scene import Material, Node, Scene
+
+    from hobbyrenderer_tpu.scene.scene import Light, LIGHT_DIRECTIONAL
+    W, H = 16, 12
+    sc = Scene()
+    # low albedo bounds the 2nd-bounce indirect (not in the quadrature) to ~2%
+    floor_alb = np.array([0.25, 0.2, 0.15], np.float32)
+    floor_m = sc.add_material(Material(
+        name="floor", base_color=np.concatenate([floor_alb, [1.0]]).astype(
+            np.float32),
+        roughness=0.9, double_sided=True))
+    em_m = sc.add_material(Material(
+        name="lamp", base_color=np.array([0, 0, 0, 1], np.float32),
+        emissive=np.array([4.0, 3.0, 2.0], np.float32), double_sided=True))
+    pos, nrm, uv, idx = plane_geometry(4.0)
+    floor = sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv),
+                        material=floor_m)
+    sc.add_node(Node(name="floor", mesh_primitives=[floor]))
+    qpos, qnrm, quv, qidx = plane_geometry(1.0)
+    lamp = sc.add_mesh(cook_mesh(qpos, qidx, normals=-qnrm, uvs=quv),
+                       material=em_m)
+    sc.add_node(Node(name="lamp", mesh_primitives=[lamp],
+                     translation=np.array([0, 2.0, 0], np.float32)))
+    sc.cameras.append(camera_looking_at(np.array([0, 1.2, 2.5], np.float32),
+                                        np.zeros(3)))
+    # zero-intensity sun suppresses the implicit default light
+    sc.add_light(Light(type=LIGHT_DIRECTIONAL,
+                       direction=np.array([0, -1, 0], np.float32),
+                       intensity=0.0))
+    sc.finalize()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    zero_sky = lambda d, b: jnp.zeros(d.shape[:-1] + (3,))
+
+    # TWO bounces: bounce 0 contributes the NEE half, bounce 1 the MIS
+    # complement (BRDF rays that land on the lamp) — dropping either half
+    # fails the quadrature check well outside tolerance
+    step = jax.jit(lambda k: trace_paths(
+        gpu, rt, vc, settings, H, W, k, max_bounces=2, rr_start=8,
+        sky_fn=zero_sky))
+    N = 600
+    acc = np.zeros((H * W, 3), np.float64)
+    for k in range(N):
+        acc += np.asarray(step(jnp.int32(k)), np.float64)
+    img = (acc / N).reshape(H, W, 3)
+
+    # expected at the plane point under the center pixel: quadrature of
+    # f(x, L) * Le * cos_l / d^2 over the quad's area
+    px, py = W // 2, H // 2 + 2          # a floor pixel below the lamp
+    inv_vp = np.asarray(vc["inv_view_proj"], np.float64)
+    ndc = np.array([(px + 0.5) / W * 2 - 1, 1 - 2 * (py + 0.5) / H])
+    pn = inv_vp @ np.array([ndc[0], ndc[1], 0.5, 1.0])
+    pf = inv_vp @ np.array([ndc[0], ndc[1], 1e-6, 1.0])
+    a_, b_ = pn[:3] / pn[3], pf[:3] / pf[3]
+    dirv = (b_ - a_) / np.linalg.norm(b_ - a_)
+    campos = np.asarray(vc["camera_pos"], np.float64)
+    t_hit = -campos[1] / dirv[1]
+    x = campos + dirv * t_hit            # floor point (y = 0)
+    assert abs(x[1]) < 1e-5 and abs(x[0]) < 1.9 and abs(x[2]) < 1.9
+
+    M = 64
+    g = (np.arange(M) + 0.5) / M
+    # plane_geometry(half) spans [-half, half]: the lamp quad is 2x2
+    qx, qz = np.meshgrid(g * 2.0 - 1.0, g * 2.0 - 1.0)
+    qp = np.stack([qx.ravel(), np.full(M * M, 2.0), qz.ravel()], -1)
+    to_l = qp - x
+    d2 = (to_l ** 2).sum(-1)
+    Lw = to_l / np.sqrt(d2)[:, None]
+    cos_l = np.abs(Lw[:, 1])            # quad normal = +-y
+    v = -dirv
+    nrm_f = np.array([0.0, 1.0, 0.0])
+    f = np.asarray(shadeops.eval_brdf(
+        jnp.asarray(np.tile(nrm_f, (M * M, 1)), jnp.float32),
+        jnp.asarray(np.tile(v, (M * M, 1)), jnp.float32),
+        jnp.asarray(Lw, jnp.float32),
+        jnp.asarray(np.tile(floor_alb, (M * M, 1)), jnp.float32),
+        jnp.zeros(M * M), jnp.full(M * M, 0.9)), np.float64)
+    Le = np.array([4.0, 3.0, 2.0])
+    dA = (2.0 * 2.0) / (M * M)
+    expect = (f * Le[None, :] * (cos_l / d2)[:, None]).sum(0) * dA
+    got = img[py, px].astype(np.float64)
+    rel = (got - expect) / np.maximum(expect, 1e-6)
+    # small positive drift allowed: the 2nd-bounce indirect isn't in the
+    # quadrature; anything beyond ~10% means a broken MIS half
+    assert -0.06 < rel.min() and rel.max() < 0.12, \
+        f"PT {got} vs quadrature {expect} (rel {rel})"
