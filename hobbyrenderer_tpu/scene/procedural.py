@@ -118,6 +118,13 @@ def make_stress_scene(grid: int = 12, seed: int = 7, with_lights: bool = True,
         geos.append(cook_mesh(*_reorder(torus_geometry(0.55, 0.22, 24, 12))))
 
     mats = []
+    # procedural base-color textures on half the materials: Sponza-class
+    # content is texture-heavy, so the benchmark must pay the texture-resolve
+    # cost (mip-chained table sampling + alpha-tested cutouts), not just flat
+    # constants
+    sc.images = list(getattr(sc, "images", []))
+    trng = np.random.default_rng(seed + 1000)   # own stream: the texture
+    #                                 draws must not shift the scene layout
     for i in range(16):
         hue = rng.random(3).astype(np.float32)
         m = Material(name=f"m{i}",
@@ -135,6 +142,26 @@ def make_stress_scene(grid: int = 12, seed: int = 7, with_lights: bool = True,
             m.base_color[3] = 0.35
             m.transmission = 0.6
             m.attenuation_color = np.clip(m.base_color[:3] * 1.4, 0, 1)
+        if i % 2 == 0:
+            S = 256
+            yy, xx = np.mgrid[0:S, 0:S]
+            if i % 4 == 0:   # checker
+                c = (((xx // 32) ^ (yy // 32)) & 1).astype(np.float32)
+                tex = 0.45 + 0.55 * c
+            else:            # band noise
+                tex = 0.5 + 0.5 * np.sin(xx * (0.07 + 0.02 * (i % 3))
+                                         + np.sin(yy * 0.11) * 3.0)
+            img = np.empty((S, S, 4), np.uint8)
+            tint = 0.6 + 0.4 * trng.random(3)
+            for ch in range(3):
+                img[..., ch] = np.clip(tex * tint[ch] * 255, 0, 255)
+            # masked materials get a real cutout pattern in alpha
+            if m.alpha_mode == ALPHA_MASKED:
+                img[..., 3] = np.where(((xx // 24 + yy // 24) & 1) > 0, 255, 0)
+            else:
+                img[..., 3] = 255
+            m.base_color_tex = len(sc.images)
+            sc.images.append(img)
         mats.append(sc.add_material(m))
 
     # register one (geometry, material) primitive per use to mirror glTF primitives
