@@ -574,8 +574,12 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         through the downsampled opaque mip chain with roughness-driven LOD +
         Beer-Lambert absorption over the in-medium travel — ref
         src/BasePassRenderer.cpp:694-814, src/shaders/BasePass.hlsl:266-483).
-        Single nearest transparent layer per pixel (no per-pixel sorting;
-        depth peeling = future work)."""
+        Back-to-front compositing at MESHLET granularity: transparent pairs
+        split into far/near camera-distance bins, each rasterized (nearest
+        fragment per pixel within a bin) and blended far-first — the TPU
+        analogue of the reference's CPU-sorted transparent draw order.
+        Overlapping layers INSIDE one bin still collapse to the nearest."""
+        from hobbyrenderer_tpu.ops import ibl as iblops
         from hobbyrenderer_tpu.ops import refraction as refrops
         from hobbyrenderer_tpu.scene.gpu import (MAT_ATTEN_COLOR,
                                                  MAT_ATTEN_DIST,
@@ -585,52 +589,70 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         gb = res["gbuffer"]
         alpha_ok = jnp.asarray([False, False, True])
         cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
-        slots, _cnt = cullops.compact_mask(cull["mask"], transparent_capacity)
-        ro, aux, attr = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width,
-                                            height, double_sided_all=False,
-                                            resolve_attrs=True)
-        # depth-READ against the opaque depth: keep fragments strictly nearer
-        nearer = ro.depth > gb.depth
-        ro = rasterops.RasterOutput(depth=jnp.where(nearer, ro.depth, 0.0),
-                                    visid=jnp.where(nearer, ro.visid, -1),
-                                    overflow=ro.overflow)
-        tgb = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro, slots, aux=aux,
-                                        attr_img=attr)
         vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
         v = -vdir
-        rough = tgb.orm[..., 1]
-        metal = tgb.orm[..., 2]
-        direct = shadeops.shade_all_lights(ctx.gpu, tgb.world_pos, tgb.normal, v,
-                                           tgb.albedo, metal, rough)
-        from hobbyrenderer_tpu.ops import ibl as iblops
-        ambient = iblops.ibl_ambient(res["sky_irradiance"], tgb.normal, v,
-                                     tgb.albedo, metal, rough,
-                                     _scene_sun_dir(ctx), ctx.settings,
-                                     intensity=ctx.settings.ibl_intensity)
-        shaded = direct + ambient + tgb.emissive
-        # coverage/transmission from the material table
         Mt = ctx.gpu.mat_f.shape[0]
-        mat = jnp.maximum(tgb.material, 0)
-        moh = (mat[..., None] == jnp.arange(Mt)).astype(jnp.float32)
-        mf = jnp.einsum("hwm,mf->hwf", moh, ctx.gpu.mat_f)
-        # textured alpha from the resolve (cutoff = 0 for BLEND materials)
-        alpha = jnp.clip(tgb.alpha, 0.0, 1.0)
-        transmission = mf[..., MAT_TRANSMISSION]
-        atten = mf[..., MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3]
-        # the scene seen THROUGH the surface: refracted + roughness-blurred
-        # fetch of the lit-opaque mip chain, Beer-Lambert over the travel
-        opaque_pos = jnp.where(gb.valid[..., None], gb.world_pos,
-                               tgb.world_pos + vdir)
-        bg_refr = refrops.refracted_background(
-            res["hdr"], ctx.vc, tgb.world_pos, opaque_pos, tgb.normal, vdir,
-            mf[..., MAT_IOR], rough, atten, mf[..., MAT_ATTEN_DIST],
-            tgb.valid)
-        bg = (bg_refr * transmission[..., None]
-              + res["hdr"] * (1.0 - transmission[..., None]))
-        coverage = jnp.clip(alpha * (1.0 - transmission) + transmission * 0.04,
-                            0.0, 1.0)[..., None]
-        out = bg * (1.0 - coverage) + shaded * coverage
-        res["hdr"] = jnp.where(tgb.valid[..., None], out, res["hdr"])
+
+        def shade_layer(hdr, slots):
+            """Rasterize one bin's slots and composite over hdr."""
+            ro, aux, attr = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width,
+                                                height, double_sided_all=False,
+                                                resolve_attrs=True)
+            # depth-READ against the opaque depth: keep strictly nearer frags
+            nearer = ro.depth > gb.depth
+            ro2 = rasterops.RasterOutput(depth=jnp.where(nearer, ro.depth, 0.0),
+                                         visid=jnp.where(nearer, ro.visid, -1),
+                                         overflow=ro.overflow)
+            tgb = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro2, slots,
+                                            aux=aux, attr_img=attr)
+            rough = tgb.orm[..., 1]
+            metal = tgb.orm[..., 2]
+            direct = shadeops.shade_all_lights(ctx.gpu, tgb.world_pos,
+                                               tgb.normal, v, tgb.albedo,
+                                               metal, rough)
+            ambient = iblops.ibl_ambient(res["sky_irradiance"], tgb.normal, v,
+                                         tgb.albedo, metal, rough,
+                                         _scene_sun_dir(ctx), ctx.settings,
+                                         intensity=ctx.settings.ibl_intensity)
+            shaded = direct + ambient + tgb.emissive
+            # coverage/transmission from the material table
+            mat = jnp.maximum(tgb.material, 0)
+            moh = (mat[..., None] == jnp.arange(Mt)).astype(jnp.float32)
+            mf = jnp.einsum("hwm,mf->hwf", moh, ctx.gpu.mat_f)
+            # textured alpha from the resolve (cutoff = 0 for BLEND materials)
+            alpha = jnp.clip(tgb.alpha, 0.0, 1.0)
+            transmission = mf[..., MAT_TRANSMISSION]
+            atten = mf[..., MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3]
+            # the scene seen THROUGH the surface: refracted + roughness-
+            # blurred fetch of the behind-layer mip chain, Beer-Lambert over
+            # the travel
+            opaque_pos = jnp.where(gb.valid[..., None], gb.world_pos,
+                                   tgb.world_pos + vdir)
+            bg_refr = refrops.refracted_background(
+                hdr, ctx.vc, tgb.world_pos, opaque_pos, tgb.normal, vdir,
+                mf[..., MAT_IOR], rough, atten, mf[..., MAT_ATTEN_DIST],
+                tgb.valid)
+            bg = (bg_refr * transmission[..., None]
+                  + hdr * (1.0 - transmission[..., None]))
+            coverage = jnp.clip(alpha * (1.0 - transmission)
+                                + transmission * 0.04, 0.0, 1.0)[..., None]
+            out = bg * (1.0 - coverage) + shaded * coverage
+            return jnp.where(tgb.valid[..., None], out, hdr)
+
+        # far/near partition by meshlet camera distance (threshold = midpoint
+        # of the live range, a traced scalar -> static shapes throughout)
+        dist = jnp.linalg.norm(cull["ml_center_world"]
+                               - ctx.vc["camera_pos"][None, :], axis=-1)
+        live = cull["mask"]
+        d_min = jnp.min(jnp.where(live, dist, jnp.inf))
+        d_max = jnp.max(jnp.where(live, dist, -jnp.inf))
+        thresh = 0.5 * (d_min + d_max)
+        far_mask = live & (dist >= thresh)
+        near_mask = live & (dist < thresh)
+        slots_far, _ = cullops.compact_mask(far_mask, transparent_capacity)
+        slots_near, _ = cullops.compact_mask(near_mask, transparent_capacity)
+        hdr = shade_layer(res["hdr"], slots_far)
+        res["hdr"] = shade_layer(hdr, slots_near)
 
     if not has_transparent:
         g.get("Transparent").enabled = False

@@ -164,3 +164,57 @@ def test_rough_transmission_blurs_background():
         return band.std(axis=1).mean()
     cs, cr = stripe_contrast(smooth), stripe_contrast(rough)
     assert cr < cs * 0.55, f"rough glass not blurrier: {cs:.2f} -> {cr:.2f}"
+
+
+def test_two_layer_back_to_front_compositing():
+    """Two stacked glass panes must BOTH tint the wall behind them (back-to-
+    front bin compositing); v1's single nearest layer showed only one."""
+    from hobbyrenderer_tpu.config import RenderingMode
+    from hobbyrenderer_tpu.models.deferred import DeferredRenderer
+    from hobbyrenderer_tpu.scene import Camera
+    from hobbyrenderer_tpu.scene.gpu import build_scene_gpu
+
+    def build(n_panes):
+        sc = Scene()
+        white = sc.add_material(Material(
+            name="w", base_color=np.array([1, 1, 1, 1], np.float32),
+            roughness=1.0))
+        # strongly absorbing glass: each layer multiplies the background down
+        glass = sc.add_material(Material(
+            name="glass", base_color=np.array([1, 1, 1, 0.0], np.float32),
+            roughness=0.05, alpha_mode=ALPHA_BLEND, transmission=1.0,
+            attenuation_color=np.array([0.3, 0.3, 0.9], np.float32),
+            attenuation_distance=2.0))
+        pos, nrm, uv, idx = plane_geometry(1.5)
+        pos_v = pos[:, [0, 2, 1]].astype(np.float32)
+        nrm_v = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+        idx_v = idx.reshape(-1, 3)[:, ::-1].reshape(-1)
+        wall = sc.add_mesh(cook_mesh(pos_v * 2, idx_v, normals=nrm_v, uvs=uv),
+                           material=white)
+        sc.add_node(Node(name="wall", mesh_primitives=[wall],
+                         translation=np.array([0, 0, -1], np.float32)))
+        for k in range(n_panes):
+            pane = sc.add_mesh(cook_mesh(pos_v, idx_v, normals=nrm_v, uvs=uv),
+                               material=glass)
+            sc.add_node(Node(name=f"pane{k}", mesh_primitives=[pane],
+                             translation=np.array([0, 0, 0.5 + k], np.float32)))
+        sc.add_light(Light(type=LIGHT_DIRECTIONAL,
+                           direction=np.array([0, -0.3, -1], np.float32),
+                           intensity=4.0))
+        sc.cameras.append(camera_looking_at(np.array([0, 0, 5], np.float32),
+                                            np.zeros(3)))
+        sc.finalize()
+        gpu = build_scene_gpu(sc)
+        cam = Camera(sc.cameras[0], W, H)
+        cam.jitter_enabled = False
+        r = DeferredRenderer(gpu, W, H, mode=RenderingMode.NORMAL_BASIC,
+                             with_taa=False)
+        ldr, _ = r.render(gpu, cam.view_constants(0),
+                          RenderSettings().as_pytree())
+        return np.asarray(ldr).astype(np.float32)
+
+    one = build(1)[H // 2, W // 2]
+    two = build(2)[H // 2, W // 2]
+    # the second pane absorbs more red/green: center darkens noticeably
+    assert two[:2].sum() < one[:2].sum() * 0.82, \
+        f"second layer must attenuate further: one={one} two={two}"
