@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("--tex-streaming", action="store_true",
                    help="budgeted texture residency + async tile streaming")
     p.add_argument("--tex-budget-mb", type=int, default=64)
+    p.add_argument("--regir", action="store_true",
+                   help="ReGIR world-space reservoir grid for ReSTIR initial "
+                        "candidates (ref RTXDI ReGIR)")
     p.add_argument("--csm-debug", action="store_true",
                    help="cascade debug view: per-pixel cascade tint + "
                         "shadow-map thumbnails (normal_basic mode)")
@@ -58,7 +61,8 @@ def main(argv=None):
                  execute_per_pass=a.execute_per_pass,
                  direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,
                  indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug,
-                 csm_debug=a.csm_debug, tex_streaming=a.tex_streaming,
+                 csm_debug=a.csm_debug, regir=a.regir,
+                 tex_streaming=a.tex_streaming,
                  tex_budget_mb=a.tex_budget_mb)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)

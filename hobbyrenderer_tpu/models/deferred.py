@@ -71,7 +71,9 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          ddgi_debug: bool = False,
                          csm_debug: bool = False,
                          streaming: bool = False,
-                         scene_radius: float = 30.0) -> RenderGraph:
+                         scene_radius: float = 30.0,
+                         use_regir: bool = False,
+                         scene_bounds=None) -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
@@ -334,10 +336,18 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     def _rtxdi(ctx, res):
         """ReSTIR DI chain (ref RTXDIRenderer, SURVEY.md §2.6 #41)."""
         from hobbyrenderer_tpu.ops import restir as restirops
+        grid = None
+        if use_regir and ctx.rt is not None and ctx.rt.lights is not None \
+                and scene_bounds is not None:
+            # per-frame world-space cell reservoirs (ref ReGIR grid build)
+            from hobbyrenderer_tpu.ops import regir as regirops
+            grid = regirops.build_regir_grid(
+                ctx.rt.lights, jnp.asarray(scene_bounds[0]),
+                jnp.asarray(scene_bounds[1]), ctx.vc["frame_index"])
         direct, new_res = restirops.restir_di(
             ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
             res["restir_reservoir"], ctx.vc["frame_index"],
-            visibility=ctx.rt is not None)
+            visibility=ctx.rt is not None, regir_grid=grid)
         res["restir_direct"] = direct
         res["restir_reservoir"] = new_res
 
@@ -784,6 +794,8 @@ class DeferredRenderer:
         _r = _np.asarray(gpu.inst_radius).reshape(-1)
         scene_radius = (float((_np.linalg.norm(_c, axis=1) + _r).max())
                         if _c.size else 30.0)
+        _bounds = ((_c - _r[:, None]).min(0), (_c + _r[:, None]).max(0)) \
+            if _c.size else (_np.full(3, -30.0), _np.full(3, 30.0))
         self.graph = build_deferred_graph(width, height, cap, mode=mode,
                                           with_rt_shadows=with_rt_shadows and rt is not None,
                                           occlusion_culling=occlusion_culling,
@@ -801,7 +813,10 @@ class DeferredRenderer:
                                           csm_debug=bool(getattr(
                                               config, "csm_debug", False)),
                                           streaming=gpu.tex_stream is not None,
-                                          scene_radius=scene_radius)
+                                          scene_radius=scene_radius,
+                                          use_regir=bool(getattr(
+                                              config, "regir", False)),
+                                          scene_bounds=_bounds)
         self.streaming = gpu.tex_stream is not None
         c_np = _np.asarray(gpu.inst_center)
         r_np = _np.asarray(gpu.inst_radius)[:, None]

@@ -130,7 +130,8 @@ def boiling_filter_mask(w_sum_2d, live_2d, mult: float = 20.0,
 def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
               num_candidates: int = 8, visibility: bool = True,
               spatial_taps: int = SPATIAL_TAPS, pool=None, shard=None,
-              force_kernel: bool = False, boiling_mult: float = 20.0):
+              force_kernel: bool = False, boiling_mult: float = 20.0,
+              regir_grid=None):
     """Full ReSTIR DI chain for one frame.
 
     gb: GBuffer; prev: last frame's reservoir (already at this frame's pixel
@@ -188,7 +189,16 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     # block-granular gathers/frame ~= 3 ms), and pixel x reads slot x % 128 —
     # stratified within the tile's iid power-samples. Replaces a per-pixel
     # per-candidate pool gather (2 x 8 x ~13 ms at 1080p).
-    tile_rows = lightops.presample_light_rows(pool, frame)
+    if regir_grid is not None:
+        # ReGIR mode (ref RTXDIRenderer ReGIR grid): the tile table IS the
+        # world-space cell-reservoir grid, and each 128-pixel segment fetches
+        # the cell covering its center pixel — local lights propose locally.
+        # Slot 16 carries the cell reservoir's W (reciprocal-pdf estimate),
+        # playing 1/power_pdf's role in the RIS weights downstream.
+        from hobbyrenderer_tpu.ops import regir as regirops
+        tile_rows = regir_grid.rows
+    else:
+        tile_rows = lightops.presample_light_rows(pool, frame)
     T, S, CH = tile_rows.shape
     flat = tile_rows.reshape(T, S * CH)        # minor dim 2304 = 18 x 128
     nseg = (W + S - 1) // S
@@ -203,11 +213,17 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     # replacement), realized as a STATIC circular shift, so the whole
     # candidate stage costs exactly one gather. 3-D intermediates only — a
     # (H, nseg, C, S, CH) form pads 8x under TPU tiling (OOM).
-    sbits = pcg3d(jnp.stack([
-        jnp.broadcast_to(gy_img[:, None], (H, nseg)),
-        jnp.broadcast_to(seg[None, :], (H, nseg)),
-        jnp.broadcast_to(frame, (H, nseg))], -1))
-    tsel = (sbits[..., 0] % jnp.uint32(T)).astype(jnp.int32)
+    if regir_grid is not None:
+        seg_x = jnp.minimum(jnp.arange(nseg, dtype=jnp.int32) * S + S // 2,
+                            W - 1)
+        tsel = regirops.cells_of_positions(
+            regir_grid, gb.world_pos[:, seg_x], gb.valid[:, seg_x])
+    else:
+        sbits = pcg3d(jnp.stack([
+            jnp.broadcast_to(gy_img[:, None], (H, nseg)),
+            jnp.broadcast_to(seg[None, :], (H, nseg)),
+            jnp.broadcast_to(frame, (H, nseg))], -1))
+        tsel = (sbits[..., 0] % jnp.uint32(T)).astype(jnp.int32)
     fetched = flat[tsel].reshape(H, nseg, S, CH)   # (H, nseg, S, CH)
 
     def candidate_rows(c):

@@ -121,3 +121,81 @@ def test_boiling_filter_kills_outliers_only():
     live2 = live.at[30, 40].set(False)
     kill = np.asarray(boiling_filter_mask(w_hot, live2, mult=20.0))
     assert not kill.any()
+
+
+def test_regir_grid_converges_to_bruteforce():
+    """ReGIR-fed initial candidates (world-space cell reservoirs, ref RTXDI
+    ReGIR) must stay unbiased: the time-averaged ReSTIR DI signal converges to
+    the brute-force all-lights sum just like the power-tile path."""
+    from hobbyrenderer_tpu.ops import regir as regirops
+    sc = _many_light_scene()
+    gpu = build_scene_gpu(sc)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    gb = jax.jit(_gbuffer_fn(max(int(gpu.lod0_pair_capacity), 1)))(gpu, vc)
+
+    from hobbyrenderer_tpu.ops import sky as skyops
+    vdir = skyops.view_dirs_from_pixels(vc, H, W)
+    ref = shadeops.shade_all_lights(gpu, gb.world_pos, gb.normal, -vdir,
+                                    gb.albedo, gb.orm[..., 2], gb.orm[..., 1])
+    ref = np.asarray(jnp.where(gb.valid[..., None], ref, 0.0))
+
+    pool = restirops._fallback_pool(gpu)
+    lo = jnp.asarray([-6.0, -1.0, -6.0])
+    hi = jnp.asarray([6.0, 4.0, 6.0])
+
+    def step_fn(res, i):
+        grid = regirops.build_regir_grid(pool, lo, hi, i, dims=(6, 3, 6))
+        return restirops.restir_di(gpu, None, gb, vc, settings, res, i,
+                                   visibility=False, pool=pool,
+                                   regir_grid=grid)
+
+    step = jax.jit(step_fn)
+    res = restirops.reservoir_init(H, W)
+    acc = np.zeros((H, W, 3), np.float32)
+    n_frames = 48
+    for i in range(n_frames):
+        direct, res = step(res, jnp.int32(i))
+        acc += np.asarray(direct)
+    avg = acc / n_frames
+
+    valid = np.asarray(gb.valid)
+    lit = valid & (ref.sum(-1) > 1e-3)
+    rel = np.abs(avg[lit] - ref[lit]).sum() / (ref[lit].sum() + 1e-9)
+    assert rel < 0.15, f"ReGIR ReSTIR mean deviates {rel:.3f} from brute force"
+    per_px = np.abs(avg - ref).sum(-1) / np.maximum(ref.sum(-1), 1e-3)
+    assert np.median(per_px[lit]) < 0.25
+
+
+def test_regir_cell_lookup():
+    from hobbyrenderer_tpu.ops import regir as regirops
+    g = regirops.RegirGrid(rows=jnp.zeros((24, 128, 18)),
+                           lo=jnp.asarray([0.0, 0.0, 0.0]),
+                           inv_cell=jnp.asarray([1.0, 1.0, 1.0]),
+                           dims=(4, 3, 2))
+    p = jnp.asarray([[0.5, 0.5, 0.5],    # cell (0,0,0) -> 0
+                     [3.5, 2.5, 1.5],    # cell (3,2,1) -> 3+4*(2+3*1) = 23
+                     [9.0, 9.0, 9.0]])   # clamps to the last cell
+    ok = jnp.asarray([True, True, True])
+    got = np.asarray(regirops.cells_of_positions(g, p, ok))
+    assert got.tolist() == [0, 23, 23], got
+    got2 = np.asarray(regirops.cells_of_positions(g, p, jnp.asarray(
+        [True, False, True])))
+    assert got2[1] == 0
+
+
+def test_regir_e2e_frame():
+    """Full Normal-mode frame with --regir: compiles and lights the scene."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+    cfg = Config(scene="stress:3", width=96, height=64,
+                 mode=RenderingMode.NORMAL, direct_mode="restir", regir=True)
+    r = Renderer(cfg)
+    ldr = None
+    for _ in range(2):
+        ldr = r.render_frame()
+    im = np.asarray(ldr)
+    assert np.isfinite(im.astype(np.float64)).all()
+    assert (im.sum(-1) > 0).mean() > 0.5
