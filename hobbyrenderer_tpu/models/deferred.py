@@ -396,10 +396,15 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     @render_pass("IBL", reads=(), writes=("sky_irradiance",))
     def _ibl(ctx, res):
         """Per-frame sky irradiance integration (ref CommonResources IBL
-        cubemaps; dynamic here because the env is the procedural sky)."""
+        cubemaps; dynamic here because the env is the procedural sky). With an
+        authored environment map, its load-time SH projection is used
+        instead (ref IBL mode's prebaked irradiance cubemap)."""
         from hobbyrenderer_tpu.ops import ibl as iblops
-        res["sky_irradiance"] = iblops.build_sky_irradiance(_scene_sun_dir(ctx),
-                                                            ctx.settings)
+        if ctx.gpu.env_sh is not None:
+            res["sky_irradiance"] = ctx.gpu.env_sh
+        else:
+            res["sky_irradiance"] = iblops.build_sky_irradiance(
+                _scene_sun_dir(ctx), ctx.settings)
 
     use_sharc = (indirect_mode == "sharc"
                  and mode in (RenderingMode.NORMAL, RenderingMode.IBL))
@@ -552,10 +557,14 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         ibl_scale = ctx.settings.ibl_intensity * ctx.settings.ambient_scale
         if mode == RenderingMode.IBL:
             ibl_scale = ibl_scale * 2.0   # IBL-dominant mode (ref ApplyRenderingModeDefaults)
+        env_fn = None
+        if ctx.gpu.env_map is not None:
+            from hobbyrenderer_tpu.ops import envmap as envops
+            env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map, d)
         ambient = iblops.ibl_ambient(res["sky_irradiance"], gb.normal, v,
                                      gb.albedo, metal, rough,
                                      _scene_sun_dir(ctx), ctx.settings,
-                                     intensity=ibl_scale)
+                                     intensity=ibl_scale, env_fn=env_fn)
         hdr = direct + ambient + gb.emissive
         if use_sharc:
             hdr = hdr + res["sharc_indirect"]
@@ -572,7 +581,12 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     def _sky(ctx, res):
         gb = res["gbuffer"]
         vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
-        sky = skyops.sky_radiance_fast(vdir, _scene_sun_dir(ctx), ctx.settings)
+        if ctx.gpu.env_map is not None:
+            from hobbyrenderer_tpu.ops import envmap as envops
+            sky = envops.sample_equirect(ctx.gpu.env_map, vdir)
+        else:
+            sky = skyops.sky_radiance_fast(vdir, _scene_sun_dir(ctx),
+                                           ctx.settings)
         res["hdr"] = jnp.where(gb.valid[..., None], res["hdr"], sky)
 
     @g.add
@@ -620,10 +634,15 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             direct = shadeops.shade_all_lights(ctx.gpu, tgb.world_pos,
                                                tgb.normal, v, tgb.albedo,
                                                metal, rough)
+            env_fn = None
+            if ctx.gpu.env_map is not None:
+                from hobbyrenderer_tpu.ops import envmap as envops
+                env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map, d)
             ambient = iblops.ibl_ambient(res["sky_irradiance"], tgb.normal, v,
                                          tgb.albedo, metal, rough,
                                          _scene_sun_dir(ctx), ctx.settings,
-                                         intensity=ctx.settings.ibl_intensity)
+                                         intensity=ctx.settings.ibl_intensity,
+                                         env_fn=env_fn)
             shaded = direct + ambient + tgb.emissive
             # coverage/transmission from the material table
             mat = jnp.maximum(tgb.material, 0)

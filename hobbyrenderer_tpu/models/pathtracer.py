@@ -299,6 +299,11 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         # sky on miss (sun disk only on primary — NEE covers it after bounces)
         if sky_fn is not None:
             sky = sky_fn(d, bounce)
+        elif gpu.env_map is not None:
+            # authored environment map: the miss shader samples it directly
+            # (ref IBL background; the envmap replaces the procedural sky)
+            from hobbyrenderer_tpu.ops import envmap as envops
+            sky = envops.sample_equirect(gpu.env_map, d)
         else:
             sky_nd = skyops.sky_radiance(d, gpu.light_dir[sun_idx], settings,
                                          with_sun_disk=False)

@@ -1,0 +1,122 @@
+"""Environment-map lighting: equirectangular IBL source.
+
+Reference capability: the IBL rendering mode + EnvironmentLight scene nodes
+(src/Renderer.cpp:1026-1050 consumes prebaked DDS cubemaps; SceneLoader's
+EnvironmentLight node carries the path). Here the environment is ONE
+equirectangular (lat-long) texture: background lookup in the sky pass and the
+path tracer's miss shader, SH9 projection for the diffuse IBL term, and a
+direct bilinear fetch along the reflection vector for specular ambient.
+
+Conventions: +Y up; u = 0.5 + atan2(x, -z) / 2pi (u=0.5 faces -z), and
+v = acos(y) / pi (v=0 is straight up). LDR sources are linearized with the
+2.2 power; Radiance .hdr files decode to linear directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def decode_hdr(data: bytes) -> np.ndarray:
+    """Radiance RGBE (.hdr) decode -> (H, W, 3) f32 linear. Supports the
+    common -Y H +X W orientation with adaptive RLE scanlines."""
+    if not data.startswith(b"#?"):
+        raise ValueError("not a Radiance HDR file")
+    pos = data.find(b"\n\n")
+    if pos < 0:
+        raise ValueError("truncated HDR header")
+    dims = data[pos + 2:data.find(b"\n", pos + 2)].split()
+    if len(dims) != 4 or dims[0] != b"-Y" or dims[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation {dims}")
+    H, W = int(dims[1]), int(dims[3])
+    p = data.find(b"\n", pos + 2) + 1
+    buf = np.frombuffer(data, np.uint8, offset=p)
+    out = np.zeros((H, W, 4), np.uint8)
+    i = 0
+    for y in range(H):
+        if W < 8 or W > 0x7FFF or buf[i] != 2 or buf[i + 1] != 2:
+            # flat (non-RLE) scanline
+            row = buf[i:i + W * 4].reshape(W, 4)
+            out[y] = row
+            i += W * 4
+            continue
+        assert (int(buf[i + 2]) << 8 | int(buf[i + 3])) == W, "bad RLE width"
+        i += 4
+        for c in range(4):
+            x = 0
+            while x < W:
+                n = int(buf[i])
+                i += 1
+                if n > 128:          # run
+                    out[y, x:x + n - 128, c] = buf[i]
+                    i += 1
+                    x += n - 128
+                else:                # literal
+                    out[y, x:x + n, c] = buf[i:i + n]
+                    i += n
+                    x += n
+    e = out[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)  # 2^(e-128-8)
+    return (out[..., :3].astype(np.float32) + 0.5) * scale[..., None]
+
+
+def load_envmap(path: str, max_width: int = 2048) -> np.ndarray:
+    """Decode an environment image file -> (H, W, 3) f32 LINEAR radiance."""
+    if path.lower().endswith(".hdr"):
+        with open(path, "rb") as f:
+            img = decode_hdr(f.read())
+    else:
+        from hobbyrenderer_tpu.scene.textures import load_image_file
+        u8 = load_image_file(path)
+        img = (u8[..., :3].astype(np.float32) / 255.0) ** 2.2
+    while img.shape[1] > max_width:
+        h2, w2 = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+        img = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, 3).mean((1, 3))
+    return np.ascontiguousarray(img, np.float32)
+
+
+def sample_equirect(env: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear lat-long fetch at unit directions d (..., 3) -> (..., 3)."""
+    He, We = env.shape[:2]
+    u = 0.5 + jnp.arctan2(d[..., 0], -d[..., 2]) / (2.0 * jnp.pi)
+    v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+    x = u * We - 0.5
+    y = jnp.clip(v * He - 0.5, 0.0, He - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = env.reshape(He * We, 3)
+
+    def tap(yi, xi):
+        yi = jnp.clip(yi, 0, He - 1)
+        xi = xi % We                        # wrap in azimuth
+        return jnp.take(flat, yi * We + xi, axis=0)
+
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
+    bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def project_sh9(env: np.ndarray) -> np.ndarray:
+    """(9, 3) SH projection of the equirect radiance (host numpy, once at
+    load) — the same quantity ops/ibl.py's build_sky_irradiance produces for
+    the procedural sky, so sample_irradiance() consumes either."""
+    from hobbyrenderer_tpu.ops.ibl import sh_basis
+    He, We = env.shape[:2]
+    v = (np.arange(He) + 0.5) / He
+    u = (np.arange(We) + 0.5) / We
+    theta = v * np.pi
+    phi = (u - 0.5) * 2.0 * np.pi
+    st = np.sin(theta)[:, None]
+    d = np.stack([np.broadcast_to(st * np.sin(phi)[None, :], (He, We)),
+                  np.broadcast_to(np.cos(theta)[:, None], (He, We)),
+                  np.broadcast_to(-st * np.cos(phi)[None, :], (He, We))], -1)
+    Y = np.asarray(sh_basis(jnp.asarray(d.reshape(-1, 3), jnp.float32)))
+    dw = (st * (np.pi / He) * (2.0 * np.pi / We)).repeat(We, 1).reshape(-1)
+    return np.einsum("nc,nk,n->kc", env.reshape(-1, 3), Y,
+                     dw).astype(np.float32)

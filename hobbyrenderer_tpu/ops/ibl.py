@@ -184,13 +184,14 @@ def env_brdf(ndv, rough):
 
 
 def ibl_ambient(sh, n, v, albedo, metallic, roughness, sun_dir, settings,
-                intensity=1.0):
+                intensity=1.0, env_fn=None):
     """Diffuse irradiance + roughness-aware specular ambient.
 
-    Specular: reflection-direction sky sample blended toward irradiance with
-    roughness (prefiltered-radiance stand-in), weighted by the split-sum
-    environment BRDF (ref CommonResources BRDF LUT; here the validated
-    gather-free analytic fit — see env_brdf)."""
+    Specular: reflection-direction environment sample (env_fn when an
+    authored environment map exists, else the procedural sky) blended toward
+    irradiance with roughness (prefiltered-radiance stand-in), weighted by
+    the split-sum environment BRDF (ref CommonResources BRDF LUT; here the
+    validated gather-free analytic fit — see env_brdf)."""
     from hobbyrenderer_tpu.ops.shading import brdf_params, fresnel_schlick
     diffuse_c, f0, alpha = brdf_params(albedo, metallic, roughness)
     irr_n = jnp.maximum(sample_irradiance(sh, n), 0.0)
@@ -199,8 +200,11 @@ def ibl_ambient(sh, n, v, albedo, metallic, roughness, sun_dir, settings,
     diffuse = diffuse_c * irr_n
 
     r = hm.reflect(-v, n, xp=jnp)
-    env_r = skyops.sky_radiance_fast(r, sun_dir, settings,
-                                     with_sun_disk=False)
+    if env_fn is not None:
+        env_r = env_fn(r)
+    else:
+        env_r = skyops.sky_radiance_fast(r, sun_dir, settings,
+                                         with_sun_disk=False)
     rough = jnp.clip(roughness, 0.0, 1.0)[..., None]
     # fully-rough prefiltered radiance ~ E/pi = the stored irradiance quantity
     spec_env = (env_r * (1 - rough)

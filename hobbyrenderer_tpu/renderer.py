@@ -51,8 +51,15 @@ class Renderer:
             pages = max((cfg.tex_budget_mb * (1 << 20)) // (PAGE_TEXELS * 16),
                         16)
             self.streamer = TextureStreamer(self.scene, budget_pages=pages)
+        env = None
+        env_path = getattr(cfg, "envmap", None) \
+            or getattr(self.scene, "env_map_path", "")
+        if env_path:
+            from hobbyrenderer_tpu.ops.envmap import load_envmap
+            env = load_envmap(env_path)
         with PROFILER.scope("Init/Upload"):
-            self.gpu = build_scene_gpu(self.scene, streamer=self.streamer)
+            self.gpu = build_scene_gpu(self.scene, streamer=self.streamer,
+                                       env_map=env)
         cam_desc = self.scene.cameras[0] if self.scene.cameras else None
         self.camera = Camera(cam_desc, cfg.render_width, cfg.render_height)
         if cam_desc is None or np.allclose(self.camera.position, [0, 1, 5]):

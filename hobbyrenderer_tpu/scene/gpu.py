@@ -122,6 +122,10 @@ class SceneGPU:
     # texture streaming (scene/streaming.py StreamTables; None = dense table)
     tex_stream: Any = None
 
+    # environment map (ops/envmap.py; ref EnvironmentLight/IBL cubemaps)
+    env_map: Any = None     # (He, We, 3) f32 linear equirect radiance
+    env_sh: Any = None      # (9, 3) f32 SH projection (diffuse IBL term)
+
     def tree_flatten(self):
         import dataclasses as dc
         fields = [f.name for f in dc.fields(self)]
@@ -210,7 +214,7 @@ def _texture_arrays(scene: Scene) -> Dict[str, np.ndarray]:
 
 
 def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True,
-                    streamer=None) -> SceneGPU:
+                    streamer=None, env_map=None) -> SceneGPU:
     """Flatten the host Scene into the SceneGPU pytree (upload happens via jnp).
 
     streamer: a scene.streaming.TextureStreamer — texture pixels then live in
@@ -445,6 +449,11 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True,
     if device_put:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
     gpu = SceneGPU(**arrays)
+    if env_map is not None:
+        from hobbyrenderer_tpu.ops.envmap import project_sh9
+        gpu = dataclasses_replace(
+            gpu, env_map=jnp.asarray(env_map, jnp.float32),
+            env_sh=jnp.asarray(project_sh9(np.asarray(env_map, np.float32))))
     if streamer is not None:
         gpu = dataclasses_replace(gpu, tex_stream=streamer.initial_tables())
     return gpu

@@ -1,0 +1,83 @@
+"""Environment-map IBL: HDR decode, equirect sampling, SH projection, e2e."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hobbyrenderer_tpu.ops import envmap as envops
+
+
+def _encode_hdr_flat(img_rgbe: np.ndarray) -> bytes:
+    H, W = img_rgbe.shape[:2]
+    head = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + \
+        f"-Y {H} +X {W}\n".encode()
+    return head + img_rgbe.astype(np.uint8).tobytes()
+
+
+def test_hdr_decode_flat():
+    # (mantissa + 0.5) * 2^(e-136); e=136 -> scale 1
+    rgbe = np.zeros((2, 4, 4), np.uint8)
+    rgbe[0, 0] = [128, 64, 32, 136]     # (128.5, 64.5, 32.5)
+    rgbe[1, 3] = [200, 0, 0, 137]       # (401.0, 1.0, 1.0)
+    img = envops.decode_hdr(_encode_hdr_flat(rgbe))
+    assert img.shape == (2, 4, 3)
+    assert np.allclose(img[0, 0], [128.5, 64.5, 32.5], atol=1e-3)
+    assert np.allclose(img[1, 3], [401.0, 1.0, 1.0], atol=1e-3)
+    assert np.allclose(img[0, 1], 0.0)
+
+
+def test_equirect_sampling_directions():
+    He, We = 64, 128
+    env = np.zeros((He, We, 3), np.float32)
+    env[:He // 4] = [0, 1, 0]            # top cap: green
+    env[He // 4:, :We // 2] = [1, 0, 0]  # u < 0.5 half: red
+    env[He // 4:, We // 2:] = [0, 0, 1]  # u >= 0.5 half: blue
+    env_j = jnp.asarray(env)
+    up = envops.sample_equirect(env_j, jnp.asarray([[0.0, 1.0, 0.0]]))
+    assert np.asarray(up)[0, 1] > 0.9
+    # -z faces u = 0.5 (the red/blue seam); +x lands at u = 0.75 (blue)
+    px = envops.sample_equirect(env_j, jnp.asarray([[1.0, 0.0, 0.0]]))
+    assert np.asarray(px)[0, 2] > 0.9
+    nx = envops.sample_equirect(env_j, jnp.asarray([[-1.0, 0.0, 0.0]]))
+    assert np.asarray(nx)[0, 0] > 0.9
+
+
+def test_sh_projection_constant_map():
+    env = np.full((32, 64, 3), [2.0, 1.0, 0.5], np.float32)
+    sh = envops.project_sh9(env)
+    from hobbyrenderer_tpu.ops.ibl import sample_irradiance
+    for n in ([0, 1, 0], [1, 0, 0], [0, -1, 0], [0.577, 0.577, 0.577]):
+        irr = np.asarray(sample_irradiance(jnp.asarray(sh),
+                                           jnp.asarray([n], jnp.float32)))
+        # constant radiance L -> irradiance/pi = L at every normal
+        assert np.allclose(irr[0], [2.0, 1.0, 0.5], rtol=0.03), (n, irr)
+
+
+def test_envmap_e2e_render(tmp_path):
+    """IBL-mode frame under a half-red / half-blue envmap: the sky shows the
+    map and surfaces pick up direction-dependent tint; the path tracer's miss
+    shader agrees with the deferred sky."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+    from hobbyrenderer_tpu.utils.image import write_png
+
+    He, We = 32, 64
+    env = np.zeros((He, We, 3), np.float32)
+    env[:, :We // 2] = [1.0, 0.05, 0.05]
+    env[:, We // 2:] = [0.05, 0.05, 1.0]
+    png = (np.clip(env, 0, 1) ** (1 / 2.2) * 255).astype(np.uint8)
+    path = str(tmp_path / "env.png")
+    write_png(path, png)
+
+    cfg = Config(scene="cube", width=96, height=64, mode=RenderingMode.IBL,
+                 envmap=path)
+    r = Renderer(cfg)
+    ldr = np.asarray(r.render_frame()).astype(np.float32)
+    # sky pixels shift red->blue across the seam: the two image edges must
+    # differ clearly in blue fraction (camera azimuth doesn't straddle the
+    # seam symmetrically, so compare fractions rather than dominance)
+    left = ldr[4, :20].mean(0)
+    right = ldr[4, -20:].mean(0)
+    bf = lambda c: c[2] / max(float(c.sum()), 1e-6)
+    assert abs(bf(left) - bf(right)) > 0.08, (left, right)
+    # and the frame is finite + lit
+    assert np.isfinite(ldr).all() and (ldr.sum(-1) > 0).mean() > 0.5
