@@ -37,6 +37,9 @@ def main(argv=None):
                         "as JSON (ref RenderGraphUI)")
     p.add_argument("--timings", action="store_true",
                    help="print per-pass CPU timings after the run")
+    p.add_argument("--profile-dir", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run "
+                        "(TensorBoard format; the microprofile-dump analogue)")
     p.add_argument("--execute-per-pass", action="store_true")
     p.add_argument("--direct-mode", type=str, default="simple",
                    choices=("simple", "restir"))
@@ -68,7 +71,12 @@ def main(argv=None):
     r = Renderer(cfg)
     if a.describe_graph:
         print(r.describe_graph())
-    stats = r.run(num_frames=a.frames, screenshot=a.screenshot)
+    if a.profile_dir:
+        import jax
+        with jax.profiler.trace(a.profile_dir):
+            stats = r.run(num_frames=a.frames, screenshot=a.screenshot)
+    else:
+        stats = r.run(num_frames=a.frames, screenshot=a.screenshot)
     print(json.dumps(stats))
     if a.export_graph:
         with open(a.export_graph, "w") as f:
