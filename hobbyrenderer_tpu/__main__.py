@@ -51,6 +51,11 @@ def main(argv=None):
     p.add_argument("--tex-streaming", action="store_true",
                    help="budgeted texture residency + async tile streaming")
     p.add_argument("--tex-budget-mb", type=int, default=64)
+    p.add_argument("--envmap", type=str, default=None,
+                   help="equirect environment map (.hdr/.png/.jpg/.dds)")
+    p.add_argument("--env-lights", dest="env_lights", type=int, default=0,
+                   help="discretize the envmap into N pool directional "
+                        "lights for ReSTIR/PT NEE (ref env PDF presampling)")
     p.add_argument("--regir", action="store_true",
                    help="ReGIR world-space reservoir grid for ReSTIR initial "
                         "candidates (ref RTXDI ReGIR)")
@@ -65,6 +70,7 @@ def main(argv=None):
                  direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,
                  indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug,
                  csm_debug=a.csm_debug, regir=a.regir,
+                 envmap=a.envmap, env_lights=a.env_lights,
                  tex_streaming=a.tex_streaming,
                  tex_budget_mb=a.tex_budget_mb)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse

@@ -73,7 +73,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          streaming: bool = False,
                          scene_radius: float = 30.0,
                          use_regir: bool = False,
-                         scene_bounds=None) -> RenderGraph:
+                         scene_bounds=None,
+                         env_as_lights: bool = False) -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
@@ -400,7 +401,11 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         authored environment map, its load-time SH projection is used
         instead (ref IBL mode's prebaked irradiance cubemap)."""
         from hobbyrenderer_tpu.ops import ibl as iblops
-        if ctx.gpu.env_sh is not None:
+        if env_as_lights:
+            # the env rides the ReSTIR pool as directional lights; zero the
+            # ambient term so its energy is not counted twice
+            res["sky_irradiance"] = jnp.zeros((9, 3), jnp.float32)
+        elif ctx.gpu.env_sh is not None:
             res["sky_irradiance"] = ctx.gpu.env_sh
         else:
             res["sky_irradiance"] = iblops.build_sky_irradiance(
@@ -797,7 +802,8 @@ class DeferredRenderer:
                  with_rt_shadows: bool = None,
                  direct_mode: str = None,
                  indirect_mode: str = None,
-                 max_per_tile: int = None):
+                 max_per_tile: int = None,
+                 env_as_lights: bool = False):
         self.width, self.height = width, height
         cap = max(int(gpu.lod0_pair_capacity), 1)
         if with_rt_shadows is None:
@@ -835,7 +841,8 @@ class DeferredRenderer:
                                           scene_radius=scene_radius,
                                           use_regir=bool(getattr(
                                               config, "regir", False)),
-                                          scene_bounds=_bounds)
+                                          scene_bounds=_bounds,
+                                          env_as_lights=env_as_lights)
         self.streaming = gpu.tex_stream is not None
         c_np = _np.asarray(gpu.inst_center)
         r_np = _np.asarray(gpu.inst_radius)[:, None]

@@ -261,7 +261,8 @@ def _sun_index(gpu):
 
 def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
                 accum_index, max_bounces: int = 8, rr_start: int = 2,
-                sample_textures=None, sky_fn=None):
+                sample_textures=None, sky_fn=None,
+                env_as_lights: bool = False):
     """One sample per pixel; returns (H*W, 3) radiance."""
     R = height * width
     pix = jnp.arange(R, dtype=jnp.uint32)
@@ -301,9 +302,13 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
             sky = sky_fn(d, bounce)
         elif gpu.env_map is not None:
             # authored environment map: the miss shader samples it directly
-            # (ref IBL background; the envmap replaces the procedural sky)
+            # (ref IBL background; the envmap replaces the procedural sky).
+            # With env-as-lights the env energy rides NEE's directional set,
+            # so secondary misses return 0 (the sun-disk pattern above)
             from hobbyrenderer_tpu.ops import envmap as envops
             sky = envops.sample_equirect(gpu.env_map, d)
+            if env_as_lights:
+                sky = jnp.where(bounce == 0, sky, 0.0)
         else:
             sky_nd = skyops.sky_radiance(d, gpu.light_dir[sun_idx], settings,
                                          with_sun_disk=False)
@@ -538,10 +543,11 @@ class PathTracerRenderer:
     """Progressive accumulation driver (ref src/PathTracerRenderer.cpp)."""
 
     def __init__(self, gpu, width: int, height: int, config=None, scene=None,
-                 rt: Optional[SceneRT] = None):
+                 rt: Optional[SceneRT] = None, env_as_lights: bool = False):
         self.width, self.height = width, height
         self.config = config
         self.rt = rt
+        self.env_as_lights = env_as_lights
         self.accum = jnp.zeros((height, width, 3), jnp.float32)
         self.num_accum = 0
         self.exposure = jnp.float32(1.0)
@@ -560,7 +566,8 @@ class PathTracerRenderer:
 
     def _step(self, gpu, rt, vc, settings, accum, n_accum, exposure, dt):
         sample = trace_paths(gpu, rt, vc, settings, self.height, self.width,
-                             n_accum, self.max_bounces, self.rr_start)
+                             n_accum, self.max_bounces, self.rr_start,
+                             env_as_lights=self.env_as_lights)
         sample = sample.reshape(self.height, self.width, 3)
         w = 1.0 / (n_accum.astype(jnp.float32) + 1.0)
         accum = accum * (1.0 - w) + sample * w

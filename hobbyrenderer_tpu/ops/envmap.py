@@ -102,6 +102,48 @@ def sample_equirect(env: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - fy) + bot * fy
 
 
+def env_to_directional_lights(env: np.ndarray, n: int = 128):
+    """Discretize the envmap into n power-stratified directional lights
+    (ref BuildEnvLightPDF + PresampleEnvironmentMap: the reference importance-
+    samples an env PDF texture; here the ReSTIR pool consumes the env as n
+    delta directionals whose colors integrate their luminance-equal cells,
+    so power-CDF presampling, reservoir reuse, temporal row refresh and the
+    fused candidate kernel all work UNCHANGED).
+
+    Returns (dirs (n, 3) unit TOWARD the light, colors (n, 3)) with
+    sum(colors) ~= integral of env radiance dw (power conserving). Callers
+    must then suppress the duplicate ambient/miss env paths (deferred IBL
+    ambient; PT secondary-bounce miss)."""
+    He, We = env.shape[:2]
+    v = (np.arange(He) + 0.5) / He
+    u = (np.arange(We) + 0.5) / We
+    theta = v * np.pi
+    phi = (u - 0.5) * 2.0 * np.pi
+    st = np.sin(theta)[:, None]
+    d = np.stack([np.broadcast_to(st * np.sin(phi)[None, :], (He, We)),
+                  np.broadcast_to(np.cos(theta)[:, None], (He, We)),
+                  np.broadcast_to(-st * np.cos(phi)[None, :], (He, We))],
+                 -1).reshape(-1, 3)
+    dw = (st * (np.pi / He) * (2.0 * np.pi / We)).repeat(We, 1).reshape(-1)
+    power = env.reshape(-1, 3) * dw[:, None]               # per-texel flux
+    lum = 0.2126 * power[:, 0] + 0.7152 * power[:, 1] + 0.0722 * power[:, 2]
+    order = np.argsort(-lum)                               # bright texels first
+    cdf = np.cumsum(lum[order])
+    total = max(float(cdf[-1]), 1e-12)
+    # equal-power partition: group k = texels in ((k/n)T, ((k+1)/n)T]
+    group = np.minimum((cdf / total * n - 1e-9).astype(np.int64), n - 1)
+    colors = np.zeros((n, 3), np.float64)
+    dsum = np.zeros((n, 3), np.float64)
+    np.add.at(colors, group, power[order])
+    np.add.at(dsum, group, d[order] * lum[order][:, None])
+    nrm = np.linalg.norm(dsum, axis=1, keepdims=True)
+    dirs = np.where(nrm > 1e-12, dsum / np.maximum(nrm, 1e-12),
+                    np.asarray([[0.0, 1.0, 0.0]]))
+    keep = colors.sum(1) > 0
+    return (dirs[keep].astype(np.float32),
+            colors[keep].astype(np.float32))
+
+
 def project_sh9(env: np.ndarray) -> np.ndarray:
     """(9, 3) SH projection of the equirect radiance (host numpy, once at
     load) — the same quantity ops/ibl.py's build_sky_irradiance produces for

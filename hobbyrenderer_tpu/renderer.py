@@ -57,9 +57,29 @@ class Renderer:
         if env_path:
             from hobbyrenderer_tpu.ops.envmap import load_envmap
             env = load_envmap(env_path)
+        self._env_as_lights = False
+        n_env_lights = int(getattr(cfg, "env_lights", 0) or 0)
+        # env-as-lights pairs with ReSTIR (the pool machinery) or the path
+        # tracer's NEE; the simple direct mode keeps the IBL-ambient path
+        if env is not None and n_env_lights > 0 and (
+                getattr(cfg, "direct_mode", "simple") == "restir"
+                or cfg.mode == RenderingMode.PATH_TRACER):
+            # discretize the envmap into pool-consumable directional lights
+            # (ref PresampleEnvironmentMap); the duplicate ambient/secondary-
+            # miss env paths are suppressed below
+            from hobbyrenderer_tpu.ops.envmap import env_to_directional_lights
+            from hobbyrenderer_tpu.scene.scene import (Light,
+                                                       LIGHT_DIRECTIONAL)
+            dirs, colors = env_to_directional_lights(env, n_env_lights)
+            for k in range(dirs.shape[0]):
+                self.scene.add_light(Light(
+                    type=LIGHT_DIRECTIONAL, direction=-dirs[k],
+                    color=colors[k], intensity=1.0, name=f"envlight{k}"))
+            self._env_as_lights = True
         with PROFILER.scope("Init/Upload"):
-            self.gpu = build_scene_gpu(self.scene, streamer=self.streamer,
-                                       env_map=env)
+            self.gpu = build_scene_gpu(
+                self.scene, streamer=self.streamer, env_map=env,
+                max_lights=max(64, len(self.scene.lights) + 8))
         cam_desc = self.scene.cameras[0] if self.scene.cameras else None
         self.camera = Camera(cam_desc, cfg.render_width, cfg.render_height)
         if cam_desc is None or np.allclose(self.camera.position, [0, 1, 5]):
@@ -90,7 +110,8 @@ class Renderer:
             from hobbyrenderer_tpu.models.pathtracer import PathTracerRenderer
             self._model = PathTracerRenderer(self.gpu, cfg.render_width,
                                              cfg.render_height, config=cfg,
-                                             scene=self.scene)
+                                             scene=self.scene,
+                                             env_as_lights=self._env_as_lights)
         else:
             rt = None
             needs_rt = (self.mode in (RenderingMode.NORMAL, RenderingMode.IBL)
@@ -103,7 +124,8 @@ class Renderer:
                     rt = build_scene_rt(self.scene, self.gpu)
             self._model = DeferredRenderer(self.gpu, cfg.render_width,
                                            cfg.render_height, config=cfg,
-                                           rt=rt, mode=self.mode)
+                                           rt=rt, mode=self.mode,
+                                           env_as_lights=self._env_as_lights)
 
     def set_mode(self, mode: str):
         """Rendering-mode switch: rebuild the model graph (persistent state of the

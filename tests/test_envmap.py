@@ -81,3 +81,58 @@ def test_envmap_e2e_render(tmp_path):
     assert abs(bf(left) - bf(right)) > 0.08, (left, right)
     # and the frame is finite + lit
     assert np.isfinite(ldr).all() and (ldr.sum(-1) > 0).mean() > 0.5
+
+
+def test_env_to_directional_lights_conserves_power():
+    rng = np.random.default_rng(2)
+    env = (rng.random((32, 64, 3)).astype(np.float32)) ** 2
+    # add a dominant hotspot straight up
+    env[2:5, 10:14] = [60.0, 50.0, 40.0]
+    dirs, colors = envops.env_to_directional_lights(env, 32)
+    # total flux conserved
+    He, We = env.shape[:2]
+    st = np.sin((np.arange(He) + 0.5) / He * np.pi)[:, None]
+    dw = st * (np.pi / He) * (2 * np.pi / We)
+    want = (env * dw[..., None]).sum((0, 1))
+    got = colors.sum(0)
+    assert np.allclose(got, want, rtol=1e-3), (got, want)
+    # groups carry EQUAL power by construction; the hotspot fills the first
+    # group(s) (brightest texels sort first), so some light must point up
+    assert dirs[:, 1].max() > 0.85, dirs[:, 1].max()
+    assert dirs[0, 1] > 0.85, dirs[0]
+    assert np.allclose(np.linalg.norm(dirs, axis=1), 1.0, atol=1e-4)
+
+
+def test_env_lights_restir_matches_pt(tmp_path):
+    """Cross-validation: an env-lit floor rendered with ReSTIR env-lights vs
+    the path tracer (env as primary-miss + NEE directionals) must agree in
+    mean brightness — any double count (ambient + pool) fails ~2x."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+    from hobbyrenderer_tpu.utils.image import write_png
+
+    He, We = 16, 32
+    env = np.full((He, We, 3), 0.25, np.float32)
+    env[:He // 3] = [1.5, 1.2, 0.8]          # bright warm top
+    png = (np.clip(env, 0, 1) ** (1 / 2.2) * 255).astype(np.uint8)
+    # PNG is LDR: clip env to <=1 for an exact round trip
+    env_ldr = np.clip(env, 0, 1.0)
+    png = (env_ldr ** (1 / 2.2) * 255 + 0.5).astype(np.uint8)
+    path = str(tmp_path / "env.png")
+    write_png(path, png)
+
+    W, H = 64, 48
+    frames = 24
+    means = {}
+    for mode, kw in (("normal", dict(direct_mode="restir")),
+                     ("path_tracer", {})):
+        cfg = Config(scene="cube", width=W, height=H, mode=mode,
+                     envmap=path, env_lights=24, **kw)
+        r = Renderer(cfg)
+        acc = None
+        for _ in range(frames):
+            ldr = np.asarray(r.render_frame()).astype(np.float64)
+            acc = ldr if acc is None else acc + ldr
+        means[mode] = (acc / frames).mean()
+    ratio = means["normal"] / max(means["path_tracer"], 1e-6)
+    assert 0.6 < ratio < 1.7, f"deferred/PT mismatch: {means} ratio={ratio}"
