@@ -44,27 +44,30 @@ class DDGIVolume:
     """Probe volume state (persistent across frames). counts is STATIC pytree
     aux data (shapes derive from it), the rest are device arrays."""
 
-    def __init__(self, origin, spacing, counts, irradiance, distance, alive):
+    def __init__(self, origin, spacing, counts, irradiance, distance, alive,
+                 offset=None):
         self.origin = origin          # (3,) grid min corner
         self.spacing = spacing        # (3,) probe spacing
         self.counts = tuple(counts)   # (Px, Py, Pz) static
         self.irradiance = irradiance  # (P, IRR, IRR, 3)
         self.distance = distance      # (P, DIST, DIST, 2) mean / mean^2
         self.alive = alive            # (P,) f32 1 = usable (classification)
+        self.offset = (jnp.zeros((irradiance.shape[0], 3), jnp.float32)
+                       if offset is None else offset)  # relocation offsets
 
     def tree_flatten(self):
         return ((self.origin, self.spacing, self.irradiance, self.distance,
-                 self.alive), self.counts)
+                 self.alive, self.offset), self.counts)
 
     @classmethod
     def tree_unflatten(cls, counts, leaves):
-        origin, spacing, irr, dist, alive = leaves
-        return cls(origin, spacing, counts, irr, dist, alive)
+        origin, spacing, irr, dist, alive, offset = leaves
+        return cls(origin, spacing, counts, irr, dist, alive, offset)
 
     def _replace(self, **kw):
         d = dict(origin=self.origin, spacing=self.spacing, counts=self.counts,
                  irradiance=self.irradiance, distance=self.distance,
-                 alive=self.alive)
+                 alive=self.alive, offset=self.offset)
         d.update(kw)
         return DDGIVolume(**d)
 
@@ -104,7 +107,7 @@ def probe_positions(vol: DDGIVolume) -> jnp.ndarray:
     gx, gy, gz = jnp.meshgrid(jnp.arange(Px), jnp.arange(Py), jnp.arange(Pz),
                               indexing="ij")
     g = jnp.stack([gx, gy, gz], -1).reshape(-1, 3).astype(jnp.float32)
-    return vol.origin + g * vol.spacing
+    return vol.origin + g * vol.spacing + vol.offset
 
 
 def _rand_rotation(frame):
@@ -190,7 +193,30 @@ def ddgi_update(vol: DDGIVolume, gpu, rt, settings, frame) -> DDGIVolume:
 
     # ---- classification (ref probe classification pass) ----
     alive = jnp.where(backfrac > BACKFACE_LIMIT, 0.0, 1.0)
-    return vol._replace(irradiance=irr, distance=dst, alive=alive)
+
+    # ---- probe relocation (ref RTXGI probe relocation pass) ----
+    # Buried probes escape THROUGH the closest backface surface (offset along
+    # that ray past the hit); healthy probes sitting too close to front-facing
+    # geometry nudge away from it. Offsets clamp to 0.45x spacing (the RTXGI
+    # clamp) and apply NEXT frame, converging over a few updates.
+    dist_raw = jnp.where(miss, 1e4, hit.t).reshape(P, N_RAYS)
+    bf2 = backface.reshape(P, N_RAYS)
+    min_ax = jnp.min(vol.spacing)
+    bf_d = jnp.where(bf2, dist_raw, 1e9)
+    k_bf = jnp.argmin(bf_d, axis=-1)
+    d_bf = jnp.take_along_axis(bf_d, k_bf[:, None], -1)[:, 0]
+    dir_bf = dirs[k_bf]
+    buried = (backfrac > BACKFACE_LIMIT) & (d_bf < 1e8)
+    step = jnp.where(buried, d_bf + 0.2 * min_ax, 0.0)
+    off = vol.offset + dir_bf * step[:, None]
+    ff_d = jnp.where(~bf2 & (dist_raw < 1e3), dist_raw, 1e9)
+    k_ff = jnp.argmin(ff_d, axis=-1)
+    d_ff = jnp.take_along_axis(ff_d, k_ff[:, None], -1)[:, 0]
+    dir_ff = dirs[k_ff]
+    close = (~buried) & (d_ff < 0.15 * min_ax)
+    off = off - dir_ff * jnp.where(close, 0.15 * min_ax - d_ff, 0.0)[:, None]
+    off = jnp.clip(off, -0.45 * vol.spacing, 0.45 * vol.spacing)
+    return vol._replace(irradiance=irr, distance=dst, alive=alive, offset=off)
 
 
 def _oct_sample(tex, dirs):
@@ -227,7 +253,10 @@ def ddgi_query(vol: DDGIVolume, pos, normal) -> jnp.ndarray:
                 gi = jnp.clip(g0 + c, jnp.asarray([0, 0, 0]),
                               jnp.asarray([Px - 1, Py - 1, Pz - 1]))
                 pid = (gi[:, 0] * Py + gi[:, 1]) * Pz + gi[:, 2]
-                p_pos = vol.origin + gi.astype(jnp.float32) * vol.spacing
+                # relocated world position (trilinear weights stay grid-based,
+                # like the reference)
+                p_pos = vol.origin + gi.astype(jnp.float32) * vol.spacing \
+                    + vol.offset[pid]
                 to_p = p_pos - biased
                 d = jnp.linalg.norm(to_p, axis=-1)
                 dir_p = to_p / jnp.maximum(d, 1e-6)[..., None]

@@ -144,3 +144,25 @@ def test_ddgi_deferred_graph():
         ldr, _ = r.render(gpu, cam.view_constants(i), settings)
     assert np.isfinite(np.asarray(ldr)).all()
     assert "ddgi_volume" in r.state
+
+
+def test_ddgi_probe_relocation_rescues_buried_probes():
+    """Ref RTXGI probe relocation: a probe just below the floor escapes
+    through the closest backface over a few updates and comes back alive."""
+    sc = _room_scene()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    settings = RenderSettings().as_pytree()
+    vol = ddgiops.ddgi_init((-2.0, -3.0, -2.0), (2.0, 5.0, 2.0),
+                            counts=(2, 4, 2))
+    step = jax.jit(lambda v, i: ddgiops.ddgi_update(v, gpu, rt, settings, i))
+    for i in range(4):
+        vol = step(vol, jnp.int32(i))
+    alive = np.asarray(vol.alive).reshape(2, 4, 2)
+    off = np.asarray(vol.offset).reshape(2, 4, 2, 3)
+    # layer 1 started at y=-0.33 (under the floor at y=0): relocation must
+    # push it up through the floor and classification must resurrect it
+    assert (off[:, 1, :, 1] > 0.3).all(), f"no upward escape: {off[:, 1, :, 1]}"
+    assert (alive[:, 1, :] == 1).all(), "relocated probes must come alive"
+    # interior probes stay put (no spurious drift)
+    assert (np.abs(off[:, 2, :, :]).max() < 0.2), off[:, 2]
