@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--mode", type=str, default=RenderingMode.NORMAL,
                    choices=RenderingMode.ALL)
     p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--render-scale", dest="render_scale", type=float,
+                   default=1.0,
+                   help="internal render resolution scale; < 1 enables TAA "
+                        "UPSCALING to the output size (the FSR3 upscaler "
+                        "capability)")
     p.add_argument("--screenshot", type=str, default=None)
     p.add_argument("--cache-dir", type=str, default=".hr_cache")
     p.add_argument("--seed", type=int, default=0)
@@ -65,6 +70,7 @@ def main(argv=None):
     a = p.parse_args(argv)
 
     cfg = Config(scene=a.scene, width=a.width, height=a.height, mode=a.mode,
+                 render_scale=a.render_scale,
                  cache_dir=a.cache_dir, seed=a.seed,
                  execute_per_pass=a.execute_per_pass,
                  direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,

@@ -74,7 +74,9 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          scene_radius: float = 30.0,
                          use_regir: bool = False,
                          scene_bounds=None,
-                         env_as_lights: bool = False) -> RenderGraph:
+                         env_as_lights: bool = False,
+                         out_width: int = None,
+                         out_height: int = None) -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
@@ -691,14 +693,25 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not has_transparent:
         g.get("Transparent").enabled = False
 
+    ow = out_width or width
+    oh = out_height or height
+    upscale = (ow != width) or (oh != height)
+
     @g.add
     @render_pass("TAA", reads=("hdr", "gbuffer", "taa_history", "taa_valid"),
                  writes=("hdr", "taa_history", "taa_valid"),
                  persistent=("taa_history", "taa_valid"))
     def _taa(ctx, res):
         gb = res["gbuffer"]
-        out = taaops.taa_resolve(res["hdr"], res["taa_history"], gb.motion,
-                                 res["taa_valid"], ctx.settings)
+        if upscale:
+            # TAA UPSCALING (the FSR3 upscaler capability): jittered low-res
+            # render accumulates into a full-res history; post runs full-res
+            out = taaops.taau_resolve(res["hdr"], res["taa_history"],
+                                      gb.motion, res["taa_valid"],
+                                      ctx.settings, ctx.vc["jitter"], oh, ow)
+        else:
+            out = taaops.taa_resolve(res["hdr"], res["taa_history"], gb.motion,
+                                     res["taa_valid"], ctx.settings)
         res["hdr"] = out
         res["taa_history"] = out
         res["taa_valid"] = jnp.bool_(True)
@@ -735,7 +748,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         res["ldr"] = ddgiops.ddgi_probe_overlay(res["ldr"], res["ddgi_volume"],
                                                 ctx.vc)
 
-    if not (use_ddgi and ddgi_debug):
+    if not (use_ddgi and ddgi_debug) or upscale:
         g.get("DDGIDebug").enabled = False
 
     @g.add
@@ -749,7 +762,9 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         res["ldr"] = csmops.csm_debug_overlay(res["ldr"], res["csm_data"],
                                               ctx.vc, gb.world_pos, gb.valid)
 
-    if not (csm_debug and mode == RenderingMode.NORMAL_BASIC):
+    # debug overlays sample render-res G-buffer data against the output-res
+    # LDR; they stay native-res-only
+    if not (csm_debug and mode == RenderingMode.NORMAL_BASIC) or upscale:
         g.get("CSMDebug").enabled = False
 
     return g
@@ -758,14 +773,19 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
 def initial_frame_state(width: int, height: int,
                         direct_mode: str = "simple",
                         indirect_mode: str = "none",
-                        scene_bounds=None) -> Dict[str, jnp.ndarray]:
+                        scene_bounds=None,
+                        out_width: int = None,
+                        out_height: int = None) -> Dict[str, jnp.ndarray]:
     """Persistent resources seed (ref persistent render-graph resources:
-    exposure, HZB, TAA history, light reservoirs — src/CommonRenderers.cpp)."""
+    exposure, HZB, TAA history, light reservoirs — src/CommonRenderers.cpp).
+    out_* differ from width/height under TAA upscaling (the history lives at
+    OUTPUT resolution)."""
     h0, w0, levels = hzbops.hzb_sizes(width, height)
     state = {
         "exposure": jnp.float32(1.0),
         "hzb": jnp.zeros((levels, h0, w0), jnp.float32),
-        "taa_history": jnp.zeros((height, width, 3), jnp.float32),
+        "taa_history": jnp.zeros((out_height or height, out_width or width, 3),
+                                 jnp.float32),
         "taa_valid": jnp.bool_(False),
     }
     if direct_mode == "restir":
@@ -803,8 +823,11 @@ class DeferredRenderer:
                  direct_mode: str = None,
                  indirect_mode: str = None,
                  max_per_tile: int = None,
-                 env_as_lights: bool = False):
+                 env_as_lights: bool = False,
+                 out_width: int = None, out_height: int = None):
         self.width, self.height = width, height
+        self.out_width = out_width or width
+        self.out_height = out_height or height
         cap = max(int(gpu.lod0_pair_capacity), 1)
         if with_rt_shadows is None:
             with_rt_shadows = rt is not None
@@ -842,14 +865,18 @@ class DeferredRenderer:
                                           use_regir=bool(getattr(
                                               config, "regir", False)),
                                           scene_bounds=_bounds,
-                                          env_as_lights=env_as_lights)
+                                          env_as_lights=env_as_lights,
+                                          out_width=self.out_width,
+                                          out_height=self.out_height)
         self.streaming = gpu.tex_stream is not None
         c_np = _np.asarray(gpu.inst_center)
         r_np = _np.asarray(gpu.inst_radius)[:, None]
         bounds = ((c_np - r_np).min(0), (c_np + r_np).max(0))
         self.state = initial_frame_state(width, height, direct_mode=direct_mode,
                                          indirect_mode=indirect_mode,
-                                         scene_bounds=bounds)
+                                         scene_bounds=bounds,
+                                         out_width=self.out_width,
+                                         out_height=self.out_height)
         self.config = config
         self._jitted = None
 

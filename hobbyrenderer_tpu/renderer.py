@@ -125,7 +125,9 @@ class Renderer:
             self._model = DeferredRenderer(self.gpu, cfg.render_width,
                                            cfg.render_height, config=cfg,
                                            rt=rt, mode=self.mode,
-                                           env_as_lights=self._env_as_lights)
+                                           env_as_lights=self._env_as_lights,
+                                           out_width=cfg.width,
+                                           out_height=cfg.height)
 
     def set_mode(self, mode: str):
         """Rendering-mode switch: rebuild the model graph (persistent state of the

@@ -396,3 +396,32 @@ def test_pt_emissive_nee_matches_quadrature():
     # quadrature; anything beyond ~10% means a broken MIS half
     assert -0.06 < rel.min() and rel.max() < 0.12, \
         f"PT {got} vs quadrature {expect} (rel {rel})"
+
+
+def test_taau_upscale_converges_to_native():
+    """TAA UPSCALING (FSR3 upscaler capability): a static scene rendered at
+    0.5x with --render-scale must converge toward the native render as jitter
+    sweeps sub-pixel positions — far closer than a single upscaled frame."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+
+    W, H = 128, 96
+    cfg_u = Config(scene="cube", width=W, height=H, render_scale=0.5,
+                   mode=RenderingMode.NORMAL_BASIC)
+    r_u = Renderer(cfg_u)
+    first = np.asarray(r_u.render_frame()).astype(np.float64)
+    assert first.shape == (H, W, 3), first.shape
+    for _ in range(40):
+        up = np.asarray(r_u.render_frame()).astype(np.float64)
+
+    cfg_n = Config(scene="cube", width=W, height=H,
+                   mode=RenderingMode.NORMAL_BASIC)
+    r_n = Renderer(cfg_n)
+    for _ in range(41):
+        native = np.asarray(r_n.render_frame()).astype(np.float64)
+
+    rmse_conv = np.sqrt(((up - native) ** 2).mean())
+    rmse_first = np.sqrt(((first - native) ** 2).mean())
+    assert rmse_conv < rmse_first * 0.65, \
+        f"TAAU never converged: first {rmse_first:.2f} -> {rmse_conv:.2f}"
+    assert rmse_conv < 14.0, f"converged TAAU too far from native: {rmse_conv}"
