@@ -493,8 +493,18 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         src/DDGIRenderer.cpp:449-548, SURVEY.md §2.6 #44)."""
         from hobbyrenderer_tpu.ops import ddgi as ddgiops
         gb = res["gbuffer"]
-        vol = ddgiops.ddgi_update(res["ddgi_volume"], ctx.gpu, ctx.rt,
-                                  ctx.settings, ctx.vc["frame_index"])
+        # variability-gated tracing (ref DDGI variability reduction): once
+        # the volume has converged, the probe-ray trace is skipped except for
+        # a keep-alive update every 8th frame (catches slow scene changes)
+        prev_vol = res["ddgi_volume"]
+        frame = ctx.vc["frame_index"]
+        do_trace = (prev_vol.variability > 0.01) | (frame % 8 == 0)
+        vol = jax.lax.cond(
+            do_trace,
+            lambda v: ddgiops.ddgi_update(v, ctx.gpu, ctx.rt, ctx.settings,
+                                          frame),
+            lambda v: v,
+            prev_vol)
         s = 4
         sh, sw = height // s, width // s
         pos = gb.world_pos[::s, ::s][:sh, :sw].reshape(-1, 3)

@@ -45,7 +45,7 @@ class DDGIVolume:
     aux data (shapes derive from it), the rest are device arrays."""
 
     def __init__(self, origin, spacing, counts, irradiance, distance, alive,
-                 offset=None):
+                 offset=None, variability=None):
         self.origin = origin          # (3,) grid min corner
         self.spacing = spacing        # (3,) probe spacing
         self.counts = tuple(counts)   # (Px, Py, Pz) static
@@ -54,20 +54,25 @@ class DDGIVolume:
         self.alive = alive            # (P,) f32 1 = usable (classification)
         self.offset = (jnp.zeros((irradiance.shape[0], 3), jnp.float32)
                        if offset is None else offset)  # relocation offsets
+        # ref DDGI variability reduction: relative per-update irradiance
+        # change; drives converged-volume trace skipping
+        self.variability = (jnp.float32(1.0) if variability is None
+                            else variability)
 
     def tree_flatten(self):
         return ((self.origin, self.spacing, self.irradiance, self.distance,
-                 self.alive, self.offset), self.counts)
+                 self.alive, self.offset, self.variability), self.counts)
 
     @classmethod
     def tree_unflatten(cls, counts, leaves):
-        origin, spacing, irr, dist, alive, offset = leaves
-        return cls(origin, spacing, counts, irr, dist, alive, offset)
+        origin, spacing, irr, dist, alive, offset, varb = leaves
+        return cls(origin, spacing, counts, irr, dist, alive, offset, varb)
 
     def _replace(self, **kw):
         d = dict(origin=self.origin, spacing=self.spacing, counts=self.counts,
                  irradiance=self.irradiance, distance=self.distance,
-                 alive=self.alive, offset=self.offset)
+                 alive=self.alive, offset=self.offset,
+                 variability=self.variability)
         d.update(kw)
         return DDGIVolume(**d)
 
@@ -216,7 +221,13 @@ def ddgi_update(vol: DDGIVolume, gpu, rt, settings, frame) -> DDGIVolume:
     close = (~buried) & (d_ff < 0.15 * min_ax)
     off = off - dir_ff * jnp.where(close, 0.15 * min_ax - d_ff, 0.0)[:, None]
     off = jnp.clip(off, -0.45 * vol.spacing, 0.45 * vol.spacing)
-    return vol._replace(irradiance=irr, distance=dst, alive=alive, offset=off)
+
+    # ---- variability (ref DDGI variability reduction): relative change of
+    # the irradiance field this update — the volume's convergence metric ----
+    varb = jnp.mean(jnp.abs(irr - vol.irradiance)) \
+        / jnp.maximum(jnp.mean(jnp.abs(irr)), 1e-6)
+    return vol._replace(irradiance=irr, distance=dst, alive=alive, offset=off,
+                        variability=varb)
 
 
 def _oct_sample(tex, dirs):

@@ -229,6 +229,11 @@ class Renderer:
             out["stream_free_pages"] = len(st.free_pages)
             out["stream_budget_pages"] = st.budget_pages
             out["stream_resident_mips"] = st.resident.tolist()
+        state = getattr(self._model, "state", None)
+        vol = state.get("ddgi_volume") if isinstance(state, dict) else None
+        if vol is not None:
+            # convergence metric (ref DDGI variability reduction)
+            out["ddgi_variability"] = float(np.asarray(vol.variability))
         return out
 
     def describe_graph(self) -> str:

@@ -166,3 +166,29 @@ def test_ddgi_probe_relocation_rescues_buried_probes():
     assert (alive[:, 1, :] == 1).all(), "relocated probes must come alive"
     # interior probes stay put (no spurious drift)
     assert (np.abs(off[:, 2, :, :]).max() < 0.2), off[:, 2]
+
+
+def test_ddgi_variability_converges_and_gates_tracing():
+    """Ref DDGI variability reduction: the metric decays on a static scene,
+    and once converged the deferred pass skips tracing (volume frozen except
+    the every-8th-frame keep-alive)."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+    cfg = Config(scene="stress:3", width=64, height=48,
+                 mode=RenderingMode.NORMAL, indirect_mode="ddgi")
+    r = Renderer(cfg)
+    varbs = []
+    for _ in range(12):
+        r.render_frame()
+        varbs.append(float(np.asarray(r._model.state["ddgi_volume"]
+                                      .variability)))
+    assert varbs[-1] < varbs[0] * 0.5 or varbs[-1] < 0.02, varbs
+    assert "ddgi_variability" in r.stats()
+    if varbs[-1] < 0.01:
+        # converged: a non-multiple-of-8 frame must leave the volume frozen
+        while (r.frame_index + 1) % 8 == 0:
+            r.render_frame()
+        before = np.asarray(r._model.state["ddgi_volume"].irradiance)
+        r.render_frame()
+        after = np.asarray(r._model.state["ddgi_volume"].irradiance)
+        assert np.array_equal(before, after), "converged volume must freeze"
