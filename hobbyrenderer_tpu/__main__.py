@@ -61,6 +61,9 @@ def main(argv=None):
     p.add_argument("--env-lights", dest="env_lights", type=int, default=0,
                    help="discretize the envmap into N pool directional "
                         "lights for ReSTIR/PT NEE (ref env PDF presampling)")
+    p.add_argument("--denoiser", type=str, default="relax",
+                   choices=("relax", "reblur"),
+                   help="NRD-class denoiser profile (ref REBLUR/RELAX)")
     p.add_argument("--regir", action="store_true",
                    help="ReGIR world-space reservoir grid for ReSTIR initial "
                         "candidates (ref RTXDI ReGIR)")
@@ -75,7 +78,7 @@ def main(argv=None):
                  execute_per_pass=a.execute_per_pass,
                  direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,
                  indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug,
-                 csm_debug=a.csm_debug, regir=a.regir,
+                 csm_debug=a.csm_debug, regir=a.regir, denoiser=a.denoiser,
                  envmap=a.envmap, env_lights=a.env_lights,
                  tex_streaming=a.tex_streaming,
                  tex_budget_mb=a.tex_budget_mb)

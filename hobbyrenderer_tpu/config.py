@@ -114,6 +114,7 @@ class Config:
     ddgi_debug: bool = False              # probe visualization overlay
     csm_debug: bool = False               # cascade debug view (ref CSMDebugRenderer)
     regir: bool = False                   # ReGIR world-space light grid (ref RTXDI)
+    denoiser: str = "relax"               # "relax" | "reblur" (ref NRD pipelines)
     env_lights: int = 0                   # envmap -> N pool directionals (ref env PDF presampling)
     tex_streaming: bool = False           # budgeted texture residency (scene/streaming.py)
     tex_budget_mb: int = 64               # streamed texel pool budget

@@ -76,7 +76,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          scene_bounds=None,
                          env_as_lights: bool = False,
                          out_width: int = None,
-                         out_height: int = None) -> RenderGraph:
+                         out_height: int = None,
+                         denoiser_profile: str = "relax") -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
@@ -384,11 +385,13 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                  writes=("restir_direct", "denoise_state"),
                  persistent=("denoise_state",))
     def _denoise(ctx, res):
-        """RELAX-class denoise of the stochastic direct signal (ref
-        NrdIntegration, SURVEY.md §2.6 #53)."""
+        """NRD-class denoise of the stochastic direct signal (ref
+        NrdIntegration, SURVEY.md §2.6 #53): RELAX or REBLUR profile
+        (--denoiser)."""
         from hobbyrenderer_tpu.ops import denoise as dnops
         out, st = dnops.denoise(res["restir_direct"], res["gbuffer"],
-                                res["denoise_state"])
+                                res["denoise_state"],
+                                profile=denoiser_profile)
         res["restir_direct"] = out
         res["denoise_state"] = st
 
@@ -877,7 +880,10 @@ class DeferredRenderer:
                                           scene_bounds=_bounds,
                                           env_as_lights=env_as_lights,
                                           out_width=self.out_width,
-                                          out_height=self.out_height)
+                                          out_height=self.out_height,
+                                          denoiser_profile=getattr(
+                                              config, "denoiser", "relax")
+                                          or "relax")
         self.streaming = gpu.tex_stream is not None
         c_np = _np.asarray(gpu.inst_center)
         r_np = _np.asarray(gpu.inst_radius)[:, None]

@@ -120,12 +120,16 @@ def _tap(x_e, dy, dx, pad, H, W):
 
 def atrous_filter(color, var, gb, iterations: int = 3,
                   sigma_z: float = 1.0, sigma_n: float = 64.0,
-                  sigma_l: float = 4.0, shard=None):
+                  sigma_l: float = 4.0, shard=None, radius_px=None):
     """Edge-aware A-trous wavelet chain (ref RELAX/SVGF spatial filter).
 
     Taps are edge-clamped static slices over a halo-extended domain (the
     previous jnp.roll formulation wrapped at image edges — wrong there, and
-    wrong at every band boundary under sharding)."""
+    wrong at every band boundary under sharding).
+
+    radius_px (H, W), optional: per-pixel kernel radius in pixels — taps
+    farther than it fade out (the REBLUR-class accumulation-shrinking
+    kernel). None keeps the full RELAX footprint."""
     H, W = color.shape[0], color.shape[1]
     pad = ATROUS_PAD
     n_e = _pad_cols(shu.extend_rows(gb.normal, pad, shard), pad)
@@ -156,6 +160,11 @@ def atrous_filter(color, var, gb, iterations: int = 3,
                 w_l = jnp.exp(-jnp.abs(sl - lum_c)
                               / (sigma_l * std + 1e-4))
                 w = k * w_n * w_z * w_l
+                if radius_px is not None:
+                    # smooth cutoff at the per-pixel radius (REBLUR profile)
+                    r_tap = step * float((dx * dx + dy * dy) ** 0.5)
+                    w = w * jnp.clip(2.0 * (radius_px / r_tap - 0.5),
+                                     0.0, 1.0)
                 acc = acc + sc * w[..., None]
                 acc_w = acc_w + w
                 acc_v = acc_v + sv * w * w
@@ -164,8 +173,21 @@ def atrous_filter(color, var, gb, iterations: int = 3,
     return color
 
 
-def denoise(signal, gb, state: DenoiseState, shard=None):
-    """Full RELAX-class chain. Returns (denoised, new_state)."""
+def denoise(signal, gb, state: DenoiseState, shard=None,
+            profile: str = "relax"):
+    """Full denoise chain. Returns (denoised, new_state).
+
+    profile 'relax': fixed-footprint variance-guided A-trous (ref RELAX).
+    profile 'reblur': accumulation-driven shrinking kernel (ref REBLUR): the
+    spatial radius collapses as per-pixel history lengthens, converging to
+    the temporally-accumulated signal on static scenes instead of keeping a
+    residual spatial blur."""
     color, var, new_state = temporal_accumulate(signal, gb, state, shard=shard)
-    out = atrous_filter(color, var, gb, shard=shard)
+    radius = None
+    if profile == "reblur":
+        hist = new_state.history
+        # 8 px with no history -> sub-pixel (near-identity) as the temporal
+        # accumulation converges; the floor keeps a minimal firefly filter
+        radius = jnp.maximum(8.0 / (1.0 + 0.5 * hist), 0.7)
+    out = atrous_filter(color, var, gb, shard=shard, radius_px=radius)
     return out, new_state

@@ -199,3 +199,46 @@ def test_regir_e2e_frame():
     im = np.asarray(ldr)
     assert np.isfinite(im.astype(np.float64)).all()
     assert (im.sum(-1) > 0).mean() > 0.5
+
+
+def test_reblur_profile_shrinks_kernel_with_history():
+    """REBLUR-class profile: once history accumulates on a static scene, the
+    kernel collapses toward the temporally-accumulated signal, preserving
+    detail a fixed RELAX footprint blurs away."""
+    import jax
+    from hobbyrenderer_tpu.ops import denoise as dnops
+    H_, W_ = 48, 64
+    rng = np.random.default_rng(0)
+
+    class GB:
+        normal = jnp.asarray(np.tile([0, 0, 1.0], (H_, W_, 1)), jnp.float32)
+        depth = jnp.ones((H_, W_), jnp.float32)
+        motion = jnp.zeros((H_, W_, 2), jnp.float32)
+        valid = jnp.ones((H_, W_), bool)
+
+    gb = GB()
+    # LOW-CONTRAST detail (amplitude ~ noise): luminance edge-stopping cannot
+    # separate it from noise, so only the kernel footprint decides its fate
+    yy, xx = np.mgrid[0:H_, 0:W_]
+    checker = (((xx // 4) ^ (yy // 4)) & 1).astype(np.float32)
+    base = np.tile((0.5 + 0.2 * checker)[..., None], (1, 1, 3))
+
+    def run(profile, frames=24):
+        st = dnops.denoise_init(H_, W_)
+        for k in range(frames):
+            noise = rng.normal(0, 0.25, (H_, W_, 3)).astype(np.float32)
+            sig = jnp.asarray(np.maximum(base + noise, 0.0))
+            out, st = dnops.denoise(sig, gb, st, profile=profile)
+        return np.asarray(out)
+
+    out_rb = run("reblur")
+    rng = np.random.default_rng(0)
+    out_rx = run("relax")
+    # surviving checker contrast: white-cell mean minus black-cell mean
+    def contrast(im):
+        return float(im[..., 0][checker > 0.5].mean()
+                     - im[..., 0][checker < 0.5].mean())
+    c_rb, c_rx = contrast(out_rb), contrast(out_rx)
+    assert c_rb > c_rx * 1.15, \
+        f"reblur kernel never shrank: reblur {c_rb:.3f} vs relax {c_rx:.3f}"
+    assert c_rb > 0.12, f"reblur lost the detail too: {c_rb:.3f}"
