@@ -899,7 +899,7 @@ class DeferredRenderer:
     def frame_fn(self, gpu, rt, vc, settings, state, dt):
         ctx = FrameContext(gpu=gpu, vc=vc, settings=settings, config=self.config,
                            dt=dt, rt=rt)
-        outputs = ("ldr", "raster_overflow", "visible_count",
+        outputs = ("ldr", "hdr", "raster_overflow", "visible_count",
                    "occluded_count", "phase2_count", "exposure")
         if self.streaming:
             outputs += ("tex_feedback",)
@@ -909,7 +909,8 @@ class DeferredRenderer:
                  "visible_pairs": o["visible_count"],
                  "occluded_pairs": o["occluded_count"],
                  "phase2_pairs": o["phase2_count"],
-                 "exposure": o["exposure"]}
+                 "exposure": o["exposure"],
+                 "hdr_frame": o["hdr"]}
         if self.streaming:
             stats["tex_feedback"] = o["tex_feedback"]
         return o["ldr"], stats, out["state"]

@@ -64,6 +64,38 @@ def decode_hdr(data: bytes) -> np.ndarray:
     return (out[..., :3].astype(np.float32) + 0.5) * scale[..., None]
 
 
+def encode_hdr(img: np.ndarray) -> bytes:
+    """(H, W, 3) f32 linear -> Radiance RGBE bytes (flat scanlines).
+
+    The HDR-output path (ref HDRRenderer's scRGB HDR-display branch,
+    src/HDRRenderer.cpp / Tonemap.hlsl): the framework is headless, so the
+    linear HDR frame is persisted as a .hdr file instead of scanned out."""
+    img = np.maximum(np.asarray(img, np.float32), 0.0)
+    H, W = img.shape[:2]
+    m = img.max(-1)
+    e = np.where(m > 1e-32, np.ceil(np.log2(np.maximum(m, 1e-32))) + 1, -128)
+    scale = np.where(m > 1e-32, np.exp2(8.0 - e), 0.0)
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(m > 1e-32, e + 128, 0).astype(np.uint8)
+    head = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+            + f"-Y {H} +X {W}\n".encode())
+    if W < 8 or W > 0x7FFF:
+        return head + rgbe.tobytes()          # flat (the unambiguous range)
+    # adaptive-RLE scanlines with all-literal blocks (a flat scanline whose
+    # first R byte happens to be 2 would be misparsed as RLE by any reader)
+    out = [head]
+    wm = W.to_bytes(2, "big")
+    for y in range(H):
+        out.append(b"\x02\x02" + wm)
+        for c in range(4):
+            row = rgbe[y, :, c]
+            for x0 in range(0, W, 128):
+                n = min(128, W - x0)
+                out.append(bytes([n]) + row[x0:x0 + n].tobytes())
+    return b"".join(out)
+
+
 def load_envmap(path: str, max_width: int = 2048) -> np.ndarray:
     """Decode an environment image file -> (H, W, 3) f32 LINEAR radiance."""
     if path.lower().endswith(".hdr"):

@@ -198,8 +198,19 @@ class Renderer:
                 "ms_per_frame": wall / max(num_frames, 1) * 1e3}
 
     def save_screenshot(self, path: str):
-        """Ref SaveBackBufferScreenshot (src/Renderer.cpp:218-271)."""
+        """Ref SaveBackBufferScreenshot (src/Renderer.cpp:218-271). A .hdr
+        path writes the LINEAR pre-tonemap frame as Radiance RGBE — the
+        headless analogue of the reference's scRGB HDR-display output."""
         assert self.last_frame is not None, "render a frame first"
+        if path.lower().endswith(".hdr"):
+            from hobbyrenderer_tpu.ops.envmap import encode_hdr
+            hdr = getattr(self._model, "last_stats", {}).get("hdr_frame")
+            if hdr is None:
+                hdr = getattr(self._model, "accum", None)   # path tracer
+            assert hdr is not None, "model exposes no HDR frame"
+            with open(path, "wb") as f:
+                f.write(encode_hdr(np.asarray(hdr)))
+            return
         write_png(path, np.asarray(self.last_frame))
 
     # -- observability -------------------------------------------------------
@@ -221,7 +232,7 @@ class Renderer:
         s = getattr(self._model, "last_stats", None)
         out = ({} if s is None
                else {k: np.asarray(v).item() for k, v in s.items()
-                     if k != "tex_feedback"})
+                     if k not in ("tex_feedback", "hdr_frame")})
         if self.streamer is not None:
             # residency dashboard row (ref Streaming UI: pool occupancy,
             # per-material resident mips)

@@ -136,3 +136,28 @@ def test_env_lights_restir_matches_pt(tmp_path):
         means[mode] = (acc / frames).mean()
     ratio = means["normal"] / max(means["path_tracer"], 1e-6)
     assert 0.6 < ratio < 1.7, f"deferred/PT mismatch: {means} ratio={ratio}"
+
+
+def test_hdr_encode_decode_roundtrip():
+    rng = np.random.default_rng(4)
+    img = (rng.random((24, 48, 3)).astype(np.float32) * 8.0) ** 2  # HDR range
+    img[3, 5] = 0.0
+    back = envops.decode_hdr(envops.encode_hdr(img))
+    # RGBE quantization: ~1/256 of the PIXEL max (shared exponent)
+    err = np.abs(back - img) / np.maximum(img.max(-1, keepdims=True), 1e-3)
+    assert err.max() < 0.01, err.max()
+    assert back[3, 5].max() < img.max() / 128.0
+
+
+def test_hdr_screenshot(tmp_path):
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+    cfg = Config(scene="cube", width=64, height=48,
+                 mode=RenderingMode.NORMAL_BASIC)
+    r = Renderer(cfg)
+    r.render_frame()
+    p = str(tmp_path / "shot.hdr")
+    r.save_screenshot(p)
+    img = envops.decode_hdr(open(p, "rb").read())
+    assert img.shape == (48, 64, 3)
+    assert np.isfinite(img).all() and img.max() > 0.01
