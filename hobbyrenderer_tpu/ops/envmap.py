@@ -75,7 +75,7 @@ def encode_hdr(img: np.ndarray) -> bytes:
     m = img.max(-1)
     e = np.where(m > 1e-32, np.ceil(np.log2(np.maximum(m, 1e-32))) + 1, -128)
     # clamp the dead-pixel exponent before exp2 (f32 overflow warning only)
-    scale = np.where(m > 1e-32, np.exp2(8.0 - np.maximum(e, -120.0)), 0.0)
+    scale = np.where(m > 1e-32, np.exp2(8.0 - np.maximum(e, -30.0)), 0.0)
     rgbe = np.zeros((H, W, 4), np.uint8)
     rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
     rgbe[..., 3] = np.where(m > 1e-32, e + 128, 0).astype(np.uint8)
