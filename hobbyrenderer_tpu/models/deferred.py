@@ -577,14 +577,19 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         ibl_scale = ctx.settings.ibl_intensity * ctx.settings.ambient_scale
         if mode == RenderingMode.IBL:
             ibl_scale = ibl_scale * 2.0   # IBL-dominant mode (ref ApplyRenderingModeDefaults)
-        env_fn = None
-        if ctx.gpu.env_map is not None:
-            from hobbyrenderer_tpu.ops import envmap as envops
-            env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map, d)
-        ambient = iblops.ibl_ambient(res["sky_irradiance"], gb.normal, v,
-                                     gb.albedo, metal, rough,
-                                     _scene_sun_dir(ctx), ctx.settings,
-                                     intensity=ibl_scale, env_fn=env_fn)
+        if env_as_lights:
+            # the env rides the ReSTIR pool (diffuse AND specular through
+            # eval_brdf) — any ambient term would double count it
+            ambient = jnp.zeros_like(gb.albedo)
+        else:
+            env_fn = None
+            if ctx.gpu.env_map is not None:
+                from hobbyrenderer_tpu.ops import envmap as envops
+                env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map, d)
+            ambient = iblops.ibl_ambient(res["sky_irradiance"], gb.normal, v,
+                                         gb.albedo, metal, rough,
+                                         _scene_sun_dir(ctx), ctx.settings,
+                                         intensity=ibl_scale, env_fn=env_fn)
         hdr = direct + ambient + gb.emissive
         if use_sharc:
             hdr = hdr + res["sharc_indirect"]
@@ -654,15 +659,18 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             direct = shadeops.shade_all_lights(ctx.gpu, tgb.world_pos,
                                                tgb.normal, v, tgb.albedo,
                                                metal, rough)
-            env_fn = None
-            if ctx.gpu.env_map is not None:
-                from hobbyrenderer_tpu.ops import envmap as envops
-                env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map, d)
-            ambient = iblops.ibl_ambient(res["sky_irradiance"], tgb.normal, v,
-                                         tgb.albedo, metal, rough,
-                                         _scene_sun_dir(ctx), ctx.settings,
-                                         intensity=ctx.settings.ibl_intensity,
-                                         env_fn=env_fn)
+            if env_as_lights:
+                ambient = jnp.zeros_like(tgb.albedo)
+            else:
+                env_fn = None
+                if ctx.gpu.env_map is not None:
+                    from hobbyrenderer_tpu.ops import envmap as envops
+                    env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map,
+                                                              d)
+                ambient = iblops.ibl_ambient(
+                    res["sky_irradiance"], tgb.normal, v, tgb.albedo, metal,
+                    rough, _scene_sun_dir(ctx), ctx.settings,
+                    intensity=ctx.settings.ibl_intensity, env_fn=env_fn)
             shaded = direct + ambient + tgb.emissive
             # coverage/transmission from the material table
             mat = jnp.maximum(tgb.material, 0)
@@ -885,12 +893,9 @@ class DeferredRenderer:
                                               config, "denoiser", "relax")
                                           or "relax")
         self.streaming = gpu.tex_stream is not None
-        c_np = _np.asarray(gpu.inst_center)
-        r_np = _np.asarray(gpu.inst_radius)[:, None]
-        bounds = ((c_np - r_np).min(0), (c_np + r_np).max(0))
         self.state = initial_frame_state(width, height, direct_mode=direct_mode,
                                          indirect_mode=indirect_mode,
-                                         scene_bounds=bounds,
+                                         scene_bounds=_bounds,
                                          out_width=self.out_width,
                                          out_height=self.out_height)
         self.config = config

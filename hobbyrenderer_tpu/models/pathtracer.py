@@ -304,11 +304,15 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
             # authored environment map: the miss shader samples it directly
             # (ref IBL background; the envmap replaces the procedural sky).
             # With env-as-lights the env energy rides NEE's directional set,
-            # so secondary misses return 0 (the sun-disk pattern above)
+            # so misses return 0 EXCEPT for NEE-unreachable transports
+            # (primary rays, transmission, alpha pass-through — marked by
+            # prev_pdf <= 0, same as the emissive-MIS convention): NEE's
+            # eval_brdf covers only the reflection side, so zeroing the env
+            # behind glass/cutouts would lose that energy entirely
             from hobbyrenderer_tpu.ops import envmap as envops
             sky = envops.sample_equirect(gpu.env_map, d)
             if env_as_lights:
-                sky = jnp.where(bounce == 0, sky, 0.0)
+                sky = jnp.where((prev_pdf <= 0.0)[..., None], sky, 0.0)
         else:
             sky_nd = skyops.sky_radiance(d, gpu.light_dir[sun_idx], settings,
                                          with_sun_disk=False)

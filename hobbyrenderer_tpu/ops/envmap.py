@@ -73,9 +73,12 @@ def encode_hdr(img: np.ndarray) -> bytes:
     img = np.maximum(np.asarray(img, np.float32), 0.0)
     H, W = img.shape[:2]
     m = img.max(-1)
+    # exponent clamped to the representable RGBE range [-105, 127] and used
+    # CONSISTENTLY for both the mantissa scale and the exponent byte (a
+    # scale-only clamp silently mis-encoded pixels dimmer than 2^-31)
     e = np.where(m > 1e-32, np.ceil(np.log2(np.maximum(m, 1e-32))) + 1, -128)
-    # clamp the dead-pixel exponent before exp2 (f32 overflow warning only)
-    scale = np.where(m > 1e-32, np.exp2(8.0 - np.maximum(e, -30.0)), 0.0)
+    e = np.clip(e, -105.0, 127.0)
+    scale = np.where(m > 1e-32, np.exp2(8.0 - e), 0.0)   # 2^113 max: f32-safe
     rgbe = np.zeros((H, W, 4), np.uint8)
     rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
     rgbe[..., 3] = np.where(m > 1e-32, e + 128, 0).astype(np.uint8)
@@ -98,7 +101,17 @@ def encode_hdr(img: np.ndarray) -> bytes:
 
 
 def load_envmap(path: str, max_width: int = 2048) -> np.ndarray:
-    """Decode an environment image file -> (H, W, 3) f32 LINEAR radiance."""
+    """Decode an environment image file -> (H, W, 3) f32 LINEAR radiance.
+
+    Decoded results are cached as .npy next to the source (mtime-validated):
+    the RLE decode is an interpreted per-run loop, multiple seconds for a
+    2k x 1k map, and envmaps are static assets."""
+    cache = path + f".{max_width}.npy"
+    try:
+        if os.path.getmtime(cache) >= os.path.getmtime(path):
+            return np.load(cache)
+    except OSError:
+        pass
     if path.lower().endswith(".hdr"):
         with open(path, "rb") as f:
             img = decode_hdr(f.read())
@@ -109,7 +122,12 @@ def load_envmap(path: str, max_width: int = 2048) -> np.ndarray:
     while img.shape[1] > max_width:
         h2, w2 = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
         img = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, 3).mean((1, 3))
-    return np.ascontiguousarray(img, np.float32)
+    img = np.ascontiguousarray(img, np.float32)
+    try:
+        np.save(cache, img)
+    except OSError:
+        pass
+    return img
 
 
 def sample_equirect(env: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:

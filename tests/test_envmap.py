@@ -147,6 +147,11 @@ def test_hdr_encode_decode_roundtrip():
     err = np.abs(back - img) / np.maximum(img.max(-1, keepdims=True), 1e-3)
     assert err.max() < 0.01, err.max()
     assert back[3, 5].max() < img.max() / 128.0
+    # very dim pixels keep a consistent exponent byte (regression: a
+    # scale-only clamp mis-encoded anything below 2^-31)
+    dim = np.full((2, 8, 3), 2.0 ** -35, np.float32)
+    back_dim = envops.decode_hdr(envops.encode_hdr(dim))
+    assert np.allclose(back_dim, dim, rtol=0.01), back_dim[0, 0]
 
 
 def test_hdr_screenshot(tmp_path):
