@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from hobbyrenderer_tpu.ops import ibl as iblops
 from hobbyrenderer_tpu.ops import sampling as smp
 from hobbyrenderer_tpu.utils import math as hm
-from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 
 MARCH_STEPS = 8
 MARCH_DISTANCE = 4.0      # world units
@@ -34,12 +33,16 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2):
     alb = gb.albedo[::scale, ::scale][:sh, :sw].reshape(-1, 3)
     valid = gb.valid[::scale, ::scale][:sh, :sw].reshape(-1)
     R = pos.shape[0]
-    pix = jnp.arange(R, dtype=jnp.uint32)
     frame = jnp.asarray(frame_index).astype(jnp.uint32)
-    bits = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
-                            jnp.full_like(pix, 91)], -1))
-    u1 = uniform_from_bits(bits[..., 0])
-    u2 = uniform_from_bits(bits[..., 1])
+    # spatiotemporal blue-noise ray jitter (ref vendored LDR_RG01_0.png blue
+    # noise): neighboring pixels get maximally-separated hemisphere samples,
+    # so the A-trous/temporal filters see high-frequency error instead of
+    # white-noise clumps; golden-ratio rotation keeps the temporal mean flat
+    from hobbyrenderer_tpu.utils import bluenoise as bn
+    u1 = bn.animate(bn.tile_for(bn.blue_noise(seed=0), sh, sw),
+                    frame).reshape(R)
+    u2 = bn.animate(bn.tile_for(bn.blue_noise(seed=1), sh, sw),
+                    frame * jnp.uint32(7) + jnp.uint32(3)).reshape(R)
     d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
 
     VP = vc["view_proj_no_jitter"]
