@@ -117,8 +117,16 @@ def hzb_test_spheres(hzb: jnp.ndarray, levels: int, vc, centers_world, radii,
 
     h0, w0 = hzb.shape[-2], hzb.shape[-1]
     # the IMAGE occupies only the top-left (he0, we0) of each level (build_hzb
-    # fixed-stride fold); uv maps through that extent, NOT (h0, w0)
-    he0, we0 = (float(h0), float(w0)) if eff_hw is None else eff_hw
+    # fixed-stride fold); uv maps through that extent, NOT (h0, w0) — mapping
+    # through the padded size caused false culls whenever W < fx*w0. When the
+    # caller passes no eff_hw, derive it from the viewport (traced floats are
+    # fine: the extent only feeds float uv math).
+    if eff_hw is None:
+        Wv, Hv = vc["viewport"][0], vc["viewport"][1]
+        he0 = Hv / jnp.ceil(Hv / h0)
+        we0 = Wv / jnp.ceil(Wv / w0)
+    else:
+        he0, we0 = eff_hw
     # uv AABB in [0,1] with y flip
     u0 = jnp.clip(mn[..., 0] * 0.5 + 0.5, 0.0, 1.0)
     u1 = jnp.clip(mx[..., 0] * 0.5 + 0.5, 0.0, 1.0)

@@ -41,6 +41,8 @@ class LightPool(NamedTuple):
     em_e2: jnp.ndarray        # (E, 3)
     em_rad: jnp.ndarray       # (E, 3) emitted radiance (material emissive)
     em_orig: jnp.ndarray      # (E,) i32 original flat tri id (refit mapping)
+    em_scale: jnp.ndarray     # (E,) f32 subsample power-conservation scale
+    #                           (em_rad = material emissive * em_scale)
     power_cdf: jnp.ndarray    # (A + E,) f32 normalized inclusive power CDF
     power_pdf: jnp.ndarray    # (A + E,) f32 selection probability per light
     # ONE-ROW-PER-LIGHT packed table (A + E, 16): per-pixel polymorphic light
@@ -96,6 +98,7 @@ def build_light_pool(scene, gpu) -> LightPool:
         e2 = np.concatenate(e2s, 0)
         rad = np.concatenate(rads, 0)
         orig = np.concatenate(origs, 0)
+        scale_arr = np.ones(v0.shape[0], np.float32)
         if v0.shape[0] > MAX_EMISSIVE_TRIS:
             # subsample uniformly, scaling radiance to conserve total power
             # (log a silent-cap would hide energy loss; scaling keeps it)
@@ -103,12 +106,14 @@ def build_light_pool(scene, gpu) -> LightPool:
             scale = v0.shape[0] / MAX_EMISSIVE_TRIS
             v0, e1, e2, orig = v0[keep], e1[keep], e2[keep], orig[keep]
             rad = rad[keep] * scale
+            scale_arr = np.full(v0.shape[0], scale, np.float32)
     else:
         v0 = np.zeros((1, 3), np.float32)
         e1 = np.zeros((1, 3), np.float32)
         e2 = np.zeros((1, 3), np.float32)
         rad = np.zeros((1, 3), np.float32)
         orig = np.full((1,), -1, np.int32)
+        scale_arr = np.ones(1, np.float32)
 
     E = v0.shape[0]
     A = gpu.light_type.shape[0]
@@ -118,8 +123,23 @@ def build_light_pool(scene, gpu) -> LightPool:
         n_total=jnp.asarray(np.int32(A + ne)),
         em_v0=jnp.asarray(v0), em_e1=jnp.asarray(e1), em_e2=jnp.asarray(e2),
         em_rad=jnp.asarray(rad), em_orig=jnp.asarray(orig),
+        em_scale=jnp.asarray(scale_arr),
         power_cdf=jnp.zeros(A + E), power_pdf=jnp.zeros(A + E))
     return refresh_pool_power(pool, gpu)
+
+
+def refresh_pool_emissive(pool: LightPool, gpu, tri_mat) -> LightPool:
+    """Re-derive em_rad from the CURRENT material table and recompute the
+    power CDF (ref PrepareLights runs every frame): animated emissive
+    strength (.scene.json emissiveIntensity channels) must drive the CAST
+    light, not just the emitter's surface shading. tri_mat: (T,) i32 original
+    flat tri -> material."""
+    from hobbyrenderer_tpu.scene.gpu import MAT_EMISSIVE
+    mat = tri_mat[jnp.maximum(pool.em_orig, 0)]
+    em = gpu.mat_f[mat, MAT_EMISSIVE:MAT_EMISSIVE + 3]
+    rad = jnp.where((pool.em_orig >= 0)[:, None],
+                    em * pool.em_scale[:, None], 0.0)
+    return refresh_pool_power(pool._replace(em_rad=rad), gpu)
 
 
 def pack_pool(pool: LightPool, gpu) -> LightPool:

@@ -86,6 +86,7 @@ def _fallback_pool(gpu):
         n_total=jnp.asarray(A, jnp.int32),
         em_v0=z3, em_e1=z3, em_e2=z3, em_rad=z3,
         em_orig=jnp.full((1,), -1, jnp.int32),
+        em_scale=jnp.ones((1,), jnp.float32),
         power_cdf=jnp.cumsum(jnp.concatenate([p / tot, jnp.zeros(1)])),
         power_pdf=jnp.concatenate([p / tot, jnp.zeros(1)]))
     return lightops.pack_pool(pool, gpu)

@@ -152,13 +152,27 @@ def texture_feedback(mat, lod, n_mats: int, stride: int = 4):
                                ).reshape(n_mats, MAX_MIPS)
 
 
+def _ddx(img):
+    """Forward difference along x, backward at the last column (jnp.roll
+    wrapped to the opposite image edge — garbage derivatives on the border
+    and at every row-band seam under sharding)."""
+    d = img[:, 1:] - img[:, :-1]
+    return jnp.concatenate([d, d[:, -1:]], axis=1)
+
+
+def _ddy(img):
+    """Forward difference along y, backward at the last row."""
+    d = img[1:] - img[:-1]
+    return jnp.concatenate([d, d[-1:]], axis=0)
+
+
 def uv_lod(uv_img, tex_size_img):
     """Mip level from screen-space UV derivatives (visibility-buffer shading
     has no quad derivatives; finite differences stand in — ref HW ddx/ddy).
 
     uv_img (H, W, 2); tex_size_img (H, W). Returns (H, W) fractional lod."""
-    dx = jnp.roll(uv_img, -1, axis=1) - uv_img
-    dy = jnp.roll(uv_img, -1, axis=0) - uv_img
+    dx = _ddx(uv_img)
+    dy = _ddy(uv_img)
     # wrap-aware: a seam crossing produces |duv| ~ 1; modular-minimize
     dx = dx - jnp.round(dx)
     dy = dy - jnp.round(dy)
@@ -172,10 +186,10 @@ def cotangent_frame(n, pos, uv):
     cotangent-frame method — normal mapping without vertex tangents).
 
     n, pos (H, W, 3); uv (H, W, 2). Returns (T, B) world-space."""
-    dp1 = jnp.roll(pos, -1, axis=1) - pos
-    dp2 = jnp.roll(pos, -1, axis=0) - pos
-    duv1 = jnp.roll(uv, -1, axis=1) - uv
-    duv2 = jnp.roll(uv, -1, axis=0) - uv
+    dp1 = _ddx(pos)
+    dp2 = _ddy(pos)
+    duv1 = _ddx(uv)
+    duv2 = _ddy(uv)
     duv1 = duv1 - jnp.round(duv1)
     duv2 = duv2 - jnp.round(duv2)
     # solve for dP/du, dP/dv

@@ -119,40 +119,3 @@ def warp_image(img: jnp.ndarray, motion: jnp.ndarray, shard=None,
     return out[..., 0] if squeeze else out
 
 
-def offset_select(img: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
-                  shard=None, halo: int = 32, radius: int = 16):
-    """Fetch img[y + dy, x + dx] for per-pixel INTEGER offsets bounded by
-    `radius` (ReSTIR-style jittered spatial taps). Offsets are clamped to the
-    framebuffer, then to +-radius. Returns same shape as img.
-
-    Same masked-shift machinery as warp_image but with one-hot weights and no
-    global term (taps are zero-mean by construction)."""
-    H, W = img.shape[0], img.shape[1]
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[..., None]
-    R = radius
-    assert halo >= R
-    y0g = shu.global_y0(shard)
-    full_h = shu.full_height(shard, H)
-    xs = jnp.arange(W, dtype=jnp.int32)
-    ys = jnp.arange(H, dtype=jnp.int32)
-    dxc = jnp.clip(xs[None, :] + dx, 0, W - 1) - xs[None, :]
-    dyc = jnp.clip(ys[:, None] + dy + y0g, 0, full_h - 1) - (ys[:, None] + y0g)
-    dxc = jnp.clip(dxc, -R, R)
-    dyc = jnp.clip(dyc, -R, R)
-
-    ext = shu.extend_rows(img, halo, shard)
-    pad = jnp.pad(ext, ((0, 0), (R, R), (0, 0)), mode="edge")
-    dy_p = jnp.pad(dyc, ((0, 0), (R, R)), mode="edge")
-    t = jnp.zeros((H, W + 2 * R, img.shape[2]), img.dtype)
-    for d in range(-R, R + 1):
-        w = (dy_p == d)
-        t = t + w[..., None] * jax.lax.slice(
-            pad, (halo + R + d, 0, 0), (halo + R + d + H, W + 2 * R, img.shape[2]))
-    out = jnp.zeros((H, W, img.shape[2]), img.dtype)
-    for e in range(-R, R + 1):
-        w = (dxc == e)
-        out = out + w[..., None] * jax.lax.slice(
-            t, (0, R + e, 0), (H, R + e + W, img.shape[2]))
-    return out[..., 0] if squeeze else out

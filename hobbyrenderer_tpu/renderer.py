@@ -144,10 +144,19 @@ class Renderer:
             self.time_s += dt
             self.scene.update(self.time_s)
             dirty_rt = bool(self.scene.dirty_instances)
+            dirty_mat = bool(self.scene.dirty_materials)
             self.gpu = update_instance_transforms(self.gpu, self.scene)
-            if self.scene.dirty_materials:
+            if dirty_mat:
                 from hobbyrenderer_tpu.scene.gpu import update_material_constants
                 self.gpu = update_material_constants(self.gpu, self.scene)
+        rt = getattr(self._model, "rt", None)
+        if dirty_mat and rt is not None and rt.lights is not None:
+            # animated emissive strength must drive the CAST light too: the
+            # pool re-derives em_rad from the fresh material table (ref
+            # PrepareLights every frame)
+            from hobbyrenderer_tpu.ops.lights import refresh_pool_emissive
+            self._model.rt = rt._replace(lights=refresh_pool_emissive(
+                rt.lights, self.gpu, rt.tri_mat))
         if dirty_rt and getattr(self._model, "rt", None) is not None:
             # animated/moved instances: refit the RT BVH on device so shadow
             # rays / ReSTIR visibility / PT stay correct (per-frame TLAS

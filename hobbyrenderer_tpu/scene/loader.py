@@ -511,8 +511,11 @@ def load_scene_json(path: str, cache_dir: Optional[str] = ".hr_cache") -> Scene:
         elif typ == "EnvironmentLight":
             sc.env_map_path = os.path.join(base, nd.get("path", ""))
         mi = nd.get("model")
-        if mi is not None and 0 <= int(mi) < len(model_scenes) \
-                and not attached[int(mi)]:
+        if mi is not None and 0 <= int(mi) < len(model_scenes):
+            # every graph reference attaches (a model may be instanced under
+            # several transforms; the previous first-reference-only guard
+            # silently dropped repeats). Each attach re-merges the model's
+            # meshes — duplicated geometry, but correct rendering.
             fl, fc = _merge_scene(sc, model_scenes[int(mi)], ni)
             fix_lights.extend(fl)
             fix_cams.extend(fc)

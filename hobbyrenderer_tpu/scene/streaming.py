@@ -224,6 +224,13 @@ class TextureStreamer:
                 self.page_tile[p] = -1
                 # that mip is no longer complete
                 self.resident[mi] = max(self.resident[mi], li + 1)
+                # if a partial load of that mip is pending, the evicted tile
+                # must rejoin it — otherwise the pend drains without it and
+                # the mip is claimed complete with a hole (absent key is
+                # fine: the next demand reseeds ALL tiles)
+                key = (mi, li)
+                if key in self._loading:
+                    self._loading[key].add(int(vt) - int(self.vt_base[mi, li]))
                 return int(p)
         return None
 

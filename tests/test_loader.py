@@ -162,3 +162,66 @@ def test_loaded_scene_renders():
     ldr = np.asarray(ldr)
     center = ldr[24, 32].astype(np.int32)
     assert center[0] > center[2], f"red quad expected at center: {center}"
+
+
+def test_scene_json_instances_same_model_twice(tmp_path):
+    """Two graph nodes referencing the same model index must BOTH attach
+    (regression: the first-reference-only guard dropped repeats)."""
+    from hobbyrenderer_tpu.scene.loader import load_scene_json
+    gltf = _tri_gltf(with_anim=False)
+    (tmp_path / "quad.gltf").write_text(json.dumps(gltf))
+    scene_doc = {
+        "models": ["quad.gltf"],
+        "graph": [
+            {"name": "a", "model": 0, "translation": [0, 0, 0]},
+            {"name": "b", "model": 0, "translation": [5, 0, 0]},
+        ],
+    }
+    p = tmp_path / "two.scene.json"
+    p.write_text(json.dumps(scene_doc))
+    sc = load_scene_json(str(p), cache_dir=str(tmp_path / "cache"))
+    quads = [i for i in sc.instances]
+    assert len(quads) == 2, f"expected 2 instances, got {len(quads)}"
+    ws = sorted(float(sc.nodes[I.node].world[0, 3]) for I in sc.instances)
+    assert abs(ws[0] - 0.0) < 1e-4 and abs(ws[1] - 5.0) < 1e-4, ws
+
+
+def test_animated_emissive_refreshes_light_pool():
+    """emissiveIntensity animation must drive the CAST light: the pool's
+    em_rad/power refresh from the updated material table (regression: the
+    pool stayed frozen at load-time strength)."""
+    import jax.numpy as jnp
+    from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
+    from hobbyrenderer_tpu.ops.lights import refresh_pool_emissive
+    from hobbyrenderer_tpu.scene.cooker import cook_mesh
+    from hobbyrenderer_tpu.scene.gpu import (build_scene_gpu,
+                                             update_material_constants)
+    from hobbyrenderer_tpu.scene.procedural import (camera_looking_at,
+                                                    plane_geometry)
+    from hobbyrenderer_tpu.scene.scene import Material, Node, Scene
+    sc = Scene()
+    em = sc.add_material(Material(name="lamp",
+                                  emissive=np.array([1.0, 0.5, 0.25],
+                                                    np.float32),
+                                  emissive_strength=2.0))
+    pos, nrm, uv, idx = plane_geometry(1.0)
+    prim = sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv), material=em)
+    sc.add_node(Node(name="lamp", mesh_primitives=[prim]))
+    sc.cameras.append(camera_looking_at(np.array([0, 2, 2], np.float32),
+                                        np.zeros(3)))
+    sc.finalize()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    rad0 = np.asarray(rt.lights.em_rad)
+    live = np.asarray(rt.lights.em_orig) >= 0
+    assert np.allclose(rad0[live][:, 0], 2.0, atol=1e-5)
+
+    sc.materials[em].emissive_strength = 6.0
+    sc.dirty_materials.add(em)
+    gpu = update_material_constants(gpu, sc)
+    pool = refresh_pool_emissive(rt.lights, gpu, rt.tri_mat)
+    rad1 = np.asarray(pool.em_rad)
+    assert np.allclose(rad1[live][:, 0], 6.0, atol=1e-4), rad1[live]
+    # power CDF follows (3x total power; pdf distribution unchanged here)
+    assert np.asarray(pool.packed)[np.asarray(rt.lights.n_analytic), 10] > \
+        np.asarray(rt.lights.packed)[np.asarray(rt.lights.n_analytic), 10]

@@ -204,3 +204,34 @@ def test_streaming_end_to_end_render():
         assert np.abs(first - b).mean() > err
     finally:
         r_s.shutdown()
+
+
+def test_streaming_residency_honest_under_churn():
+    """Adversarial interleaving (partial loads interrupted by downgrades and
+    LRU recycling): after EVERY apply, any mip claimed resident must have all
+    tiles paged (regression: a recycled page of a partially-pending mip was
+    dropped from the pending set, leaving a permanent hole)."""
+    clock = {"t": 0.0}
+    sc = _textured_scene(res=256, n_mats=3)
+    M = len(sc.materials)
+    tex_mats = [M - 3, M - 2, M - 1]
+    st = TextureStreamer(sc, budget_pages=48, tiles_per_frame=5,
+                         hysteresis_s=0.5, sync_mode=True,
+                         now_fn=lambda: clock["t"])
+    tables = st.initial_tables()
+    rng = np.random.default_rng(9)
+    for step in range(120):
+        clock["t"] += 0.3
+        demands = {m: int(rng.integers(0, 4)) for m in tex_mats
+                   if rng.random() < 0.8}
+        st.publish_feedback(_feedback(M, demands))
+        st.poll()
+        tables = st.apply_updates(tables)
+        pt = np.asarray(tables.page_table)
+        res = np.asarray(tables.mat_resident)
+        for m in tex_mats:
+            for li in range(int(res[m]), st.tail_mip[m]):
+                base = st.vt_base[m, li]
+                nt = st._mip_tiles(m, li)
+                assert (pt[base:base + nt] >= 0).all(), \
+                    f"step {step}: mat {m} mip {li} resident with holes"
