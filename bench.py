@@ -35,6 +35,14 @@ def _wait_for_device(max_wait_s: float = 900.0) -> None:
 def main():
     import jax
 
+    # persistent XLA compilation cache: the flagship frame compiles in tens
+    # of minutes on TPU; repeat bench runs reuse the compiled executable
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     from hobbyrenderer_tpu.config import Config, RenderingMode
     from hobbyrenderer_tpu.renderer import Renderer
 
