@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hobbyrenderer_tpu.ops.intersect import INF, ray_aabb, safe_inv_dir
+from hobbyrenderer_tpu.ops.intersect import INF, safe_inv_dir
 
 LEAF_SIZE = 4
 
@@ -219,12 +219,17 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
               device_put: bool = True, wide: bool = False) -> BVH:
     """tri_verts: (T, 3, 3) float32 world/object-space triangles.
 
+    T must stay below 2^24: triangle ids ride the f32 node table and larger
+    ids are not exactly representable (asserted below).
+
     wide=True additionally builds the 16-ary table_w view. MEASURED SLOWER on
     TPU for incoherent wavefronts (0.06 vs 0.43 Mrays/s on the 236k-tri stress
     scene, 1M random rays): the per-step VPU work (16 box tests + up to 64
     dense leaf triangle tests + a 63-comparator sorting network, all over every
     lane) swamps the 2.5x gather-count saving. Off by default; kept for
     narrow-wavefront / coherent experiments."""
+    assert tri_verts.shape[0] < (1 << 24), \
+        "triangle ids are carried as f32; >= 2^24 tris are not representable"
     tri_verts = np.asarray(tri_verts, np.float32)
     T = tri_verts.shape[0]
     assert T > 0, "empty BVH"
@@ -631,16 +636,3 @@ def bvh_any_hit(bvh: BVH, o, d, t_min=1e-4, t_max=None, max_steps: int = None):
     return (best_tri >= 0) & (best_t < limit)
 
 
-def _tri_hit(o, d, v0, e1, e2, t_min, t_max):
-    """Möller-Trumbore with precomputed edges."""
-    p = jnp.cross(d, e2)
-    det = jnp.sum(e1 * p, -1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    s = o - v0
-    u = jnp.sum(s * p, -1) * inv_det
-    q = jnp.cross(s, e1)
-    v = jnp.sum(d * q, -1) * inv_det
-    t = jnp.sum(e2 * q, -1) * inv_det
-    hit = ((jnp.abs(det) > 1e-12) & (u >= -1e-7) & (v >= -1e-7)
-           & (u + v <= 1.0 + 1e-7) & (t > t_min) & (t < t_max))
-    return t, u, v, hit, det > 0

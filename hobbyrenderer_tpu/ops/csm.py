@@ -180,9 +180,12 @@ def csm_shadow_mask(csm: CSMData, vc, world_pos, normal, valid,
     cidx = jnp.clip(cidx, 0, NUM_CASCADES - 1)
     vp = csm.view_proj[cidx]                                  # (H, W, 4, 4)
 
-    # normal offset against acne (ref anisotropic normal bias)
+    # normal offset against acne (ref anisotropic normal bias), scaled by the
+    # SELECTED cascade's texel size — using the last cascade's scale offset
+    # near receivers by ~30x their actual texel, peter-panning close shadows
     ndl = jnp.abs(jnp.sum(normal * (-sun_dir), -1, keepdims=True))
-    texel_world = (4.0 * csm.splits[-1] / NUM_CASCADES) / SHADOW_RES
+    texel_world = ((4.0 * csm.splits[cidx] / NUM_CASCADES)
+                   / SHADOW_RES)[..., None]
     p = world_pos + normal * (texel_world * 2.0 * bias_scale * (1.0 + (1.0 - ndl)))
 
     clip = jnp.einsum("hwij,hwj->hwi", vp[..., :3, :3], p) + vp[..., :3, 3]
@@ -205,4 +208,7 @@ def csm_shadow_mask(csm: CSMData, vc, world_pos, normal, valid,
     depth_bias = 2e-3 * bias_scale
     # occluded when a NEARER-to-light surface exists (larger depth)
     vis = jnp.mean(jnp.where(q > (z + depth_bias)[..., None], 0.0, 1.0), -1)
+    # beyond the last cascade there is no shadow data: return LIT (the
+    # clamped-cascade fetch marked everything past the range sun-shadowed)
+    vis = jnp.where(dist > csm.splits[-1], 1.0, vis)
     return jnp.where(valid, vis, 1.0)

@@ -134,7 +134,12 @@ def hzb_test_spheres(hzb: jnp.ndarray, levels: int, vc, centers_world, radii,
     v1 = jnp.clip(0.5 - mn[..., 1] * 0.5, 0.0, 1.0)
     # mip where AABB covers <= 2 texels at effective level-0 size we0 x he0
     size_px = jnp.maximum((u1 - u0) * we0, (v1 - v0) * he0)
-    mip = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(size_px, 1.0))), 0, levels - 1).astype(jnp.int32)
+    mip_raw = jnp.ceil(jnp.log2(jnp.maximum(size_px, 1.0)))
+    mip = jnp.clip(mip_raw, 0, levels - 1).astype(jnp.int32)
+    # if the wanted mip exceeds the pyramid (non-square HZB: levels is set by
+    # the SMALLER dimension), the 2x2 corner gather would skip interior
+    # texels and could falsely cull — treat such spheres as visible
+    too_big = mip_raw > (levels - 1)
 
     # gather 2x2 from the selected level (levels stacked on axis 0, each level
     # stored at its own resolution in the top-left corner)
@@ -151,8 +156,9 @@ def hzb_test_spheres(hzb: jnp.ndarray, levels: int, vc, centers_world, radii,
     d11 = hzb[mip, y1, x1]
     occ_depth = jnp.minimum(jnp.minimum(d00, d01), jnp.minimum(d10, d11))
     visible = sphere_depth >= occ_depth
-    # spheres that clip the near plane or have invalid projection: always visible
-    return visible | ~valid
+    # spheres that clip the near plane or have invalid projection: always
+    # visible; likewise spheres wider than the coarsest mip's 2x2 footprint
+    return visible | ~valid | too_big
 
 
 def compact_mask(mask: jnp.ndarray, capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
