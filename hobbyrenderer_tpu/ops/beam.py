@@ -65,15 +65,20 @@ def beam_table(table) -> jnp.ndarray:
         jnp.float32 if xp is jnp else "float32")
 
 
-def _beam_kernel(rays_ref, table_hbm, occ_ref, nodebuf, sem, frontier,
-                 occ_acc, *, I: int, N: int, profile: str = ""):
-    """profile: '' normal; 'noleaf' skip leaf MT; 'nobox' treat every box as
+def _beam_kernel(rays_ref, table_hbm, occ_ref, ovf_ref, nodebuf, sem,
+                 frontier, occ_acc, ovf_s, *, I: int, N: int,
+                 profile: str = ""):
+    """One program per tile. rays_ref (1, 8, PIX): rows ox oy oz dx dy dz
+    tmax act; occ_ref (1, 8, 128) f32 out (1 = occluded); ovf_ref (1, 8, 128)
+    f32 out (nonzero = the tile's BFS frontier overflowed FCAP and subtrees
+    were dropped — occlusion may be UNDER-reported; callers surface this).
+
+    profile: '' normal; 'noleaf' skip leaf MT; 'nobox' treat every box as
     missed after the root (traversal machinery + DMA only) — perf attribution
     knobs, not for rendering."""
-    """One program per tile. rays_ref (1, 8, PIX): rows ox oy oz dx dy dz
-    tmax act; occ_ref (1, 8, 128) f32 out (1 = occluded)."""
     if profile == "empty":
         occ_ref[:] = jnp.zeros((1, 8, 128), jnp.float32)
+        ovf_ref[:] = jnp.zeros((1, 8, 128), jnp.float32)
         return
     rays = rays_ref[0]
     ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]          # (1, PIX)
@@ -152,8 +157,14 @@ def _beam_kernel(rays_ref, table_hbm, occ_ref, nodebuf, sem, frontier,
                                       jnp.maximum(c3, c4))
                     t_en = jnp.where(ivalid[a], jnp.maximum(t_en, lo4), t_en)
                     t_ex = jnp.where(ivalid[a], jnp.minimum(t_ex, hi4), t_ex)
-                    # dir spans 0: hit needs the origin slab to overlap
-                    o_overlap = (ohi[a] >= blo) & (olo[a] <= bhi)
+                    # dir spans 0 on this axis: the conservative reachable
+                    # interval over t in [0, t_hi] must overlap the slab (the
+                    # origin slab alone is NOT conservative — rays still
+                    # travel into the box; that cull lost shadows around
+                    # local lights whose winner rays flip sign across a tile)
+                    reach_lo = olo[a] + jnp.minimum(dlo[a], 0.0) * t_hi
+                    reach_hi = ohi[a] + jnp.maximum(dhi[a], 0.0) * t_hi
+                    o_overlap = (reach_hi >= blo) & (reach_lo <= bhi)
                     ok &= ivalid[a] | o_overlap
                 hit = (ok & (t_en <= t_ex) & (t_ex > 0.0)
                        & rowok & ~isleaf)
@@ -199,6 +210,7 @@ def _beam_kernel(rays_ref, table_hbm, occ_ref, nodebuf, sem, frontier,
 
     def traverse():
         occ_acc[:] = jnp.zeros((1, PIX), jnp.float32)
+        ovf_s[0] = 0
         frontier[0, 0] = 0
 
         def issue_group(cur, g, cnt, buf):
@@ -250,7 +262,10 @@ def _beam_kernel(rays_ref, table_hbm, occ_ref, nodebuf, sem, frontier,
                     word = bl if r < 4 else bh
                     for ch in range(4):
                         hit = ((word >> (4 * (r % 4) + ch)) & 1) > 0
-                        # append; overflow drops (conservative miss)
+                        # append; overflow drops the subtree AND raises the
+                        # tile's overflow flag (occlusion under-reported)
+                        drop = hit & (cnt_nxt >= FCAP - 1)
+                        ovf_s[0] = jnp.where(drop, 1, ovf_s[0])
                         idx = jnp.minimum(cnt_nxt, FCAP - 1)
                         frontier[nxt, idx] = jnp.where(
                             hit, 4 * nid + 1 + ch, frontier[nxt, idx])
@@ -271,8 +286,10 @@ def _beam_kernel(rays_ref, table_hbm, occ_ref, nodebuf, sem, frontier,
     @pl.when(~(any_act & (t_hi > 0.0)))
     def _():
         occ_acc[:] = jnp.zeros((1, PIX), jnp.float32)
+        ovf_s[0] = 0
 
     occ_ref[:] = occ_acc[:].reshape(1, 8, 128)
+    ovf_ref[:] = jnp.full((1, 8, 128), ovf_s[0].astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "profile"))
@@ -298,23 +315,27 @@ def beam_any_hit_tiles(btable: jnp.ndarray, rays: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NBUF, 128), jnp.float32),   # double-buffered groups
             pltpu.SemaphoreType.DMA((2, NBUF)),
             pltpu.SMEM((2, FCAP), jnp.int32),   # frontier: scalar stores
             pltpu.VMEM((1, PIX), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),        # frontier-overflow flag
         ],
     )
-    (occ,) = pl.pallas_call(
+    occ, ovf = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((T, 8, 128), jnp.float32),),
+        out_shape=(jax.ShapeDtypeStruct((T, 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((T, 8, 128), jnp.float32)),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(rays, btable)
-    return occ.reshape(T, PIX)
+    return occ.reshape(T, PIX), ovf[:, 0, 0]
 
 
 def pack_rays_tiles(o, d, t_max, active, H: int, W: int):
@@ -347,8 +368,14 @@ def unpack_tiles(img_t, H: int, W: int):
 
 
 def beam_any_hit(btable, o, d, t_max, active, H: int, W: int,
-                 interpret: bool = False):
-    """Convenience: (H, W) image-space any-hit occlusion via tile beams."""
+                 interpret: bool = False, return_overflow: bool = False):
+    """Convenience: (H, W) image-space any-hit occlusion via tile beams.
+
+    return_overflow=True additionally returns the number of tiles whose BFS
+    frontier overflowed (their occlusion may be under-reported)."""
     rays = pack_rays_tiles(o, d, t_max, active, H, W)
-    occ = beam_any_hit_tiles(btable, rays, interpret=interpret)
-    return unpack_tiles(occ, H, W) > 0.5
+    occ, ovf = beam_any_hit_tiles(btable, rays, interpret=interpret)
+    res = unpack_tiles(occ, H, W) > 0.5
+    if return_overflow:
+        return res, jnp.sum(ovf > 0.5).astype(jnp.int32)
+    return res

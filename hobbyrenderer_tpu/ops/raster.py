@@ -35,7 +35,6 @@ from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.utils.rng import pcg3d
 
 TILE = 32            # pixels per tile side
-TRI_CHUNK = 16       # triangles evaluated per scan step
 
 
 class RasterOutput(NamedTuple):
@@ -84,25 +83,6 @@ def _transform_meshlet_vertices(gpu, vc, slots, slot_valid):
     sy = (0.5 - ndc[..., 1] * 0.5) * height
     screen = jnp.stack([sx, sy], -1)
     return screen, ndc[..., 2], w, vert_valid & (w > 1e-6), ml, p_world
-
-
-def _gather_tri_setup(gpu, slots, slot_valid, screen, zndc, vert_ok, ml=None):
-    """Per-slot triangle screen coordinates (C, 96, 3, 2) + validity.
-
-    The meshlet-local index expansion (96x3 locals into 64 vertex lanes) runs as
-    a ONE-HOT batched matmul on the MXU instead of an element gather: the local
-    table is tiny (64 entries), so onehot(C,288,64) @ feats(C,64,4) is ~1 GFLOP
-    — microseconds on the MXU vs tens of ms of gather latency."""
-    if ml is None:
-        ml = jnp.where(slot_valid, gpu.pair_meshlet[slots], 0)
-    onehot, tri_valid = _tri_onehot(gpu, ml, slot_valid)
-    feats = jnp.concatenate([screen, zndc[..., None],
-                             vert_ok.astype(jnp.float32)[..., None]], -1)  # (C,64,4)
-    tri_feats = _tri_expand(onehot, feats)                        # (C,96,3,4)
-    tv = tri_feats[..., 0:2]
-    tz = tri_feats[..., 2]
-    tok = (tri_feats[..., 3] > 0.5).all(-1) & tri_valid
-    return tv, tz, tok, None
 
 
 def _tri_onehot(gpu, ml, slot_valid):
@@ -309,6 +289,8 @@ def rasterize(gpu, vc, slots, width: int, height: int,
 
     PIX = TILE * TILE
     TC = tri_chunk
+    assert MESHLET_MAX_TRIS % TC == 0, \
+        f"tri_chunk {TC} must divide {MESHLET_MAX_TRIS} (tail would be dropped)"
     n_chunks = MESHLET_MAX_TRIS // TC
 
     # Affine triangle setup: lambda1/lambda2/depth as plane equations over screen
@@ -585,28 +567,6 @@ def _tri_affine_coeffs(tv, tz, inv_a2, tok):
                       tok.astype(jnp.float32)], -1)
 
 
-def _edge_depth(px, v, z, inv_a2, okt):
-    """Edge-function depth for a chunk of triangles over a pixel block.
-
-    px (B,P,2); v (B,R,3,2); z (B,R,3); inv_a2 (B,R); okt (B,R).
-    Returns zpix (B,R,P): interpolated reversed-Z depth, -1 outside."""
-    pa = px[:, None, :, :] - v[:, :, None, 0, :]
-    pb = px[:, None, :, :] - v[:, :, None, 1, :]
-    pc = px[:, None, :, :] - v[:, :, None, 2, :]
-    eab = v[:, :, 1] - v[:, :, 0]
-    ebc = v[:, :, 2] - v[:, :, 1]
-    eca = v[:, :, 0] - v[:, :, 2]
-    w0 = ebc[..., None, 0] * pb[..., 1] - ebc[..., None, 1] * pb[..., 0]
-    w1 = eca[..., None, 0] * pc[..., 1] - eca[..., None, 1] * pc[..., 0]
-    w2 = eab[..., None, 0] * pa[..., 1] - eab[..., None, 1] * pa[..., 0]
-    l0 = w0 * inv_a2[..., None]
-    l1 = w1 * inv_a2[..., None]
-    l2 = w2 * inv_a2[..., None]
-    inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & okt[..., None]
-    zpix = l0 * z[..., 0:1] + l1 * z[..., 1:2] + l2 * z[..., 2:3]
-    return jnp.where(inside, zpix, -1.0)
-
-
 class GBuffer(NamedTuple):
     """Deferred G-buffer (ref formats at src/Renderer.h:111-118)."""
 
@@ -621,6 +581,7 @@ class GBuffer(NamedTuple):
     material: jnp.ndarray    # (H, W) i32 material id (-1 = sky)
     valid: jnp.ndarray       # (H, W) bool (stencil==1 analogue)
     alpha: jnp.ndarray = None  # (H, W) alpha margin (sampled alpha - cutoff)
+
 
 
 def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,

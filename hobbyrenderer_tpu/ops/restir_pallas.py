@@ -225,7 +225,7 @@ def _kernel(tsel_ref, meta_ref, cam_ref, flat_ref,
 @functools.partial(jax.jit, static_argnames=("num_candidates", "w_log",
                                              "interpret"))
 def restir_candidates(flat3, tsel, planes, cam3, frame, y0,
-                      num_candidates: int = 8, w_log: int = 0,
+                      num_candidates: int = 8, w_log: int = None,
                       interpret: bool = False):
     """Run the fused candidate stage.
 
@@ -237,6 +237,8 @@ def restir_candidates(flat3, tsel, planes, cam3, frame, y0,
 
     Returns (y f32 (Hp, Wp) selected id (-1 none), u, v, w_sum (Hp, Wp),
     row (Hp, 16, Wp))."""
+    assert w_log and w_log > 0, \
+        "w_log (logical width) is required: the counter RNG keys pixels as gy*w_log+gx, and 0 would correlate every scanline"
     Hp, Wp = planes[0].shape
     nseg = Wp // SEG
     assert Hp % ROWS == 0 and Wp % SEG == 0

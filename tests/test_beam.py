@@ -87,3 +87,56 @@ def test_beam_mixed_directions():
     occ_ref = bvhops.bvh_any_hit(bvh, o.reshape(-1, 3), d.reshape(-1, 3),
                                  t_max=t_max.reshape(-1)).reshape(H, W)
     assert (np.asarray(occ_beam) == np.asarray(occ_ref)).all()
+
+
+def test_beam_sign_flipping_directions_stay_conservative():
+    """Regression (review finding): when a tile's ray directions flip sign on
+    an axis (point-light winner rays), the box test must stay conservative —
+    the old origin-slab-only cull skipped occluders the rays travel into."""
+    H = W = 32                         # one tile
+    # occluder wall far from the origins along +x
+    wall = np.asarray([[[5.0, -3, -3], [5.0, 3, -3], [5.0, 0, 3]]],
+                      np.float32)
+    # decoy geometry near the origin so the BVH has >1 node
+    tris = np.concatenate([wall, _tri_soup(64, seed=2, spread=1.0)], 0)
+    bvh = bvhops.build_bvh(tris)
+    btable = jnp.asarray(beamops.beam_table(np.asarray(bvh.table)))
+    rng = np.random.default_rng(4)
+    o = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))  # x in [0,1]
+    # directions point mostly +x for half the tile, -x for the other half:
+    # dlo < 0 < dhi on x -> the mixed-sign path is exercised
+    dx = np.where(np.arange(W)[None, :] < W // 2, 0.995, -0.995)
+    d = np.stack([np.broadcast_to(dx, (H, W)),
+                  np.full((H, W), 0.0995), np.zeros((H, W))], -1)
+    d = jnp.asarray((d / np.linalg.norm(d, axis=-1, keepdims=True))
+                    .astype(np.float32))
+    t_max = jnp.full((H, W), 50.0)
+    active = jnp.ones((H, W), bool)
+    interp = jax.default_backend() != "tpu"
+    occ_beam = beamops.beam_any_hit(btable, o, d, t_max, active, H, W,
+                                    interpret=interp)
+    occ_ref = bvhops.bvh_any_hit(bvh, o.reshape(-1, 3), d.reshape(-1, 3),
+                                 t_max=t_max.reshape(-1)).reshape(H, W)
+    occ_beam = np.asarray(occ_beam)
+    occ_ref = np.asarray(occ_ref)
+    # the +x half must see the wall
+    assert occ_ref[:, :W // 2].mean() > 0.5, "scene setup broken"
+    assert (occ_beam == occ_ref).all(), \
+        f"mismatch: beam {occ_beam[:, :W // 2].mean():.2f} vs " \
+        f"ref {occ_ref[:, :W // 2].mean():.2f} on the +x half"
+
+
+def test_beam_overflow_flag():
+    """The frontier-overflow flag: normal scenes report zero overflow; the
+    flag rides the second kernel output."""
+    H = W = 32
+    tris = _tri_soup(400, seed=8)
+    bvh = bvhops.build_bvh(tris)
+    btable = jnp.asarray(beamops.beam_table(np.asarray(bvh.table)))
+    o, d = _coherent_rays(H, W, seed=6)
+    interp = jax.default_backend() != "tpu"
+    occ, n_ovf = beamops.beam_any_hit(btable, o, d, jnp.full((H, W), 50.0),
+                                      jnp.ones((H, W), bool), H, W,
+                                      interpret=interp, return_overflow=True)
+    assert int(np.asarray(n_ovf)) == 0
+    assert np.asarray(occ).any()
