@@ -373,7 +373,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
             res["restir_gi_reservoir"], ctx.vc["frame_index"],
             scale=GI_SCALE, half_rate=GI_HALF_RATE,
-            trace_max_steps=GI_TRACE_STEPS)
+            trace_max_steps=GI_TRACE_STEPS,
+            skip_pool_emissive=use_restir)
         res["restir_indirect"] = ind
         res["restir_gi_reservoir"] = new_res
 

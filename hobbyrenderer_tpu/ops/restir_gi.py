@@ -42,7 +42,9 @@ class GIReservoir(NamedTuple):
     pos: jnp.ndarray      # (H, W, 3) sample (hit) position
     nrm: jnp.ndarray      # (H, W, 3) sample surface normal
     rad: jnp.ndarray      # (H, W, 3) outgoing radiance at sample -> receiver
-    w_sum: jnp.ndarray    # (H, W)
+    w_sum: jnp.ndarray    # (H, W)  (intra-frame only: temporal reuse
+    #                       re-derives it from W*M*p-hat; kept for pytree
+    #                       stability of the persistent state)
     M: jnp.ndarray        # (H, W)
     W: jnp.ndarray        # (H, W)
 
@@ -63,7 +65,8 @@ def _rand(pix, frame, dim):
             uniform_from_bits(bits[..., 2]))
 
 
-def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame):
+def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
+                  skip_pool_emissive: bool = False):
     """Outgoing radiance at the bounce hit toward -d: emissive + one
     power-presampled NEE light sample with a shadow ray (the GI sample's
     initial radiance, ref the GI initial-sampling pass)."""
@@ -97,6 +100,15 @@ def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame):
     occ = bvhops.bvh_any_hit(rt.bvh, so, L,
                              t_max=jnp.where(shoot, dist - 2e-3, 1e-4))
     direct = jnp.where((occ | ~shoot)[..., None], 0.0, direct)
+    # emissive triangles that live in the DI light pool are ALREADY sampled
+    # by ReSTIR DI at the receiver — counting their Le here too double-lights
+    # surfaces near emissive panels. Pooled hits contribute only their
+    # reflected light; emitters OUTSIDE the pool keep their Le. Only valid
+    # when the receiver's direct mode IS ReSTIR (callers pass the flag; with
+    # simple direct lighting the GI ray is the ONLY emissive transport).
+    if skip_pool_emissive and getattr(rt, "em_index", None) is not None:
+        e_idx = rt.em_index[rt.split_to_orig[jnp.maximum(hit.tri, 0)]]
+        emissive = jnp.where((e_idx >= 0)[..., None], 0.0, emissive)
     rad_out = emissive + direct
     return p, n_s, jnp.where((hit.tri >= 0)[..., None], rad_out, 0.0)
 
@@ -116,7 +128,8 @@ def _jacobian(recv_pos, s_pos, s_nrm, src_pos):
 
 def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
               scale: int = 4, pool=None, shard=None, half_rate: bool = False,
-              trace_max_steps: int = None):
+              trace_max_steps: int = None,
+              skip_pool_emissive: bool = False):
     """One ReSTIR GI frame at 1/scale res. Returns (indirect (H, W, 3)
     full-res diffuse indirect, new GIReservoir (Hg, Wg)). shard: optional
     FULL-RES RowShard; the GI grid shards with it (shard_h % scale == 0).
@@ -171,7 +184,8 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
         def trace(_):
             hit = bvhops.bvh_closest_hit(rt.bvh, o, d,
                                          max_steps=trace_max_steps)
-            sp, sn, sr = _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame)
+            sp, sn, sr = _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
+                                       skip_pool_emissive=skip_pool_emissive)
             return sp, sn, sr, hit.tri
 
         def skip(_):
@@ -182,8 +196,9 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
         ok0 = valid & (hit_tri >= 0)
     else:
         hit = bvhops.bvh_closest_hit(rt.bvh, o, d, max_steps=trace_max_steps)
-        s_pos, s_nrm, s_rad = _hit_radiance(gpu, rt, pool, hit, o, d, pix,
-                                            frame)
+        s_pos, s_nrm, s_rad = _hit_radiance(
+            gpu, rt, pool, hit, o, d, pix, frame,
+            skip_pool_emissive=skip_pool_emissive)
         ok0 = valid & (hit.tri >= 0)
     # target p_hat = luminance of incoming radiance (receiver-BRDF-free,
     # Ouyang §4.1); candidate pdf = cos/pi cancels against the cosine in the

@@ -13,6 +13,8 @@ callers (deferred Sky pass, IBL specular) use it."""
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from hobbyrenderer_tpu.utils import math as hm
@@ -56,21 +58,30 @@ def sky_radiance_fast(d, sun_dir, settings, scale: int = None,
     L = sky_radiance(ds, sun_dir, settings, with_sun_disk=False)
     L = jax.image.resize(L, (H, W, 3), "bilinear")
     if with_sun_disk:
+        to_sun = -hm.normalize(jnp.asarray(sun_dir), xp=jnp)
+        cos_g = jnp.sum(hm.normalize(d, xp=jnp) * to_sun, -1)
+        cos_r = jnp.cos(settings.sun_angular_radius)
+        # horizon dip for a 0.2 km observer: -sqrt(2h/R) ~= -0.0079 (matches
+        # the LUT path's ground-intersection test, not an arbitrary -0.02)
+        dip = -float(np.sqrt(2.0 * 0.2 / 6360.0))
         if SKY_MODEL == "bruneton":
             from hobbyrenderer_tpu.ops import atmosphere as atm
-            to_sun = -hm.normalize(jnp.asarray(sun_dir), xp=jnp)
-            cos_g = jnp.sum(hm.normalize(d, xp=jnp) * to_sun, -1)
-            cos_r = jnp.cos(settings.sun_angular_radius)
-            disk = (cos_g >= cos_r) & (d[..., 1] > -0.02)
+            disk = (cos_g >= cos_r) & (d[..., 1] > dip)
             omega = 2 * jnp.pi * (1 - cos_r)
             E_sun = (jnp.asarray(settings.sun_color, jnp.float32)
                      * settings.sun_intensity)
             T = atm.sun_transmittance_analytic(jnp.asarray(0.2), d[..., 1])
             L = jnp.where(disk[..., None], E_sun / omega * T, L)
         else:
-            full = sky_radiance(d, sun_dir, settings, with_sun_disk=True)
-            nodisk = sky_radiance(d, sun_dir, settings, with_sun_disk=False)
-            L = jnp.where(jnp.any(full != nodisk, -1, keepdims=True), full, L)
+            # analytic disk composite (the previous full-res double
+            # evaluation + diff cost ~3x the strided march it bypassed)
+            disk = (cos_g >= cos_r) & (d[..., 1] > -0.05)
+            omega = 2 * jnp.pi * (1 - cos_r)
+            sun_rad = settings.sun_intensity / jnp.maximum(omega, 1e-6)
+            # matches _sky_gradient: the disk overwrite happens after the
+            # daylight multiply, so it carries only the global 0.25
+            col = jnp.asarray(settings.sun_color, jnp.float32) * sun_rad * 0.25
+            L = jnp.where(disk[..., None], col, L)
     return L
 
 

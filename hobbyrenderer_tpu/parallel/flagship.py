@@ -48,16 +48,11 @@ GI_HALF_RATE = True   # same checkerboard trade as models/deferred.py
 GI_TRACE_STEPS = 512
 
 
-def _sun_dir(gpu, settings):
-    lt = gpu.light_type
-    is_dir = (lt == 0) & (jnp.arange(lt.shape[0]) < gpu.light_count)
-    idx = jnp.argmax(is_dir)
-    return jnp.where(is_dir.any(), gpu.light_dir[idx],
-                     jnp.asarray(settings.sun_direction))
+from hobbyrenderer_tpu.parallel.frame import _sun_dir
 
 
-def _flagship_fn(gpu, rt, vc, settings, state, *, width, height, shard_h,
-                 n_dev, capacity, with_gi, dt):
+def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
+                 n_dev, capacity, with_gi):
     """Per-device body (runs under shard_map)."""
     shard = shu.make_row_shard(TILE_AXIS, n_dev, shard_h)
     y0 = shard.y0
@@ -86,7 +81,8 @@ def _flagship_fn(gpu, rt, vc, settings, state, *, width, height, shard_h,
         indirect, gi_res = giops.restir_gi(
             gpu, rt, gb, vc, settings, state["restir_gi_reservoir"],
             vc["frame_index"], scale=GI_SCALE, shard=shard,
-            half_rate=GI_HALF_RATE, trace_max_steps=GI_TRACE_STEPS)
+            half_rate=GI_HALF_RATE, trace_max_steps=GI_TRACE_STEPS,
+            skip_pool_emissive=True)
     else:
         indirect, gi_res = 0.0, None
 
@@ -136,7 +132,11 @@ def _flagship_fn(gpu, rt, vc, settings, state, *, width, height, shard_h,
 class FlagshipShardedRenderer:
     """Multi-chip flagship (Normal-mode) renderer: ReSTIR DI (+GI), denoise,
     TAA, exposure and post under one shard_map. API-compatible
-    render(gpu, vc, settings, dt); rt enables visibility rays + GI."""
+    render(gpu, vc, settings, dt); rt enables visibility rays + GI.
+
+    Not yet sharded: the forward Transparent pass and the debug overlays —
+    alpha-BLEND geometry is culled here and does not render (the single-chip
+    Normal mode draws it); masked + opaque are fully covered."""
 
     def __init__(self, gpu, width: int, height: int, rt=None, n_devices: int = 0,
                  with_gi: bool = None, mesh=None):
@@ -172,16 +172,19 @@ class FlagshipShardedRenderer:
         body = functools.partial(_flagship_fn, width=self.width,
                                  height=self.height, shard_h=self.shard_h,
                                  n_dev=self.n, capacity=self.capacity,
-                                 with_gi=self.with_gi, dt=1.0 / 60.0)
+                                 with_gi=self.with_gi)
         st_specs = self._state_specs()
         sharded = shard_map(body, mesh=self.mesh,
-                            in_specs=(P(), P(), P(), P(), st_specs),
+                            in_specs=(P(), P(), P(), P(), st_specs, P()),
                             out_specs=(P(), st_specs),
                             check_vma=False)
-        self._jitted = jax.jit(sharded)
+        # donate the persistent state (reservoirs/history/denoise) so XLA
+        # aliases it in place, like the single-chip paths
+        self._jitted = jax.jit(sharded, donate_argnums=(4,))
 
     def render(self, gpu, vc, settings, dt: float = 1 / 60):
         if self._jitted is None:
             self._build()
-        ldr, self.state = self._jitted(gpu, self.rt, vc, settings, self.state)
+        ldr, self.state = self._jitted(gpu, self.rt, vc, settings, self.state,
+                                       jnp.float32(dt))
         return ldr, jnp.int32(0)

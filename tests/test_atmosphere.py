@@ -71,3 +71,33 @@ def test_analytic_sun_transmittance_tracks_integral():
     ref = atm._transmittance_integral(atm.RB + h, mu, steps=256)
     # KY airmass vs spherical integral: a few percent everywhere above ~6 deg
     assert (np.abs(got - ref) < 0.03 + 0.08 * ref).mean() > 0.9
+
+
+def test_sky_fast_disk_matches_full_eval():
+    """sky_radiance_fast's analytic disk composite must agree with the full
+    sky_radiance evaluation at disk pixels (regression: the fast path briefly
+    double-evaluated the full sky to recover the disk)."""
+    import jax.numpy as jnp
+    from hobbyrenderer_tpu.config import RenderSettings
+    from hobbyrenderer_tpu.ops import sky as skyops
+    from hobbyrenderer_tpu.utils import math as hm
+    s = RenderSettings().as_pytree()
+    sun = np.asarray(s.sun_direction, np.float32)
+    sun = sun / np.linalg.norm(sun)
+    to_sun = -sun
+    # a direction image with the sun near the center
+    H, W = 32, 64
+    t, b = np.linalg.svd(np.eye(3) - np.outer(to_sun, to_sun))[0][:, :2].T
+    xs = np.linspace(-0.02, 0.02, W, dtype=np.float32)
+    ys = np.linspace(-0.02, 0.02, H, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys)
+    d = to_sun[None, None] + gx[..., None] * t + gy[..., None] * b
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    fast = np.asarray(skyops.sky_radiance_fast(d, jnp.asarray(sun), s,
+                                               scale=2))
+    full = np.asarray(skyops.sky_radiance(d, jnp.asarray(sun), s,
+                                          with_sun_disk=True))
+    disk = full.max(-1) > 10.0 * np.median(full.max(-1))
+    assert disk.any(), "sun disk not in the test frame"
+    rel = np.abs(fast[disk] - full[disk]) / np.maximum(full[disk], 1e-6)
+    assert rel.max() < 1e-3, rel.max()
