@@ -668,10 +668,14 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                     from hobbyrenderer_tpu.ops import envmap as envops
                     env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map,
                                                               d)
+                ibl_scale = (ctx.settings.ibl_intensity
+                             * ctx.settings.ambient_scale)
+                if mode == RenderingMode.IBL:
+                    ibl_scale = ibl_scale * 2.0   # match DeferredLighting
                 ambient = iblops.ibl_ambient(
                     res["sky_irradiance"], tgb.normal, v, tgb.albedo, metal,
                     rough, _scene_sun_dir(ctx), ctx.settings,
-                    intensity=ctx.settings.ibl_intensity, env_fn=env_fn)
+                    intensity=ibl_scale, env_fn=env_fn)
             shaded = direct + ambient + tgb.emissive
             # coverage/transmission from the material table
             mat = jnp.maximum(tgb.material, 0)
@@ -862,10 +866,13 @@ class DeferredRenderer:
         alpha_modes = _np.asarray(gpu.inst_alpha_mode)
         _c = _np.asarray(gpu.inst_center).reshape(-1, 3)
         _r = _np.asarray(gpu.inst_radius).reshape(-1)
-        scene_radius = (float((_np.linalg.norm(_c, axis=1) + _r).max())
-                        if _c.size else 30.0)
         _bounds = ((_c - _r[:, None]).min(0), (_c + _r[:, None]).max(0)) \
             if _c.size else (_np.full(3, -30.0), _np.full(3, 30.0))
+        # bounding-sphere radius around the scene CENTER (a norm-from-origin
+        # radius exploded for off-origin assets, stretching the CSM range)
+        _mid = 0.5 * (_bounds[0] + _bounds[1])
+        scene_radius = (float((_np.linalg.norm(_c - _mid, axis=1) + _r).max())
+                        if _c.size else 30.0)
         self.graph = build_deferred_graph(width, height, cap, mode=mode,
                                           with_rt_shadows=with_rt_shadows and rt is not None,
                                           occlusion_culling=occlusion_culling,
@@ -926,15 +933,21 @@ class DeferredRenderer:
             # bisection/per-pass-timing mode: each pass jitted + blocked
             ctx = FrameContext(gpu=gpu, vc=vc, settings=settings,
                                config=self.config, dt=jnp.float32(dt), rt=self.rt)
-            out = self.graph.execute_per_pass(
-                ctx, self.state, outputs=("ldr", "raster_overflow",
-                                          "visible_count", "occluded_count",
-                                          "phase2_count", "exposure"))
+            outputs = ("ldr", "hdr", "raster_overflow", "visible_count",
+                       "occluded_count", "phase2_count", "exposure")
+            if self.streaming:
+                outputs += ("tex_feedback",)
+            out = self.graph.execute_per_pass(ctx, self.state, outputs=outputs)
             o = out["outputs"]
             self.state = out["state"]
             self.last_stats = {"raster_overflow": o["raster_overflow"],
                                "visible_pairs": o["visible_count"],
-                               "exposure": o["exposure"]}
+                               "occluded_pairs": o["occluded_count"],
+                               "phase2_pairs": o["phase2_count"],
+                               "exposure": o["exposure"],
+                               "hdr_frame": o["hdr"]}
+            if self.streaming:
+                self.last_stats["tex_feedback"] = o["tex_feedback"]
             return o["ldr"], o["raster_overflow"]
         if self._jitted is None:
             self._jitted = jax.jit(self.frame_fn, donate_argnums=(4,))

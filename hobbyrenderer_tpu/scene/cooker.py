@@ -215,7 +215,9 @@ def build_meshlets(positions: np.ndarray, tri: np.ndarray,
          vertices, tris) = _greedy_scan_py(tri_sorted, max_verts, max_tris)
         M = vert_offset.shape[0]
 
-    # bounds + cones per meshlet (vectorized via segment math)
+    # bounds + cones per meshlet (host python loop over meshlets — the
+    # remaining scalar cook hot spot; the native C++ path covers dense-mesh
+    # cooks, and the cooked cache amortizes repeats)
     center = np.zeros((M, 3), np.float32)
     radius = np.zeros(M, np.float32)
     cone_axis = np.zeros((M, 3), np.float32)

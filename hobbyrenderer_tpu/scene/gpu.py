@@ -31,13 +31,6 @@ from hobbyrenderer_tpu.scene.scene import Scene
 from hobbyrenderer_tpu.utils import math as hm
 
 
-def _pad_rows(a: np.ndarray, n: int):
-    if a.shape[0] >= n:
-        return a[:n]
-    pad = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
-    return np.concatenate([a, pad], 0)
-
-
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class SceneGPU:
@@ -316,11 +309,11 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True,
     tmask = tlanes < _mtc[:, None]
     tidx = np.minimum(_mto[:, None] + tlanes, max(_mlt.shape[0] - 1, 0))
     ml_ltris = np.where(tmask[..., None], _mlt[tidx], 0).astype(np.int32)
-    ml_tris = cat(mlt_l, np.int32, 3)
-    ml_vert_offset = cat(mvo_l, np.int32)
-    ml_vert_count = cat(mvc_l, np.int32)
-    ml_tri_offset = cat(mto_l, np.int32)
-    ml_tri_count = cat(mtc_l, np.int32)
+    ml_tris = _mlt
+    ml_vert_offset = _mvo
+    ml_vert_count = _mvc
+    ml_tri_offset = _mto
+    ml_tri_count = _mtc
     ml_center = cat(mc_l, np.float32, 3)
     ml_radius = cat(mr_l, np.float32)
     ml_cone_axis = cat(mca_l, np.float32, 3)
@@ -362,7 +355,10 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True,
             pl_l.append(np.full(c, li, np.int32))
     pair_inst = cat(pi_l, np.int32)
     pair_meshlet = cat(pm_l, np.int32)
-    pair_lod = cat(pl_l, np.int32)
+    # empty scenes: cat() pads one zero row, which would draw (instance 0,
+    # meshlet 0, lod 0) as phantom geometry — lod -1 never matches a selected
+    # lod, so culling rejects the padding pair
+    pair_lod = cat(pl_l, np.int32) if pl_l else np.full((1,), -1, np.int32)
 
     # --- materials ---
     if streamer is not None:

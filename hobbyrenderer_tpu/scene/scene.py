@@ -291,9 +291,11 @@ class Scene:
 def _sample_channel(ch: AnimationChannel, t: np.float32) -> np.ndarray:
     times, vals = ch.times, ch.values
     i = int(np.searchsorted(times, t, side="right")) - 1
-    i = max(0, min(i, len(times) - 2)) if len(times) > 1 else 0
     if len(times) == 1 or ch.interpolation == "STEP":
-        return np.asarray(vals[i], np.float32)
+        # STEP holds the LAST keyframe past the channel's end (the linear
+        # clamp to len-2 below would return the second-to-last value)
+        return np.asarray(vals[max(0, min(i, len(times) - 1))], np.float32)
+    i = max(0, min(i, len(times) - 2))
     t0, t1 = times[i], times[i + 1]
     a = 0.0 if t1 <= t0 else float(np.clip((t - t0) / (t1 - t0), 0.0, 1.0))
     v0, v1 = np.asarray(vals[i], np.float32), np.asarray(vals[i + 1], np.float32)

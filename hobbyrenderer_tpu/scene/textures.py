@@ -75,14 +75,18 @@ def _bc_interp_colors(c0, c1, mode_bc1):
     return np.stack([p0, p1, p2, p3], 1).astype(np.uint8)   # (N, 4, 3)
 
 
-def _decode_bc1_blocks(blocks: np.ndarray, bc1_alpha: bool) -> np.ndarray:
-    """(N, 8) uint8 BC1 blocks -> (N, 4, 4, 4) RGBA."""
+def _decode_bc1_blocks(blocks: np.ndarray, bc1_alpha: bool,
+                       mode_bc1: bool = True) -> np.ndarray:
+    """(N, 8) uint8 BC1-style color blocks -> (N, 4, 4, 4) RGBA.
+
+    mode_bc1=False for the color half of BC2/BC3: those ALWAYS use the
+    4-color palette regardless of the c0<=c1 ordering."""
     c0 = blocks[:, 0].astype(np.uint16) | (blocks[:, 1].astype(np.uint16) << 8)
     c1 = blocks[:, 2].astype(np.uint16) | (blocks[:, 3].astype(np.uint16) << 8)
     bits = (blocks[:, 4].astype(np.uint32) | (blocks[:, 5].astype(np.uint32) << 8)
             | (blocks[:, 6].astype(np.uint32) << 16)
             | (blocks[:, 7].astype(np.uint32) << 24))
-    pal = _bc_interp_colors(c0, c1, mode_bc1=True)          # (N, 4, 3)
+    pal = _bc_interp_colors(c0, c1, mode_bc1=mode_bc1)      # (N, 4, 3)
     idx = (bits[:, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3  # (N, 16)
     rgb = np.take_along_axis(pal, idx[..., None].astype(np.int64), 1)  # (N,16,3)
     a = np.full((blocks.shape[0], 16, 1), 255, np.uint8)
@@ -129,11 +133,18 @@ def decode_dds(data: bytes) -> np.ndarray:
         fcc = dxgi_map.get(dxgi, b"????")
     bw, bh = (w + 3) // 4, (h + 3) // 4
     if pf_flags & 0x40 or fcc in (b"RGBA", b"BGRA"):        # uncompressed
-        n = w * h * (rgb_bitcount // 8 if rgb_bitcount else 4)
-        raw = np.frombuffer(data, np.uint8, count=max(n, w * h * 4),
-                            offset=off)[:w * h * 4].reshape(h, w, 4)
+        bpp = rgb_bitcount if rgb_bitcount else 32
+        if bpp == 32:
+            raw = np.frombuffer(data, np.uint8, count=w * h * 4,
+                                offset=off).reshape(h, w, 4)
+        elif bpp == 24:
+            rgb = np.frombuffer(data, np.uint8, count=w * h * 3,
+                                offset=off).reshape(h, w, 3)
+            raw = np.concatenate([rgb, np.full((h, w, 1), 255, np.uint8)], -1)
+        else:
+            raise ValueError(f"unsupported uncompressed DDS bit depth {bpp}")
         if fcc == b"BGRA" or (bmask == 0xFF and rmask == 0xFF0000):
-            raw = raw[..., [2, 1, 0, 3]]
+            raw = np.ascontiguousarray(raw)[..., [2, 1, 0, 3]]
         return np.ascontiguousarray(raw)
     blocks = np.frombuffer(data, np.uint8, count=bw * bh * (8 if fcc in (b"DXT1", b"BC4U") else 16),
                            offset=off)
@@ -141,7 +152,7 @@ def decode_dds(data: bytes) -> np.ndarray:
         px = _decode_bc1_blocks(blocks.reshape(-1, 8), bc1_alpha=True)
     elif fcc in (b"DXT3", b"DXT5"):
         b2 = blocks.reshape(-1, 16)
-        px = _decode_bc1_blocks(b2[:, 8:], bc1_alpha=False)
+        px = _decode_bc1_blocks(b2[:, 8:], bc1_alpha=False, mode_bc1=False)
         if fcc == b"DXT5":
             a = _decode_bc_alpha_blocks(b2[:, :8])
         else:                                               # BC2: explicit 4-bit
@@ -247,18 +258,12 @@ def build_texture_table(scene) -> Dict[str, np.ndarray]:
 
     Returns arrays for SceneGPU: tex_table (T, 4) u32, mat_tex_size (Mat,) i32,
     mat_mip_off (Mat, MAX_MIPS) i32 (absolute row offsets per level)."""
-    images: List[Optional[np.ndarray]] = getattr(scene, "images", []) or []
     mats = scene.materials
     M = len(mats)
     rows: List[np.ndarray] = []
     mat_size = np.ones(M, np.int32)
     mip_off = np.zeros((M, MAX_MIPS), np.int32)
     cursor = 0
-
-    def get_img(i):
-        if i is None or i < 0 or i >= len(images) or images[i] is None:
-            return None
-        return images[i]
 
     for mi, m in enumerate(mats):
         chain = material_texel_chain(scene, mi)
