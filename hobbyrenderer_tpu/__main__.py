@@ -80,6 +80,8 @@ def main(argv=None):
                  indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug,
                  csm_debug=a.csm_debug, regir=a.regir, denoiser=a.denoiser,
                  envmap=a.envmap, env_lights=a.env_lights,
+                 keep_hdr=bool(a.screenshot
+                               and a.screenshot.lower().endswith(".hdr")),
                  tex_streaming=a.tex_streaming,
                  tex_budget_mb=a.tex_budget_mb)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse

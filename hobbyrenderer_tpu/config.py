@@ -115,6 +115,7 @@ class Config:
     csm_debug: bool = False               # cascade debug view (ref CSMDebugRenderer)
     regir: bool = False                   # ReGIR world-space light grid (ref RTXDI)
     denoiser: str = "relax"               # "relax" | "reblur" (ref NRD pipelines)
+    keep_hdr: bool = False                # expose the linear HDR frame (for .hdr screenshots)
     env_lights: int = 0                   # envmap -> N pool directionals (ref env PDF presampling)
     tex_streaming: bool = False           # budgeted texture residency (scene/streaming.py)
     tex_budget_mb: int = 64               # streamed texel pool budget

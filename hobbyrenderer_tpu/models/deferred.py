@@ -535,7 +535,13 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         from hobbyrenderer_tpu.ops import ssgi as ssgiops
         from hobbyrenderer_tpu.ops import denoise as dnops
         gb = res["gbuffer"]
-        raw = ssgiops.ssgi_half_res(gb, ctx.vc, res["taa_history"],
+        prev_hdr = res["taa_history"]
+        if upscale:
+            # under TAA upscaling the history lives at OUTPUT resolution;
+            # SSGI marches at render resolution
+            prev_hdr = jax.image.resize(prev_hdr, (height, width, 3),
+                                        "bilinear")
+        raw = ssgiops.ssgi_half_res(gb, ctx.vc, prev_hdr,
                                     res["sky_irradiance"], ctx.settings,
                                     ctx.vc["frame_index"])
         color, var, st = dnops.temporal_accumulate(raw, gb, res["ssgi_state"])
@@ -912,8 +918,13 @@ class DeferredRenderer:
     def frame_fn(self, gpu, rt, vc, settings, state, dt):
         ctx = FrameContext(gpu=gpu, vc=vc, settings=settings, config=self.config,
                            dt=dt, rt=rt)
-        outputs = ("ldr", "hdr", "raster_overflow", "visible_count",
+        outputs = ("ldr", "raster_overflow", "visible_count",
                    "occluded_count", "phase2_count", "exposure")
+        # the full HDR frame is a ~24 MB live output at 1080p: only keep it
+        # when the run actually wants .hdr screenshots (Config.keep_hdr)
+        keep_hdr = bool(getattr(self.config, "keep_hdr", False))
+        if keep_hdr:
+            outputs += ("hdr",)
         if self.streaming:
             outputs += ("tex_feedback",)
         out = self.graph.execute(ctx, state, outputs=outputs)
@@ -922,8 +933,9 @@ class DeferredRenderer:
                  "visible_pairs": o["visible_count"],
                  "occluded_pairs": o["occluded_count"],
                  "phase2_pairs": o["phase2_count"],
-                 "exposure": o["exposure"],
-                 "hdr_frame": o["hdr"]}
+                 "exposure": o["exposure"]}
+        if keep_hdr:
+            stats["hdr_frame"] = o["hdr"]
         if self.streaming:
             stats["tex_feedback"] = o["tex_feedback"]
         return o["ldr"], stats, out["state"]
@@ -933,8 +945,11 @@ class DeferredRenderer:
             # bisection/per-pass-timing mode: each pass jitted + blocked
             ctx = FrameContext(gpu=gpu, vc=vc, settings=settings,
                                config=self.config, dt=jnp.float32(dt), rt=self.rt)
-            outputs = ("ldr", "hdr", "raster_overflow", "visible_count",
+            keep_hdr = bool(getattr(self.config, "keep_hdr", False))
+            outputs = ("ldr", "raster_overflow", "visible_count",
                        "occluded_count", "phase2_count", "exposure")
+            if keep_hdr:
+                outputs += ("hdr",)
             if self.streaming:
                 outputs += ("tex_feedback",)
             out = self.graph.execute_per_pass(ctx, self.state, outputs=outputs)
@@ -944,8 +959,9 @@ class DeferredRenderer:
                                "visible_pairs": o["visible_count"],
                                "occluded_pairs": o["occluded_count"],
                                "phase2_pairs": o["phase2_count"],
-                               "exposure": o["exposure"],
-                               "hdr_frame": o["hdr"]}
+                               "exposure": o["exposure"]}
+            if keep_hdr:
+                self.last_stats["hdr_frame"] = o["hdr"]
             if self.streaming:
                 self.last_stats["tex_feedback"] = o["tex_feedback"]
             return o["ldr"], o["raster_overflow"]

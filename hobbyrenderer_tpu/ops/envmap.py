@@ -153,6 +153,23 @@ def sample_equirect(env: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - fy) + bot * fy
 
 
+def _equirect_dirs_dw(He: int, We: int):
+    """Texel-center directions (He*We, 3) + solid-angle weights (He*We,) of
+    an equirect grid — MUST stay consistent with sample_equirect's mapping
+    (shared by the SH projection and the env-light discretization)."""
+    v = (np.arange(He) + 0.5) / He
+    u = (np.arange(We) + 0.5) / We
+    theta = v * np.pi
+    phi = (u - 0.5) * 2.0 * np.pi
+    st = np.sin(theta)[:, None]
+    d = np.stack([np.broadcast_to(st * np.sin(phi)[None, :], (He, We)),
+                  np.broadcast_to(np.cos(theta)[:, None], (He, We)),
+                  np.broadcast_to(-st * np.cos(phi)[None, :], (He, We))],
+                 -1).reshape(-1, 3)
+    dw = (st * (np.pi / He) * (2.0 * np.pi / We)).repeat(We, 1).reshape(-1)
+    return d, dw
+
+
 def env_to_directional_lights(env: np.ndarray, n: int = 128):
     """Discretize the envmap into n power-stratified directional lights
     (ref BuildEnvLightPDF + PresampleEnvironmentMap: the reference importance-
@@ -166,16 +183,7 @@ def env_to_directional_lights(env: np.ndarray, n: int = 128):
     must then suppress the duplicate ambient/miss env paths (deferred IBL
     ambient; PT secondary-bounce miss)."""
     He, We = env.shape[:2]
-    v = (np.arange(He) + 0.5) / He
-    u = (np.arange(We) + 0.5) / We
-    theta = v * np.pi
-    phi = (u - 0.5) * 2.0 * np.pi
-    st = np.sin(theta)[:, None]
-    d = np.stack([np.broadcast_to(st * np.sin(phi)[None, :], (He, We)),
-                  np.broadcast_to(np.cos(theta)[:, None], (He, We)),
-                  np.broadcast_to(-st * np.cos(phi)[None, :], (He, We))],
-                 -1).reshape(-1, 3)
-    dw = (st * (np.pi / He) * (2.0 * np.pi / We)).repeat(We, 1).reshape(-1)
+    d, dw = _equirect_dirs_dw(He, We)
     power = env.reshape(-1, 3) * dw[:, None]               # per-texel flux
     lum = 0.2126 * power[:, 0] + 0.7152 * power[:, 1] + 0.0722 * power[:, 2]
     order = np.argsort(-lum)                               # bright texels first
@@ -201,15 +209,7 @@ def project_sh9(env: np.ndarray) -> np.ndarray:
     the procedural sky, so sample_irradiance() consumes either."""
     from hobbyrenderer_tpu.ops.ibl import sh_basis
     He, We = env.shape[:2]
-    v = (np.arange(He) + 0.5) / He
-    u = (np.arange(We) + 0.5) / We
-    theta = v * np.pi
-    phi = (u - 0.5) * 2.0 * np.pi
-    st = np.sin(theta)[:, None]
-    d = np.stack([np.broadcast_to(st * np.sin(phi)[None, :], (He, We)),
-                  np.broadcast_to(np.cos(theta)[:, None], (He, We)),
-                  np.broadcast_to(-st * np.cos(phi)[None, :], (He, We))], -1)
-    Y = np.asarray(sh_basis(jnp.asarray(d.reshape(-1, 3), jnp.float32)))
-    dw = (st * (np.pi / He) * (2.0 * np.pi / We)).repeat(We, 1).reshape(-1)
+    d, dw = _equirect_dirs_dw(He, We)
+    Y = np.asarray(sh_basis(jnp.asarray(d, jnp.float32)))
     return np.einsum("nc,nk,n->kc", env.reshape(-1, 3), Y,
                      dw).astype(np.float32)

@@ -108,6 +108,11 @@ class Renderer:
         cfg = self.config
         if self.mode == RenderingMode.PATH_TRACER:
             from hobbyrenderer_tpu.models.pathtracer import PathTracerRenderer
+            if cfg.render_scale != 1.0:
+                print("warning: --render-scale is a TAA-upscaling feature of "
+                      "the deferred modes; the reference path tracer renders "
+                      "at the internal resolution "
+                      f"{cfg.render_width}x{cfg.render_height}")
             self._model = PathTracerRenderer(self.gpu, cfg.render_width,
                                              cfg.render_height, config=cfg,
                                              scene=self.scene,
@@ -216,7 +221,9 @@ class Renderer:
             hdr = getattr(self._model, "last_stats", {}).get("hdr_frame")
             if hdr is None:
                 hdr = getattr(self._model, "accum", None)   # path tracer
-            assert hdr is not None, "model exposes no HDR frame"
+            assert hdr is not None, \
+                ".hdr screenshots need Config(keep_hdr=True) (the CLI sets " \
+                "it automatically for --screenshot *.hdr)"
             with open(path, "wb") as f:
                 f.write(encode_hdr(np.asarray(hdr)))
             return

@@ -158,7 +158,7 @@ def test_hdr_screenshot(tmp_path):
     from hobbyrenderer_tpu.config import Config, RenderingMode
     from hobbyrenderer_tpu.renderer import Renderer
     cfg = Config(scene="cube", width=64, height=48,
-                 mode=RenderingMode.NORMAL_BASIC)
+                 mode=RenderingMode.NORMAL_BASIC, keep_hdr=True)
     r = Renderer(cfg)
     r.render_frame()
     p = str(tmp_path / "shot.hdr")
