@@ -462,8 +462,11 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         ndl_ok = (jnp.sum(L * gn, -1) > 0) & (jnp.sum(L * n, -1) > 0)
         nee_active = shade_ok & ndl_ok & (jnp.max(rad, -1) > 0)
         so = offset_ray_origin(pos, gn, L)
-        occluded = bvhops.bvh_any_hit(rt.bvh, so, L,
-                                      t_max=jnp.where(nee_active, dist - 2e-3, 1e-4))
+        from hobbyrenderer_tpu.ops.intersect import retarget_shadow_ray
+        L_v, tmax_t = retarget_shadow_ray(pos, so, L, dist)
+        occluded = bvhops.bvh_any_hit(
+            rt.bvh, so, L_v,
+            t_max=jnp.where(nee_active, tmax_t, 1e-4))
         contrib = throughput * f * rad * inv_sel[..., None]
         radiance = radiance + jnp.where((nee_active & ~occluded)[..., None], contrib, 0.0)
 

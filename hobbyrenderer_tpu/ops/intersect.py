@@ -54,3 +54,30 @@ def offset_ray_origin(p, n, d):
     side = jnp.where(jnp.sum(n * d, -1, keepdims=True) >= 0, 1.0, -1.0)
     scale = jnp.maximum(jnp.max(jnp.abs(p), axis=-1, keepdims=True), 1.0)
     return p + n * side * (4e-4 * scale)
+
+
+def retarget_shadow_ray(p, o, L, dist):
+    """Re-aim a shadow ray at a SURFACE sample (emissive triangle, GI
+    reconnection point) after the origin was offset: returns (L_o, t_max)
+    such that the ray from o passes EXACTLY through the sample point
+    target = p + L * dist and stops an epsilon short of it.
+
+    Shooting the ORIGINAL direction from the offset origin is wrong in two
+    ways: the origin advance eats into dist (a fixed 2e-3 margin
+    under-covered any offset > 2e-3, e.g. ReSTIR's shadow_bias or
+    offset_ray_origin at |p| > 5), and the LATERAL part of the offset shifts
+    where the ray crosses the emitter plane by offset.n_l / L.n_l — so the
+    ray re-hit the target surface and silently killed most area-light
+    energy."""
+    # masked lanes carry inf distances (and 0*inf = NaN would bleed through
+    # downstream bilinear resizes even where callers select 0)
+    dist_c = jnp.where(jnp.isfinite(dist), dist, 1.0)
+    target = p + L * dist_c[..., None]
+    to_t = target - o
+    dist_o = jnp.linalg.norm(to_t, axis=-1)
+    L_o = to_t / jnp.maximum(dist_o, 1e-8)[..., None]
+    L_o = jnp.where(jnp.isfinite(L_o), L_o, 0.0)
+    scale = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), 1.0)
+    eps = jnp.maximum(2e-3, 1.6e-3 * scale)
+    tm = jnp.where(jnp.isfinite(dist), dist_o - eps, dist)
+    return L_o, tm

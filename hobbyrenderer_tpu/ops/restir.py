@@ -400,17 +400,19 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         bias = settings.shadow_bias
         o = pos + gn * bias + L_final * bias
         shoot = valid & (y >= 0) & (Wgt > 0)
-        tmax = jnp.where(shoot, dist - 2e-3, 1e-4)
+        from hobbyrenderer_tpu.ops.intersect import retarget_shadow_ray
+        L_vis, tmax_t = retarget_shadow_ray(pos, o, L_final, dist)
+        tmax = jnp.where(shoot, tmax_t, 1e-4)
         if getattr(rt, "btable", None) is not None \
                 and jax.default_backend() == "tpu":
             # winner rays are sun/dominant-light coherent after RIS: the
             # tile-beam kernel (ops/beam.py) amortizes the BVH walk per tile
             from hobbyrenderer_tpu.ops import beam as beamops
             occ = beamops.beam_any_hit(
-                rt.btable, o.reshape(H, W, 3), L_final.reshape(H, W, 3),
+                rt.btable, o.reshape(H, W, 3), L_vis.reshape(H, W, 3),
                 tmax.reshape(H, W), shoot.reshape(H, W), H, W).reshape(R)
         else:
-            occ = bvhops.bvh_any_hit(rt.bvh, o, L_final, t_max=tmax)
+            occ = bvhops.bvh_any_hit(rt.bvh, o, L_vis, t_max=tmax)
         contrib = jnp.where(occ[..., None], 0.0, contrib)
     contrib = jnp.where((valid & (y >= 0))[..., None], contrib, 0.0)
 

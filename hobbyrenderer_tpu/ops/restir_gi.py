@@ -97,8 +97,10 @@ def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
     # NEE shadow ray
     so = offset_ray_origin(p, n_s, L)
     shoot = (hit.tri >= 0) & (li >= 0) & (hm.luminance(direct, xp=jnp) > 0)
-    occ = bvhops.bvh_any_hit(rt.bvh, so, L,
-                             t_max=jnp.where(shoot, dist - 2e-3, 1e-4))
+    from hobbyrenderer_tpu.ops.intersect import retarget_shadow_ray
+    L_v, tmax_t = retarget_shadow_ray(p, so, L, dist)
+    occ = bvhops.bvh_any_hit(rt.bvh, so, L_v,
+                             t_max=jnp.where(shoot, tmax_t, 1e-4))
     direct = jnp.where((occ | ~shoot)[..., None], 0.0, direct)
     # emissive triangles that live in the DI light pool are ALREADY sampled
     # by ReSTIR DI at the receiver — counting their Le here too double-lights
@@ -317,7 +319,9 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     L = to_s / jnp.maximum(dist, 1e-6)[..., None]
     o_v = offset_ray_origin(pos, gn, L)
     shoot = valid & (Wgt > 0) & (dist > 1e-4)
-    tmax_v = jnp.where(shoot, dist - 2e-3, 1e-4)
+    from hobbyrenderer_tpu.ops.intersect import retarget_shadow_ray
+    L, tmax_t = retarget_shadow_ray(pos, o_v, L, dist)
+    tmax_v = jnp.where(shoot, tmax_t, 1e-4)
     if getattr(rt, "btable", None) is not None \
             and jax.default_backend() == "tpu":
         # post-spatial-reuse neighbors share samples, so receiver->sample

@@ -225,3 +225,64 @@ def test_animated_emissive_refreshes_light_pool():
     # power CDF follows (3x total power; pdf distribution unchanged here)
     assert np.asarray(pool.packed)[np.asarray(rt.lights.n_analytic), 10] > \
         np.asarray(rt.lights.packed)[np.asarray(rt.lights.n_analytic), 10]
+
+
+def test_animated_emissive_relights_scene_e2e():
+    """Full render loop: an emissiveIntensity animation must change the light
+    the emitter CASTS on nearby geometry, not only its own surface (the pool
+    refresh wiring in Renderer.render_frame)."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+    from hobbyrenderer_tpu.scene.cooker import cook_mesh
+    from hobbyrenderer_tpu.scene.procedural import (camera_looking_at,
+                                                    plane_geometry)
+    from hobbyrenderer_tpu.scene.scene import (Animation, AnimationChannel,
+                                               Light, LIGHT_DIRECTIONAL,
+                                               Material, Node, Scene)
+
+    sc = Scene()
+    floor = sc.add_material(Material(
+        name="floor", base_color=np.array([0.6, 0.6, 0.6, 1], np.float32),
+        roughness=0.9, double_sided=True))
+    lamp = sc.add_material(Material(
+        name="lamp", emissive=np.array([4.0, 4.0, 4.0], np.float32),
+        emissive_strength=1.0, double_sided=True))
+    pos, nrm, uv, idx = plane_geometry(3.0)
+    fp = sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv), material=floor)
+    sc.add_node(Node(name="floor", mesh_primitives=[fp]))
+    qpos, qnrm, quv, qidx = plane_geometry(1.0)
+    lp = sc.add_mesh(cook_mesh(qpos, qidx, normals=-qnrm, uvs=quv),
+                     material=lamp)
+    sc.add_node(Node(name="lamp", mesh_primitives=[lp],
+                     translation=np.array([0, 2.0, 0], np.float32)))
+    # zero-power sun suppresses the default light; the lamp dominates
+    sc.add_light(Light(type=LIGHT_DIRECTIONAL,
+                       direction=np.array([0, -1, 0], np.float32),
+                       intensity=0.0))
+    sc.cameras.append(camera_looking_at(np.array([0, 1.0, 3.0], np.float32),
+                                        np.zeros(3)))
+    # ramp the lamp 1 -> 30x over 2 seconds
+    sc.animations.append(Animation(
+        name="pulse", duration=2.0,
+        channels=[AnimationChannel(
+            target_material=lamp, path="emissiveIntensity",
+            times=np.asarray([0.0, 2.0], np.float32),
+            values=np.asarray([[1.0], [30.0]], np.float32))]))
+    sc.finalize()
+
+    # compare LINEAR HDR radiance (keep_hdr): auto-exposure re-normalizes
+    # the LDR output and would hide the brightening
+    # unique scene key: the camera-state cache would otherwise restore a
+    # stale camera saved by other cube-scene tests
+    cfg = Config(scene="__emissive_e2e__", width=64, height=48,
+                 mode=RenderingMode.NORMAL, direct_mode="restir",
+                 keep_hdr=True)
+    r = Renderer(cfg, scene=sc)
+    r.render_frame(dt=0.05)
+    early = np.asarray(r._model.last_stats["hdr_frame"]).astype(np.float64)
+    for _ in range(30):                         # advance to t ~ 1.5 s
+        r.render_frame(dt=0.05)
+    late = np.asarray(r._model.last_stats["hdr_frame"]).astype(np.float64)
+    # linear radiance must rise strongly as the lamp ramps 1 -> ~23x
+    assert late.mean() > early.mean() * 2.0, \
+        f"cast light never brightened: {early.mean():.3f} -> {late.mean():.3f}"

@@ -242,3 +242,73 @@ def test_reblur_profile_shrinks_kernel_with_history():
     assert c_rb > c_rx * 1.15, \
         f"reblur kernel never shrank: reblur {c_rb:.3f} vs relax {c_rx:.3f}"
     assert c_rb > 0.12, f"reblur lost the detail too: {c_rb:.3f}"
+
+
+def test_emissive_visibility_not_self_shadowed():
+    """Regression: the winner-visibility ray's t_max must account for the
+    shadow-bias origin advance — it used to re-hit the target emissive
+    surface and silently kill most area-light energy."""
+    from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
+    from hobbyrenderer_tpu.scene.cooker import cook_mesh
+    from hobbyrenderer_tpu.scene.procedural import plane_geometry
+    from hobbyrenderer_tpu.scene.scene import (Light, LIGHT_DIRECTIONAL,
+                                               Material, Node)
+    Wl, Hl = 48, 32
+    sc = Scene()
+    floor = sc.add_material(Material(
+        name="floor", base_color=np.array([0.6, 0.6, 0.6, 1], np.float32),
+        roughness=0.9, double_sided=True))
+    lampm = sc.add_material(Material(
+        name="lamp", emissive=np.array([4.0, 4.0, 4.0], np.float32),
+        emissive_strength=10.0, double_sided=True))
+    pos, nrm, uv, idx = plane_geometry(3.0)
+    sc.add_node(Node(name="floor", mesh_primitives=[
+        sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv),
+                    material=floor)]))
+    qpos, qnrm, quv, qidx = plane_geometry(1.0)
+    sc.add_node(Node(name="lamp", mesh_primitives=[
+        sc.add_mesh(cook_mesh(qpos, qidx, normals=-qnrm, uvs=quv),
+                    material=lampm)],
+        translation=np.array([0, 2.0, 0], np.float32)))
+    sc.add_light(Light(type=LIGHT_DIRECTIONAL,
+                       direction=np.array([0, -1, 0], np.float32),
+                       intensity=0.0))
+    sc.cameras.append(camera_looking_at(np.array([0, 1.0, 3.0], np.float32),
+                                        np.zeros(3)))
+    sc.finalize()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], Wl, Hl)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    @jax.jit
+    def gb_fn(g, v):
+        cu = cullops.cull_pairs(g, v,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(g, v, slots, Wl, Hl)
+        return rasterops.resolve_gbuffer(g, v, ro, slots, aux=aux)
+
+    gb = gb_fn(gpu, vc)
+
+    def run(vis):
+        res = restirops.reservoir_init(Hl, Wl)
+        f = jax.jit(lambda rr, i: restirops.restir_di(
+            gpu, rt, gb, vc, settings, rr, i, visibility=vis))
+        acc = np.zeros((Hl, Wl, 3))
+        for i in range(24):
+            d, res = f(res, jnp.int32(i))
+            acc += np.asarray(d)
+        return acc / 24
+
+    with_vis = run(True)
+    no_vis = run(False)
+    lit = np.asarray(gb.valid) & (no_vis.sum(-1) > 0.05)
+    assert lit.sum() > 50
+    ratio = with_vis[lit].sum() / no_vis[lit].sum()
+    # nothing occludes the floor-to-lamp paths: visibility must keep nearly
+    # all the energy (it kept < 30% before the fix)
+    assert ratio > 0.8, f"visibility self-shadowing: kept {ratio:.2f}"
