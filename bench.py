@@ -3,71 +3,107 @@
 Headline metric (BASELINE.json north star): deferred frame time at 1080p on the
 stress benchmark scene (the Sponza-class stand-in — the reference ships no scene
 assets), single chip. Target < 16 ms => vs_baseline = 16 / measured_ms.
+
+The same JSON line also carries BASELINE.json's second metric (path-trace
+Msamples/s/chip) and a per-pass device-ms breakdown (the --execute-per-pass
+path; ref src/RenderGraph.cpp:329-349 per-pass GPU timer queries) under
+"extra" — best-effort, bounded by a wall-clock budget so the headline number
+always lands.
+
+Outage hardening: the axon TPU tunnel has been observed both erroring AND
+hanging indefinitely during backend init. Device probes therefore run in a
+killable SUBPROCESS with a hard timeout, staged over >=30 min, and only when a
+probe succeeds does this process touch jax at all.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
+_PROBE_SRC = (
+    "import numpy as np, jax.numpy as jnp;"
+    "assert float(np.asarray(jnp.zeros(8) + 1.0).sum()) == 8.0;"
+    "print('ok')"
+)
 
-def _wait_for_device(max_wait_s: float = 900.0) -> None:
-    """The axon TPU tunnel occasionally drops and recovers after minutes; a
-    bench run that lands in that window must wait, not record garbage."""
+# total bench budget: the driver window is finite; past this only the headline
+# (+ whatever extras already measured) is reported
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3000.0))
+
+
+def _left() -> float:
+    return BUDGET_S - (time.monotonic() - T_START)
+
+
+def _probe_once(timeout_s: float = 150.0) -> bool:
+    """One device probe in a killable subprocess (a HANGING backend init must
+    not wedge the bench — observed on the axon tunnel)."""
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "")
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC], env=env,
+                           timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        print("# device probe timed out (backend init hang); will retry",
+              file=sys.stderr)
+        return False
+    except Exception as e:
+        print(f"# device probe failed: {type(e).__name__}", file=sys.stderr)
+        return False
+
+
+def _wait_for_device(max_wait_s: float = 2100.0) -> None:
+    """Staged retries totaling ~35 min: the tunnel drops and recovers on the
+    scale of minutes; a bench run landing in that window must wait."""
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_once():
+            return
+        waited = time.monotonic() - t0
+        if waited > max_wait_s:
+            raise RuntimeError(
+                f"device unavailable after {waited:.0f}s / {attempt} probes")
+        print(f"# device unavailable after {waited:.0f}s; retrying...",
+              file=sys.stderr)
+        time.sleep(30.0)
+
+
+def _sync_factory():
+    """Through the remote-TPU tunnel block_until_ready does NOT block; a
+    scalar device->host fetch is the only real synchronization point."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    t0 = time.monotonic()
-    while True:
-        try:
-            import jax.numpy as jnp
-            np.asarray(jnp.zeros(8) + 1.0)
-            return
-        except Exception as e:                     # backend init failure
-            if time.monotonic() - t0 > max_wait_s:
-                raise
-            print(f"# device unavailable ({type(e).__name__}); retrying...",
-                  file=sys.stderr)
-            time.sleep(30.0)
+    def sync(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        np.asarray(jnp.sum(leaves[0].ravel()[:1].astype(jnp.float32)))
+    return sync
 
 
-def main():
-    import jax
-
-    # persistent XLA compilation cache: the flagship frame compiles in tens
-    # of minutes on TPU; repeat bench runs reuse the compiled executable
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
-
+def _bench_flagship(extra: dict) -> float:
+    """Headline: flagship Normal mode (deferred raster + ReSTIR DI temporal+
+    spatial + half-rate ReSTIR GI + RELAX + TAA + post) at 1080p, the
+    reference's headline config (src/Renderer.cpp:1300-1313)."""
     from hobbyrenderer_tpu.config import Config, RenderingMode
     from hobbyrenderer_tpu.renderer import Renderer
 
-    _wait_for_device()
     W, H = 1920, 1080
-    # The FLAGSHIP Normal mode: deferred raster + ReSTIR DI (temporal+spatial
-    # reservoir reuse, RT winner visibility) + half-rate ReSTIR GI + RELAX
-    # denoise + TAA/bloom/exposure/tonemap — the reference's headline config
-    # (src/Renderer.cpp:1300-1313) and BASELINE.json's north-star target
     cfg = Config(scene="stress", width=W, height=H,
                  mode=RenderingMode.NORMAL,
                  direct_mode="restir", indirect_mode="restir")
     r = Renderer(cfg)
+    sync = _sync_factory()
 
-    # warmup (compile). NOTE: through the remote-TPU tunnel
-    # block_until_ready does NOT block; a scalar device->host fetch is the
-    # only real synchronization point, so one is issued before and after the
-    # timed loop (costs one ~30 ms round trip, amortized over n frames).
-    import jax.numpy as jnp
-    import numpy as np
-
-    def sync(x):
-        np.asarray(jnp.sum(x))
-
-    for _ in range(2):
+    for _ in range(2):                     # warmup/compile
         ldr = r.render_frame()
     sync(ldr)
 
@@ -78,11 +114,76 @@ def main():
     sync(ldr)
     ms = (time.perf_counter() - t0) / n * 1e3
 
+    # per-pass device-ms breakdown (best-effort; each pass jits separately,
+    # so skip when the budget is nearly spent)
+    if _left() > 600.0:
+        try:
+            vc = r.camera.view_constants(r.frame_index)
+            settings = cfg.settings.as_pytree()
+            timings = r._model.profile_passes(r.gpu, vc, settings,
+                                              repeats=4, sync=sync)
+            # second run reuses the per-pass jits => steady-state numbers
+            vc = r.camera.view_constants(r.frame_index + 1)
+            timings = r._model.profile_passes(r.gpu, vc, settings,
+                                              repeats=4, sync=sync)
+            extra["per_pass_ms"] = {t["pass"]: round(t["ms"], 2)
+                                    for t in timings}
+        except Exception as e:
+            extra["per_pass_error"] = f"{type(e).__name__}: {e}"
+    r.shutdown()
+    return ms
+
+
+def _bench_pathtracer(extra: dict) -> None:
+    """BASELINE.json metric 2: path-trace Msamples/s/chip. Progressive
+    1 spp/frame wavefront PT on the stress scene; samples = W*H*frames."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+
+    W, H = 960, 540
+    cfg = Config(scene="stress", width=W, height=H,
+                 mode=RenderingMode.PATH_TRACER)
+    r = Renderer(cfg)
+    sync = _sync_factory()
+    ldr = r.render_frame()                 # warmup/compile
+    sync(ldr)
+    n = 4
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ldr = r.render_frame()
+    sync(ldr)
+    dt = time.perf_counter() - t0
+    extra["pt_msamples_per_s_per_chip"] = round(W * H * n / dt / 1e6, 4)
+    extra["pt_frame_ms_960x540"] = round(dt / n * 1e3, 2)
+    r.shutdown()
+
+
+def main():
+    _wait_for_device()
+
+    import jax
+    # persistent XLA compilation cache: the flagship frame compiles in tens
+    # of minutes on TPU; repeat bench runs reuse the compiled executable
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+    extra: dict = {}
+    ms = _bench_flagship(extra)
+    if _left() > 300.0:
+        try:
+            _bench_pathtracer(extra)
+        except Exception as e:
+            extra["pt_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": "deferred_frame_ms_1080p_stress",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(16.0 / ms, 4),
+        "extra": extra,
     }))
 
 

@@ -70,6 +70,11 @@ def main(argv=None):
     p.add_argument("--csm-debug", action="store_true",
                    help="cascade debug view: per-pixel cascade tint + "
                         "shadow-map thumbnails (normal_basic mode)")
+    p.add_argument("--no-specular-indirect", dest="specular_indirect",
+                   action="store_false", default=True,
+                   help="disable traced specular reflections (ref "
+                        "BrdfRayTracing; on by default with an RT indirect "
+                        "mode)")
     a = p.parse_args(argv)
 
     cfg = Config(scene=a.scene, width=a.width, height=a.height, mode=a.mode,
@@ -83,7 +88,8 @@ def main(argv=None):
                  keep_hdr=bool(a.screenshot
                                and a.screenshot.lower().endswith(".hdr")),
                  tex_streaming=a.tex_streaming,
-                 tex_budget_mb=a.tex_budget_mb)
+                 tex_budget_mb=a.tex_budget_mb,
+                 specular_indirect=a.specular_indirect)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)
     if a.describe_graph:

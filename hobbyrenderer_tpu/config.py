@@ -114,6 +114,9 @@ class Config:
     ddgi_debug: bool = False              # probe visualization overlay
     csm_debug: bool = False               # cascade debug view (ref CSMDebugRenderer)
     regir: bool = False                   # ReGIR world-space light grid (ref RTXDI)
+    specular_indirect: bool = True        # traced glossy/mirror reflections
+    #                                       (ref BrdfRayTracing; needs an RT
+    #                                       indirect mode to activate)
     denoiser: str = "relax"               # "relax" | "reblur" (ref NRD pipelines)
     keep_hdr: bool = False                # expose the linear HDR frame (for .hdr screenshots)
     env_lights: int = 0                   # envmap -> N pool directionals (ref env PDF presampling)

@@ -190,14 +190,22 @@ class RenderGraph:
         return {"outputs": result, "state": new_state}
 
     def execute_per_pass(self, ctx: FrameContext, frame_state: Dict[str, Any],
-                         outputs: Sequence[str]) -> Dict[str, Any]:
+                         outputs: Sequence[str], repeats: int = 1,
+                         sync=None) -> Dict[str, Any]:
         """Bisection/profiling mode (--execute-per-pass; ref Config.h:13-14
         --execute-per-pass-and-wait + the per-pass GPU timer queries,
         RenderGraph.cpp:329-349): each pass is jitted SEPARATELY and blocked,
         so a fault is attributable to one pass and per-pass device time is
         measurable. Results land in self.last_pass_timings (ms, includes the
-        compile on the first frame — run >=2 frames for steady-state numbers)."""
+        compile on the first frame — run >=2 frames for steady-state numbers).
+
+        repeats>1 re-dispatches each pass with identical inputs and divides —
+        this amortizes the per-sync round trip, which matters through remote
+        device tunnels where only a host fetch truly synchronizes (pass such a
+        fetch as `sync`; defaults to jax.block_until_ready)."""
         import time as _time
+        if sync is None:
+            sync = jax.block_until_ready
         store: Dict[str, Any] = dict(frame_state)
         timings: List[Dict[str, Any]] = []
         for p in self.passes:
@@ -219,9 +227,16 @@ class RenderGraph:
                 self._pass_jits[p.name] = fn
             t0 = _time.perf_counter()
             written = fn(ctx.gpu, ctx.rt, ctx.vc, ctx.settings, ctx.dt, needed)
-            jax.block_until_ready(written)
-            timings.append({"pass": p.name,
-                            "ms": (_time.perf_counter() - t0) * 1e3})
+            sync(written)
+            ms = (_time.perf_counter() - t0) * 1e3
+            if repeats > 1:
+                t0 = _time.perf_counter()
+                for _ in range(repeats):
+                    w2 = fn(ctx.gpu, ctx.rt, ctx.vc, ctx.settings, ctx.dt,
+                            needed)
+                sync(w2)
+                ms = (_time.perf_counter() - t0) * 1e3 / repeats
+            timings.append({"pass": p.name, "ms": ms})
             missing = p.writes - set(written) - set(store)
             if missing:
                 raise AccessError(

@@ -77,7 +77,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          env_as_lights: bool = False,
                          out_width: int = None,
                          out_height: int = None,
-                         denoiser_profile: str = "relax") -> RenderGraph:
+                         denoiser_profile: str = "relax",
+                         specular_indirect: bool = False) -> RenderGraph:
     g = RenderGraph()
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
@@ -248,13 +249,15 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         g.get("MaskedLayer").enabled = False
 
     @g.add
-    @render_pass("SunShadow", reads=("gbuffer",), writes=("sun_shadow",))
+    @render_pass("SunShadow", reads=("gbuffer",),
+                 writes=("sun_shadow", "rt_overflow_sun"))
     def _sun_shadow(ctx, res):
         """Ray-traced sun shadow mask (ref RT sun shadows + the ShadowMask R8
         target). One cone-jittered shadow ray per shadow-res pixel through the
         BVH; traced at reduced resolution (shadow_scale) and bilinearly
         upsampled — TAA integrates the jitter over frames."""
         gb = res["gbuffer"]
+        res["rt_overflow_sun"] = jnp.int32(0)
         if ctx.rt is None:
             res["sun_shadow"] = jnp.ones((height, width), jnp.float32)
             return
@@ -282,10 +285,12 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             # coherent sun rays: beam-traversal kernel (ops/beam.py) — one
             # shared BVH walk per 32x32 tile, ~80x the per-ray wavefront
             from hobbyrenderer_tpu.ops import beam as beamops
-            occ = beamops.beam_any_hit(
+            occ, n_ovf = beamops.beam_any_hit(
                 ctx.rt.btable, o.reshape(sh, sw, 3), L.reshape(sh, sw, 3),
                 jnp.where(facing, 1e8, 1e-4).reshape(sh, sw),
-                facing.reshape(sh, sw), sh, sw).reshape(-1)
+                facing.reshape(sh, sw), sh, sw, return_overflow=True)
+            occ = occ.reshape(-1)
+            res["rt_overflow_sun"] = n_ovf
         else:
             occ = bvhops.bvh_any_hit(ctx.rt.bvh, o, L,
                                      t_max=jnp.where(facing, 1e8, 1e-4))
@@ -335,7 +340,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
 
     @g.add
     @render_pass("RTXDI", reads=("gbuffer", "restir_reservoir"),
-                 writes=("restir_direct", "restir_reservoir"),
+                 writes=("restir_direct", "restir_reservoir",
+                         "rt_overflow_di"),
                  persistent=("restir_reservoir",))
     def _rtxdi(ctx, res):
         """ReSTIR DI chain (ref RTXDIRenderer, SURVEY.md §2.6 #41)."""
@@ -348,12 +354,14 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             grid = regirops.build_regir_grid(
                 ctx.rt.lights, jnp.asarray(scene_bounds[0]),
                 jnp.asarray(scene_bounds[1]), ctx.vc["frame_index"])
+        so = {}
         direct, new_res = restirops.restir_di(
             ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
             res["restir_reservoir"], ctx.vc["frame_index"],
-            visibility=ctx.rt is not None, regir_grid=grid)
+            visibility=ctx.rt is not None, regir_grid=grid, stats_out=so)
         res["restir_direct"] = direct
         res["restir_reservoir"] = new_res
+        res["rt_overflow_di"] = so.get("overflow", jnp.int32(0))
 
     if not use_restir:
         g.get("RTXDI").enabled = False
@@ -363,20 +371,23 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
 
     @g.add
     @render_pass("RTXDIGI", reads=("gbuffer", "restir_gi_reservoir"),
-                 writes=("restir_indirect", "restir_gi_reservoir"),
+                 writes=("restir_indirect", "restir_gi_reservoir",
+                         "rt_overflow_gi"),
                  persistent=("restir_gi_reservoir",))
     def _rtxdi_gi(ctx, res):
         """ReSTIR GI chain (ref RTXDIRenderer GI passes,
         src/RTXDIRenderer.cpp:2256-2293)."""
         from hobbyrenderer_tpu.ops import restir_gi as giops
+        so = {}
         ind, new_res = giops.restir_gi(
             ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
             res["restir_gi_reservoir"], ctx.vc["frame_index"],
             scale=GI_SCALE, half_rate=GI_HALF_RATE,
             trace_max_steps=GI_TRACE_STEPS,
-            skip_pool_emissive=use_restir)
+            skip_pool_emissive=use_restir, stats_out=so)
         res["restir_indirect"] = ind
         res["restir_gi_reservoir"] = new_res
+        res["rt_overflow_gi"] = so.get("overflow", jnp.int32(0))
 
     if not use_restir_gi:
         g.get("RTXDIGI").enabled = False
@@ -448,28 +459,22 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             u2 = uniform_from_bits(bits[..., 1])
             d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
             o = offset_ray_origin(pos, gn, d) + gn * ctx.settings.shadow_bias
-            hit = bvhops.bvh_closest_hit(ctx.rt.bvh, o, d)
-            from hobbyrenderer_tpu.models.pathtracer import _fetch_hit_attrs
-            from hobbyrenderer_tpu.scene.gpu import (MAT_BASE_COLOR, MAT_EMISSIVE,
-                                                     MAT_METALLIC, MAT_ROUGHNESS)
-            hpos, hn, hgn, _huv, hmat, _hi = _fetch_hit_attrs(ctx.gpu, ctx.rt,
-                                                              hit, o, d)
-            mf = ctx.gpu.mat_f[hmat]
-            h_alb = mf[:, MAT_BASE_COLOR:MAT_BASE_COLOR + 3]
-            h_emis = mf[:, MAT_EMISSIVE:MAT_EMISSIVE + 3]
-            # one-sample direct light at the hit (sun, unshadowed — cheap bias)
-            sun_idx, _ = _sun_index(ctx.gpu)
-            Lh, radh, _dh = shadeops.light_incident(
-                ctx.gpu.light_type[sun_idx], ctx.gpu.light_pos[sun_idx],
-                ctx.gpu.light_dir[sun_idx], ctx.gpu.light_color[sun_idx],
-                ctx.gpu.light_range[sun_idx], ctx.gpu.light_cone[sun_idx], hpos)
-            ndl = jnp.maximum(jnp.sum(hn * Lh, -1), 0.0)
+            from hobbyrenderer_tpu.ops import trace as traceops
+            hit = traceops.closest_hit_auto(ctx.rt, o, d, active=val)
+            # outgoing radiance at the bounce hit: emissive + ONE power-CDF
+            # NEE light sample WITH a shadow ray (ref SHARCUpdate.hlsl's real
+            # NEE; the former unshadowed sun-only sample converged the cache
+            # to a biased value in occluded interiors). Shared GI machinery.
+            from hobbyrenderer_tpu.ops.restir_gi import _hit_radiance
+            hpos, hn, h_rad = _hit_radiance(
+                ctx.gpu, ctx.rt, ctx.rt.lights, hit, o, d,
+                pix + jnp.uint32(0x5A4C), frame,
+                skip_pool_emissive=False)
             # multi-bounce propagation: the cache's previous-frame value at
             # the HIT cell is the indirect exitance there (ref SHARC
             # path-continuation cache lookups) — one extra bounce per frame
             fb, fb_hit = sharcops.sharc_query(cache, hpos, hn, cam)
-            L_hit = (h_emis + h_alb / jnp.pi * radh * ndl[..., None]
-                     + jnp.where(fb_hit[..., None], fb, 0.0))
+            L_hit = h_rad + jnp.where(fb_hit[..., None], fb, 0.0)
             # cosine-sampled bounce: indirect irradiance/pi estimate = albedo*L
             sample = alb * L_hit
             # miss -> 0: sky visibility is covered by the IBL ambient term
@@ -551,7 +556,49 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_ssgi:
         g.get("SSGI").enabled = False
 
+    # traced specular indirect (ref BrdfRayTracing + ShadeSecondarySurfaces,
+    # src/RTXDIRenderer.cpp:2218-2235): any RT indirect mode gets it
+    use_spec = (specular_indirect and with_rt_shadows
+                and mode in (RenderingMode.NORMAL, RenderingMode.IBL)
+                and indirect_mode in ("restir", "sharc", "ddgi"))
+    spec_reads = ("gbuffer", "spec_state") \
+        + (("sharc_cache",) if use_sharc else ())
+
+    @g.add
+    @render_pass("SpecularIndirect", reads=spec_reads,
+                 writes=("spec_indirect", "spec_weight", "spec_state"),
+                 persistent=("spec_state",))
+    def _spec_indirect(ctx, res):
+        """GGX-VNDF reflection rays for glossy pixels (ops/specular.py):
+        replaces the split-sum IBL specular where roughness permits tracing —
+        mirrors show geometry/emitters, env reflections get occlusion."""
+        from hobbyrenderer_tpu.ops import specular as specops
+        gb = res["gbuffer"]
+        if ctx.rt is None:
+            res["spec_indirect"] = jnp.zeros((height, width, 3), jnp.float32)
+            res["spec_weight"] = jnp.zeros((height, width), jnp.float32)
+            res["spec_state"] = res["spec_state"]
+            return
+        env_fn = None
+        if ctx.gpu.env_map is not None and not env_as_lights:
+            from hobbyrenderer_tpu.ops import envmap as envops
+            env_fn = lambda dd: envops.sample_equirect(ctx.gpu.env_map, dd)
+        spec, w_blend, st = specops.specular_indirect(
+            ctx.gpu, ctx.rt, gb, ctx.vc, ctx.settings, res["spec_state"],
+            ctx.vc["frame_index"], env_fn=env_fn,
+            sun_dir=_scene_sun_dir(ctx),
+            sharc_cache=res.get("sharc_cache") if use_sharc else None,
+            skip_pool_emissive=use_restir,
+            include_env_miss=not env_as_lights)
+        res["spec_indirect"] = spec
+        res["spec_weight"] = w_blend
+        res["spec_state"] = st
+
+    if not use_spec:
+        g.get("SpecularIndirect").enabled = False
+
     reads = ("gbuffer", "sun_shadow", "sky_irradiance") \
+        + (("spec_indirect", "spec_weight") if use_spec else ()) \
         + (("restir_direct",) if use_restir else ()) \
         + (("sharc_indirect",) if use_sharc else ()) \
         + (("ssgi_indirect",) if use_ssgi else ()) \
@@ -593,11 +640,14 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             if ctx.gpu.env_map is not None:
                 from hobbyrenderer_tpu.ops import envmap as envops
                 env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map, d)
-            ambient = iblops.ibl_ambient(res["sky_irradiance"], gb.normal, v,
-                                         gb.albedo, metal, rough,
-                                         _scene_sun_dir(ctx), ctx.settings,
-                                         intensity=ibl_scale, env_fn=env_fn)
+            ambient = iblops.ibl_ambient(
+                res["sky_irradiance"], gb.normal, v, gb.albedo, metal, rough,
+                _scene_sun_dir(ctx), ctx.settings, intensity=ibl_scale,
+                env_fn=env_fn,
+                spec_suppress=res["spec_weight"] if use_spec else None)
         hdr = direct + ambient + gb.emissive
+        if use_spec:
+            hdr = hdr + res["spec_indirect"]
         if use_sharc:
             hdr = hdr + res["sharc_indirect"]
         if use_ssgi:
@@ -807,7 +857,8 @@ def initial_frame_state(width: int, height: int,
                         indirect_mode: str = "none",
                         scene_bounds=None,
                         out_width: int = None,
-                        out_height: int = None) -> Dict[str, jnp.ndarray]:
+                        out_height: int = None,
+                        specular_indirect: bool = False) -> Dict[str, jnp.ndarray]:
     """Persistent resources seed (ref persistent render-graph resources:
     exposure, HZB, TAA history, light reservoirs — src/CommonRenderers.cpp).
     out_* differ from width/height under TAA upscaling (the history lives at
@@ -840,6 +891,9 @@ def initial_frame_state(width: int, height: int,
         lo, hi = scene_bounds if scene_bounds is not None \
             else ((-10.0, -10.0, -10.0), (10.0, 10.0, 10.0))
         state["ddgi_volume"] = ddgi_init(lo, hi)
+    if specular_indirect and indirect_mode in ("restir", "sharc", "ddgi"):
+        from hobbyrenderer_tpu.ops.specular import spec_state_init
+        state["spec_state"] = spec_state_init(height, width)
     return state
 
 
@@ -905,21 +959,44 @@ class DeferredRenderer:
                                           out_height=self.out_height,
                                           denoiser_profile=getattr(
                                               config, "denoiser", "relax")
-                                          or "relax")
+                                          or "relax",
+                                          specular_indirect=bool(getattr(
+                                              config, "specular_indirect",
+                                              False)))
         self.streaming = gpu.tex_stream is not None
         self.state = initial_frame_state(width, height, direct_mode=direct_mode,
                                          indirect_mode=indirect_mode,
                                          scene_bounds=_bounds,
                                          out_width=self.out_width,
-                                         out_height=self.out_height)
+                                         out_height=self.out_height,
+                                         specular_indirect=bool(getattr(
+                                             config, "specular_indirect",
+                                             False)))
         self.config = config
         self._jitted = None
+
+    def _overflow_outputs(self):
+        """Beam-kernel frontier-overflow counters written by ENABLED passes
+        (a frontier-overflowed tile under-reports occlusion; surfaced in
+        Renderer.stats() so silent quality loss is observable)."""
+        names = []
+        for pname, rname in (("SunShadow", "rt_overflow_sun"),
+                             ("RTXDI", "rt_overflow_di"),
+                             ("RTXDIGI", "rt_overflow_gi")):
+            try:
+                if self.graph.get(pname).enabled:
+                    names.append(rname)
+            except KeyError:
+                pass
+        return tuple(names)
 
     def frame_fn(self, gpu, rt, vc, settings, state, dt):
         ctx = FrameContext(gpu=gpu, vc=vc, settings=settings, config=self.config,
                            dt=dt, rt=rt)
         outputs = ("ldr", "raster_overflow", "visible_count",
                    "occluded_count", "phase2_count", "exposure")
+        ovf_names = self._overflow_outputs()
+        outputs += ovf_names
         # the full HDR frame is a ~24 MB live output at 1080p: only keep it
         # when the run actually wants .hdr screenshots (Config.keep_hdr)
         keep_hdr = bool(getattr(self.config, "keep_hdr", False))
@@ -934,6 +1011,8 @@ class DeferredRenderer:
                  "occluded_pairs": o["occluded_count"],
                  "phase2_pairs": o["phase2_count"],
                  "exposure": o["exposure"]}
+        if ovf_names:
+            stats["rt_overflow_tiles"] = sum(o[n] for n in ovf_names)
         if keep_hdr:
             stats["hdr_frame"] = o["hdr"]
         if self.streaming:
@@ -948,6 +1027,8 @@ class DeferredRenderer:
             keep_hdr = bool(getattr(self.config, "keep_hdr", False))
             outputs = ("ldr", "raster_overflow", "visible_count",
                        "occluded_count", "phase2_count", "exposure")
+            ovf_names = self._overflow_outputs()
+            outputs += ovf_names
             if keep_hdr:
                 outputs += ("hdr",)
             if self.streaming:
@@ -960,6 +1041,9 @@ class DeferredRenderer:
                                "occluded_pairs": o["occluded_count"],
                                "phase2_pairs": o["phase2_count"],
                                "exposure": o["exposure"]}
+            if ovf_names:
+                self.last_stats["rt_overflow_tiles"] = sum(
+                    o[n] for n in ovf_names)
             if keep_hdr:
                 self.last_stats["hdr_frame"] = o["hdr"]
             if self.streaming:
@@ -971,6 +1055,20 @@ class DeferredRenderer:
                                               self.state, jnp.float32(dt))
         self.last_stats = stats
         return ldr, stats["raster_overflow"]
+
+    def profile_passes(self, gpu, vc, settings, dt: float = 1 / 60,
+                       repeats: int = 4, sync=None):
+        """Per-pass device-time breakdown (ref per-pass GPU timer queries,
+        RenderGraph.cpp:329-349): runs the frame pass-by-pass with `repeats`
+        re-dispatches per pass (identical inputs) between two syncs, returning
+        [{pass, ms}]. Pass a host-fetch `sync` through remote device tunnels
+        where block_until_ready does not truly block. State is advanced once."""
+        ctx = FrameContext(gpu=gpu, vc=vc, settings=settings,
+                           config=self.config, dt=jnp.float32(dt), rt=self.rt)
+        out = self.graph.execute_per_pass(ctx, self.state, outputs=("ldr",),
+                                          repeats=repeats, sync=sync)
+        self.state = out["state"]
+        return list(self.graph.last_pass_timings)
 
     def reload(self):
         """Shader hot-reload analogue (ref F5 ReloadShaders): drop the compiled

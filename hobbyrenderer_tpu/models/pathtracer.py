@@ -290,7 +290,10 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
     def bounce_body(carry, bounce):
         o, d, radiance, throughput, active, inside, sigma_t, prev_pdf = carry
         dim = 1 + bounce * 8
-        hit = bvhops.bvh_closest_hit(rt.bvh, o, d)
+        # bounced rays are incoherent: sorted-block beam kernel on TPU
+        # (ops/trace.py), lockstep wavefront elsewhere
+        from hobbyrenderer_tpu.ops import trace as traceops
+        hit = traceops.closest_hit_auto(rt, o, d, active=active)
         miss = (hit.tri < 0) & active
         # Beer-Lambert attenuation through the current medium (ref interior
         # media, PathTracer.hlsl Beer-Lambert)
@@ -464,9 +467,10 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         so = offset_ray_origin(pos, gn, L)
         from hobbyrenderer_tpu.ops.intersect import retarget_shadow_ray
         L_v, tmax_t = retarget_shadow_ray(pos, so, L, dist)
-        occluded = bvhops.bvh_any_hit(
-            rt.bvh, so, L_v,
-            t_max=jnp.where(nee_active, tmax_t, 1e-4))
+        occluded = traceops.any_hit_auto(
+            rt, so, L_v,
+            t_max=jnp.where(nee_active, tmax_t, 1e-4),
+            active=nee_active)
         contrib = throughput * f * rad * inv_sel[..., None]
         radiance = radiance + jnp.where((nee_active & ~occluded)[..., None], contrib, 0.0)
 

@@ -139,7 +139,9 @@ def ddgi_update(vol: DDGIVolume, gpu, rt, settings, frame) -> DDGIVolume:
 
     o = jnp.repeat(pos, N_RAYS, axis=0)                        # (P*N, 3)
     d = jnp.tile(dirs, (P, 1))
-    hit = bvhops.bvh_closest_hit(rt.bvh, o, d)
+    # probe rays fan out in all directions: sorted-block kernel on TPU
+    from hobbyrenderer_tpu.ops import trace as traceops
+    hit = traceops.closest_hit_auto(rt, o, d)
     R = o.shape[0]
     pix = jnp.arange(R, dtype=jnp.uint32)
 

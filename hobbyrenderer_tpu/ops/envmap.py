@@ -115,6 +115,14 @@ def load_envmap(path: str, max_width: int = 2048) -> np.ndarray:
     if path.lower().endswith(".hdr"):
         with open(path, "rb") as f:
             img = decode_hdr(f.read())
+    elif path.lower().endswith(".dds"):
+        # BC6H skybox DDS keeps its linear floats (ref TextureLoader BC6H)
+        from hobbyrenderer_tpu.scene.textures import decode_dds
+        with open(path, "rb") as f:
+            dec = decode_dds(f.read())
+        img = (dec[..., :3].astype(np.float32)
+               if dec.dtype != np.uint8
+               else (dec[..., :3].astype(np.float32) / 255.0) ** 2.2)
     else:
         from hobbyrenderer_tpu.scene.textures import load_image_file
         u8 = load_image_file(path)

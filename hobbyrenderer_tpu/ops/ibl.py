@@ -184,14 +184,19 @@ def env_brdf(ndv, rough):
 
 
 def ibl_ambient(sh, n, v, albedo, metallic, roughness, sun_dir, settings,
-                intensity=1.0, env_fn=None):
+                intensity=1.0, env_fn=None, spec_suppress=None):
     """Diffuse irradiance + roughness-aware specular ambient.
 
     Specular: reflection-direction environment sample (env_fn when an
     authored environment map exists, else the procedural sky) blended toward
     irradiance with roughness (prefiltered-radiance stand-in), weighted by
     the split-sum environment BRDF (ref CommonResources BRDF LUT; here the
-    validated gather-free analytic fit — see env_brdf)."""
+    validated gather-free analytic fit — see env_brdf).
+
+    spec_suppress (H, W) in [0, 1], optional: fraction of the specular term
+    REPLACED by traced specular indirect (ops/specular.py) — where reflection
+    rays resolve the environment (and geometry) exactly, the split-sum
+    approximation must not double count it."""
     from hobbyrenderer_tpu.ops.shading import brdf_params, fresnel_schlick
     diffuse_c, f0, alpha = brdf_params(albedo, metallic, roughness)
     irr_n = jnp.maximum(sample_irradiance(sh, n), 0.0)
@@ -211,4 +216,7 @@ def ibl_ambient(sh, n, v, albedo, metallic, roughness, sun_dir, settings,
                 + jnp.maximum(sample_irradiance(sh, r), 0.0) * rough)
     ndv = jnp.maximum(jnp.sum(n * v, -1, keepdims=True), 1e-4)
     scale, bias = env_brdf(ndv, rough)
-    return (diffuse + spec_env * (f0 * scale + bias)) * intensity
+    spec = spec_env * (f0 * scale + bias)
+    if spec_suppress is not None:
+        spec = spec * (1.0 - spec_suppress)[..., None]
+    return (diffuse + spec) * intensity

@@ -132,7 +132,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
               num_candidates: int = 8, visibility: bool = True,
               spatial_taps: int = SPATIAL_TAPS, pool=None, shard=None,
               force_kernel: bool = False, boiling_mult: float = 20.0,
-              regir_grid=None):
+              regir_grid=None, stats_out: dict = None):
     """Full ReSTIR DI chain for one frame.
 
     gb: GBuffer; prev: last frame's reservoir (already at this frame's pixel
@@ -395,6 +395,8 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     _, rad, dist = lightops.light_incident_rows(row, uv, pos)
     f = shadeops.eval_brdf(n, v, L_final, albedo, metal, rough)
     contrib = f * rad * Wgt[..., None]
+    if stats_out is not None:
+        stats_out["overflow"] = jnp.int32(0)
     if visibility and rt is not None:
         gn = gb.geo_normal.reshape(R, 3)
         bias = settings.shadow_bias
@@ -408,9 +410,15 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
             # winner rays are sun/dominant-light coherent after RIS: the
             # tile-beam kernel (ops/beam.py) amortizes the BVH walk per tile
             from hobbyrenderer_tpu.ops import beam as beamops
-            occ = beamops.beam_any_hit(
+            occ, n_ovf = beamops.beam_any_hit(
                 rt.btable, o.reshape(H, W, 3), L_vis.reshape(H, W, 3),
-                tmax.reshape(H, W), shoot.reshape(H, W), H, W).reshape(R)
+                tmax.reshape(H, W), shoot.reshape(H, W), H, W,
+                return_overflow=True)
+            occ = occ.reshape(R)
+            if stats_out is not None:
+                # a frontier-overflowed tile under-reports occlusion
+                # (ops/beam.py contract); surfaced in Renderer.stats()
+                stats_out["overflow"] = n_ovf
         else:
             occ = bvhops.bvh_any_hit(rt.bvh, o, L_vis, t_max=tmax)
         contrib = jnp.where(occ[..., None], 0.0, contrib)

@@ -99,8 +99,11 @@ def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
     shoot = (hit.tri >= 0) & (li >= 0) & (hm.luminance(direct, xp=jnp) > 0)
     from hobbyrenderer_tpu.ops.intersect import retarget_shadow_ray
     L_v, tmax_t = retarget_shadow_ray(p, so, L, dist)
-    occ = bvhops.bvh_any_hit(rt.bvh, so, L_v,
-                             t_max=jnp.where(shoot, tmax_t, 1e-4))
+    # bounce-hit NEE shadow rays are incoherent: sorted-block kernel on TPU
+    from hobbyrenderer_tpu.ops import trace as traceops
+    occ = traceops.any_hit_auto(rt, so, L_v,
+                                t_max=jnp.where(shoot, tmax_t, 1e-4),
+                                active=shoot)
     direct = jnp.where((occ | ~shoot)[..., None], 0.0, direct)
     # emissive triangles that live in the DI light pool are ALREADY sampled
     # by ReSTIR DI at the receiver — counting their Le here too double-lights
@@ -108,9 +111,14 @@ def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
     # reflected light; emitters OUTSIDE the pool keep their Le. Only valid
     # when the receiver's direct mode IS ReSTIR (callers pass the flag; with
     # simple direct lighting the GI ray is the ONLY emissive transport).
-    if skip_pool_emissive and getattr(rt, "em_index", None) is not None:
+    # May be a per-lane bool mask (ops/specular.py: mirror lanes keep Le —
+    # ref BrdfRayTracing's includeEmissiveComponent on delta rays).
+    skip_any = (skip_pool_emissive if isinstance(skip_pool_emissive, bool)
+                else True)
+    if skip_any and getattr(rt, "em_index", None) is not None:
         e_idx = rt.em_index[rt.split_to_orig[jnp.maximum(hit.tri, 0)]]
-        emissive = jnp.where((e_idx >= 0)[..., None], 0.0, emissive)
+        emissive = jnp.where(((e_idx >= 0) & skip_pool_emissive)[..., None],
+                             0.0, emissive)
     rad_out = emissive + direct
     return p, n_s, jnp.where((hit.tri >= 0)[..., None], rad_out, 0.0)
 
@@ -131,7 +139,7 @@ def _jacobian(recv_pos, s_pos, s_nrm, src_pos):
 def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
               scale: int = 4, pool=None, shard=None, half_rate: bool = False,
               trace_max_steps: int = None,
-              skip_pool_emissive: bool = False):
+              skip_pool_emissive: bool = False, stats_out: dict = None):
     """One ReSTIR GI frame at 1/scale res. Returns (indirect (H, W, 3)
     full-res diffuse indirect, new GIReservoir (Hg, Wg)). shard: optional
     FULL-RES RowShard; the GI grid shards with it (shard_h % scale == 0).
@@ -184,8 +192,10 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
         active = (frame % 2) == 0      # scalar
 
         def trace(_):
-            hit = bvhops.bvh_closest_hit(rt.bvh, o, d,
-                                         max_steps=trace_max_steps)
+            from hobbyrenderer_tpu.ops import trace as traceops
+            hit = traceops.closest_hit_auto(rt, o, d,
+                                            max_steps=trace_max_steps,
+                                            active=valid)
             sp, sn, sr = _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
                                        skip_pool_emissive=skip_pool_emissive)
             return sp, sn, sr, hit.tri
@@ -197,7 +207,9 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
         s_pos, s_nrm, s_rad, hit_tri = jax.lax.cond(active, trace, skip, None)
         ok0 = valid & (hit_tri >= 0)
     else:
-        hit = bvhops.bvh_closest_hit(rt.bvh, o, d, max_steps=trace_max_steps)
+        from hobbyrenderer_tpu.ops import trace as traceops
+        hit = traceops.closest_hit_auto(rt, o, d, max_steps=trace_max_steps,
+                                        active=valid)
         s_pos, s_nrm, s_rad = _hit_radiance(
             gpu, rt, pool, hit, o, d, pix, frame,
             skip_pool_emissive=skip_pool_emissive)
@@ -322,14 +334,20 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     from hobbyrenderer_tpu.ops.intersect import retarget_shadow_ray
     L, tmax_t = retarget_shadow_ray(pos, o_v, L, dist)
     tmax_v = jnp.where(shoot, tmax_t, 1e-4)
+    if stats_out is not None:
+        stats_out["overflow"] = jnp.int32(0)
     if getattr(rt, "btable", None) is not None \
             and jax.default_backend() == "tpu":
         # post-spatial-reuse neighbors share samples, so receiver->sample
         # rays are tile-coherent: beam kernel (ops/beam.py)
         from hobbyrenderer_tpu.ops import beam as beamops
-        occ = beamops.beam_any_hit(
+        occ, n_ovf = beamops.beam_any_hit(
             rt.btable, o_v.reshape(Hg, Wg, 3), L.reshape(Hg, Wg, 3),
-            tmax_v.reshape(Hg, Wg), shoot.reshape(Hg, Wg), Hg, Wg).reshape(R)
+            tmax_v.reshape(Hg, Wg), shoot.reshape(Hg, Wg), Hg, Wg,
+            return_overflow=True)
+        occ = occ.reshape(R)
+        if stats_out is not None:
+            stats_out["overflow"] = n_ovf
     else:
         occ = bvhops.bvh_any_hit(rt.bvh, o_v, L, t_max=tmax_v)
     Wgt = jnp.where(occ, 0.0, Wgt)

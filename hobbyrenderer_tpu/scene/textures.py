@@ -42,7 +42,14 @@ MAX_MIPS = 11           # 1024 -> 1
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """bytes (PNG/JPEG/DDS/...) -> (H, W, 4) uint8 RGBA."""
     if data[:4] == b"DDS ":
-        return decode_dds(data)
+        img = decode_dds(data)
+        if img.dtype != np.uint8:
+            # HDR (BC6H) content bound as an LDR material map: sRGB-encode +
+            # clip (the envmap path keeps the floats — ops/envmap.load_envmap)
+            ldr = np.clip(img[..., :3], 0.0, 1.0) ** (1.0 / 2.2)
+            a = np.full((*ldr.shape[:2], 1), 255, np.uint8)
+            return np.concatenate([(ldr * 255 + 0.5).astype(np.uint8), a], -1)
+        return img
     from PIL import Image
     img = Image.open(io.BytesIO(data)).convert("RGBA")
     return np.asarray(img, np.uint8)
@@ -117,8 +124,12 @@ def _decode_bc_alpha_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 def decode_dds(data: bytes) -> np.ndarray:
-    """Minimal DDS decode: uncompressed RGBA/BGRA + BC1/BC2/BC3/BC4/BC5
-    (top mip only — our table rebuilds the chain)."""
+    """Minimal DDS decode (top mip only — our table rebuilds the chain):
+    uncompressed RGBA/BGRA + BC1-5 (numpy), BC7 (PIL's native bcn decoder),
+    BC6H (scene/bc6h.py, the float path PIL clamps away).
+
+    Returns (H, W, 4) uint8 RGBA for LDR formats; (H, W, 3) float32 linear
+    for BC6H (ref TextureLoader.cpp consumes BC6H skyboxes/irradiance)."""
     assert data[:4] == b"DDS ", "not a DDS file"
     (size, flags, h, w) = struct.unpack_from("<IIII", data, 4)
     pf_flags, fourcc = struct.unpack_from("<II", data, 80)
@@ -128,10 +139,28 @@ def decode_dds(data: bytes) -> np.ndarray:
     if fcc == b"DX10":
         dxgi, = struct.unpack_from("<I", data, off)
         off += 20
-        dxgi_map = {71: b"DXT1", 74: b"DXT3", 77: b"DXT5", 80: b"BC4U", 83: b"BC5U",
+        dxgi_map = {71: b"DXT1", 72: b"DXT1", 74: b"DXT3", 75: b"DXT3",
+                    77: b"DXT5", 78: b"DXT5", 80: b"BC4U", 83: b"BC5U",
+                    94: b"BC6U", 95: b"BC6U", 96: b"BC6S",
+                    97: b"BC7 ", 98: b"BC7 ", 99: b"BC7 ",
                     28: b"RGBA", 87: b"BGRA"}
         fcc = dxgi_map.get(dxgi, b"????")
     bw, bh = (w + 3) // 4, (h + 3) // 4
+    if fcc in (b"BC6U", b"BC6S"):
+        from hobbyrenderer_tpu.scene.bc6h import decode_bc6h_blocks
+        blocks = np.frombuffer(data, np.uint8, count=bw * bh * 16,
+                               offset=off).reshape(-1, 16)
+        px = decode_bc6h_blocks(blocks, signed=fcc == b"BC6S")
+        img = px.reshape(bh, bw, 4, 4, 3).transpose(0, 2, 1, 3, 4) \
+            .reshape(bh * 4, bw * 4, 3)
+        return np.ascontiguousarray(img[:h, :w])
+    if fcc == b"BC7 ":
+        # PIL ships a native, battle-tested BC7 decoder; BC7 is UNORM so the
+        # u8 path is exact
+        import io as _io
+        from PIL import Image
+        img = Image.open(_io.BytesIO(data)).convert("RGBA")
+        return np.asarray(img, np.uint8)[:h, :w]
     if pf_flags & 0x40 or fcc in (b"RGBA", b"BGRA"):        # uncompressed
         bpp = rgb_bitcount if rgb_bitcount else 32
         if bpp == 32:

@@ -15,11 +15,18 @@ W, H = 96, 64
 # CSM/contact shadows, PT integrates transport exactly. Measured ~0.11 RMSE on
 # the cube scene; ratcheted down as quality work lands.
 RMSE_GATE = 0.16
+# flagship Normal mode (the benched config) vs PT. Measured RMSE 0.141 /
+# corr 0.72 when the gate landed (r3) — the gap is concentrated in glass/
+# transmission blocks (PT integrates real transmission; the deferred
+# transparent pass approximates). Ratcheted down as quality work closes the
+# gap toward the 0.05 VERDICT-r2 target and the 1e-2 BASELINE north star.
+FLAGSHIP_RMSE_GATE = 0.15
+FLAGSHIP_CORR_GATE = 0.65
 
 
-def _render(mode, frames):
-    cfg = Config(scene="cube", width=W, height=H, mode=mode,
-                 cache_dir=".hr_cache_test")
+def _render(mode, frames, scene="cube", **cfg_kw):
+    cfg = Config(scene=scene, width=W, height=H, mode=mode,
+                 cache_dir=".hr_cache_test", **cfg_kw)
     r = Renderer(cfg)
     r.camera.jitter_enabled = False
     ldr = None
@@ -39,6 +46,24 @@ def test_deferred_matches_pathtracer_rmse():
     corr = float(np.corrcoef(ref.ravel(), got.ravel())[0, 1])
     assert rmse < RMSE_GATE, f"deferred vs PT RMSE {rmse:.4f} (gate {RMSE_GATE})"
     assert corr > 0.85, f"deferred vs PT decorrelated: r={corr:.3f}"
+
+
+def test_flagship_matches_pathtracer():
+    """The BENCHED mode — flagship Normal (ReSTIR DI + GI + traced specular +
+    RELAX + TAA), converged over a static camera — against high-spp PT ground
+    truth on a scene with emissive, glass AND textured materials (stress:4).
+    This gates the config bench.py measures, not just NormalBasic-on-a-cube
+    (BASELINE.md north star: RMSE <= 1e-2; tracked ratchet below)."""
+    ref = _render(RenderingMode.PATH_TRACER, frames=48, scene="stress:4")
+    got = _render(RenderingMode.NORMAL, frames=24, scene="stress:4",
+                  direct_mode="restir", indirect_mode="restir")
+    assert ref.shape == got.shape
+    rmse = float(np.sqrt(np.mean((ref - got) ** 2)))
+    corr = float(np.corrcoef(ref.ravel(), got.ravel())[0, 1])
+    assert rmse < FLAGSHIP_RMSE_GATE, \
+        f"flagship vs PT RMSE {rmse:.4f} (gate {FLAGSHIP_RMSE_GATE})"
+    assert corr > FLAGSHIP_CORR_GATE, \
+        f"flagship vs PT decorrelated: r={corr:.3f}"
 
 
 def test_pathtracer_deterministic():

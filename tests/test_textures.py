@@ -197,3 +197,124 @@ def test_masked_alpha_cutout_render():
     green_px = (band[..., 1] > 80) & (band[..., 0] < 80)
     assert red.sum() > 10, f"no kept masked texels: {band[8, ::4]}"
     assert green_px.sum() > 10, f"no cutout holes: {band[8, ::4]}"
+
+
+# ---------------------------------------------------------------------------
+# BC6H / BC7 (ref TextureLoader.cpp: the reference's primary compressed
+# formats; BC7 routes through PIL's native decoder, BC6H through
+# scene/bc6h.py which keeps the HDR floats PIL clamps away)
+# ---------------------------------------------------------------------------
+
+def _dds_dx10(w, h, dxgi, payload):
+    import struct
+    hdr = bytearray(148)
+    hdr[0:4] = b"DDS "
+    struct.pack_into("<I", hdr, 4, 124)
+    struct.pack_into("<I", hdr, 8, 0x1007)
+    struct.pack_into("<I", hdr, 12, h)
+    struct.pack_into("<I", hdr, 16, w)
+    struct.pack_into("<I", hdr, 76, 32)
+    struct.pack_into("<I", hdr, 80, 0x4)
+    hdr[84:88] = b"DX10"
+    struct.pack_into("<I", hdr, 108, 0x1000)
+    struct.pack_into("<I", hdr, 128, dxgi)
+    struct.pack_into("<I", hdr, 132, 3)
+    struct.pack_into("<I", hdr, 140, 1)
+    return bytes(hdr) + payload
+
+
+def test_bc6h_unsigned_fuzz_vs_pil():
+    """Every BC6H mode, random blocks: our float decoder must agree with
+    PIL's independent native implementation on the clamped-u8 projection
+    (PIL's only output; the float path is ours alone)."""
+    from PIL import Image
+    from hobbyrenderer_tpu.scene.bc6h import _MODES, decode_bc6h_blocks
+    rng = np.random.default_rng(0)
+    for m in _MODES:
+        N = 128
+        blocks = rng.integers(0, 256, (N, 16), np.uint8)
+        if m < 2:
+            blocks[:, 0] = (blocks[:, 0] & np.uint8(252)) | np.uint8(m)
+        else:
+            blocks[:, 0] = (blocks[:, 0] & np.uint8(224)) | np.uint8(m)
+        mine = decode_bc6h_blocks(blocks, signed=False)
+        d = _dds_dx10(4, 4 * N, 95, blocks.tobytes())
+        ref = np.asarray(Image.open(io.BytesIO(d)).convert("RGB"))
+        ref = ref.reshape(N, 4, 4, 3).astype(int)
+        mu = np.clip(np.round(np.clip(mine, 0, 1) * 255), 0, 255).astype(int)
+        bad = (np.abs(mu - ref) > 1).mean()
+        assert bad == 0.0, f"mode {m:05b}: {bad:.4f} of texels off by >1"
+
+
+def test_bc6h_signed_spec_path():
+    """SF16: spec-correct signed decode (PIL's SF16 delta handling diverges
+    from the D3D spec, so untransformed modes are the cross-check and the
+    transformed path is pinned by a hand-derived vector)."""
+    from hobbyrenderer_tpu.scene.bc6h import decode_bc6h_blocks
+    # mode 00011 (one region, EPB 10, untransformed): rw=gw=bw=300,
+    # rx=gx=bx=1023-300 => negative when sign-extended
+    bits = np.zeros(128, np.uint8)
+    for i in range(5):
+        bits[i] = (0b00011 >> i) & 1
+    for base, val in ((5, 300), (15, 300), (25, 300),
+                      (35, 724), (45, 724), (55, 724)):
+        for i in range(10):
+            bits[base + i] = (val >> i) & 1
+    # indices: anchor p0 = 0 (-> e0), the rest max (-> e1)
+    pos = 65 + 3
+    for p in range(1, 16):
+        for i in range(4):
+            bits[pos + i] = 1
+        pos += 4
+    blk = np.zeros(16, np.uint8)
+    for i in range(128):
+        blk[i >> 3] |= bits[i] << (i & 7)
+    out = decode_bc6h_blocks(blk[None], signed=True)[0]
+    # e0 = +300 (10-bit signed) -> unq = (300<<15+0x4000)>>9 ... -> positive
+    assert out[0, 0, 0] > 0
+    # e1 = 724 -> sign-extended = -300 -> symmetric negative
+    assert np.isclose(out[0, 1, 0], -out[0, 0, 0], rtol=1e-3)
+    assert np.allclose(out[..., 0], out[..., 1]) and \
+        np.allclose(out[..., 0], out[..., 2])
+
+
+def test_bc7_dds_roundtrip():
+    """BC7 DDS loads through decode_dds (mode-6 black block + PIL oracle on a
+    random payload)."""
+    blk = bytearray(16)
+    blk[0] = 0x40                     # mode 6, all endpoints/indices zero
+    out = tx.decode_dds(_dds_dx10(4, 4, 98, bytes(blk)))
+    assert out.shape == (4, 4, 4) and out.dtype == np.uint8
+    assert (out[..., :3] == 0).all()
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 256, (4, 16), np.uint8).tobytes()
+    out = tx.decode_dds(_dds_dx10(8, 8, 98, payload))
+    assert out.shape == (8, 8, 4)
+
+
+def test_bc6h_envmap_keeps_floats():
+    """A BC6H DDS loaded as an envmap keeps linear HDR floats (> 1.0)."""
+    import os
+    import tempfile
+    from hobbyrenderer_tpu.ops.envmap import load_envmap
+    from hobbyrenderer_tpu.scene.bc6h import decode_bc6h_blocks
+    # mode 00011, rw=gw=bw=rx=gx=bx=600 -> a constant HDR value
+    bits = np.zeros(128, np.uint8)
+    for i in range(5):
+        bits[i] = (0b00011 >> i) & 1
+    for base in (5, 15, 25, 35, 45, 55):
+        for i in range(10):
+            bits[base + i] = (600 >> i) & 1
+    blk = np.zeros(16, np.uint8)
+    for i in range(128):
+        blk[i >> 3] |= bits[i] << (i & 7)
+    val = decode_bc6h_blocks(blk[None], signed=False)[0, 0, 0, 0]
+    assert val > 1.0, "test block should be HDR"
+    payload = blk.tobytes() * 4       # 8x8
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "sky.dds")
+        with open(p, "wb") as f:
+            f.write(_dds_dx10(8, 8, 95, payload))
+        env = load_envmap(p)
+    assert env.dtype == np.float32 and env.shape == (8, 8, 3)
+    assert np.allclose(env, val, rtol=1e-3)
