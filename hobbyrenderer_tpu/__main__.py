@@ -70,6 +70,28 @@ def main(argv=None):
     p.add_argument("--csm-debug", action="store_true",
                    help="cascade debug view: per-pixel cascade tint + "
                         "shadow-map thumbnails (normal_basic mode)")
+    p.add_argument("--regir-mode", default="onion",
+                   choices=["onion", "grid"],
+                   help="ReGIR cell layout: onion = camera-centered "
+                        "detail+coverage shells (ref rtxdi::ReGIRMode::Onion, "
+                        "the reference default); grid = uniform world AABB")
+    p.add_argument("--irradiance", type=str, default=None,
+                   help="prebaked irradiance map (equirect .hdr/.dds; ref "
+                        "--irradiance cubemap)")
+    p.add_argument("--radiance", type=str, default=None,
+                   help="prebaked prefiltered radiance environment (equirect; "
+                        "ref --radiance cubemap)")
+    p.add_argument("--brdflut", type=str, default=None,
+                   help="authored split-sum BRDF LUT image (ref --brdflut; "
+                        "default: validated analytic fit)")
+    p.add_argument("--restir-quality", default="balanced",
+                   choices=["highperf", "balanced", "highquality"],
+                   help="ReSTIR quality preset: candidate/tap counts, "
+                        "boiling filter, checkerboard, GI history (ref "
+                        "RTXDI quality presets)")
+    p.add_argument("--tex-debug", action="store_true",
+                   help="texture-streaming residency heatmap overlay (needs "
+                        "--tex-streaming; ref TileResidencyDebugRenderer)")
     p.add_argument("--no-specular-indirect", dest="specular_indirect",
                    action="store_false", default=True,
                    help="disable traced specular reflections (ref "
@@ -83,12 +105,17 @@ def main(argv=None):
                  execute_per_pass=a.execute_per_pass,
                  direct_mode=a.direct_mode, shadow_scale=a.shadow_scale,
                  indirect_mode=a.indirect_mode, ddgi_debug=a.ddgi_debug,
-                 csm_debug=a.csm_debug, regir=a.regir, denoiser=a.denoiser,
+                 csm_debug=a.csm_debug, regir=a.regir,
+                 regir_mode=a.regir_mode, denoiser=a.denoiser,
                  envmap=a.envmap, env_lights=a.env_lights,
+                 irradiance=a.irradiance, radiance=a.radiance,
+                 brdflut=a.brdflut,
                  keep_hdr=bool(a.screenshot
                                and a.screenshot.lower().endswith(".hdr")),
                  tex_streaming=a.tex_streaming,
                  tex_budget_mb=a.tex_budget_mb,
+                 tex_debug=a.tex_debug,
+                 restir_quality=a.restir_quality,
                  specular_indirect=a.specular_indirect)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)

@@ -113,7 +113,20 @@ class Config:
     indirect_mode: str = "none"           # "none"|"sharc"|"ssgi"|"restir"|"ddgi"
     ddgi_debug: bool = False              # probe visualization overlay
     csm_debug: bool = False               # cascade debug view (ref CSMDebugRenderer)
+    tex_debug: bool = False               # streaming residency heatmap
+    #                                       (ref TileResidencyDebugRenderer)
     regir: bool = False                   # ReGIR world-space light grid (ref RTXDI)
+    regir_mode: str = "onion"             # "onion" (ref default: camera-centered
+    #                                       detail+coverage shells) | "grid"
+    irradiance: str = None                # prebaked irradiance map (equirect
+    #                                       HDR/DDS; ref --irradiance cubemap)
+    radiance: str = None                  # prebaked prefiltered radiance env
+    #                                       (ref --radiance cubemap)
+    brdflut: str = None                   # authored split-sum BRDF LUT image
+    #                                       (ref --brdflut)
+    restir_quality: str = "balanced"      # "highperf" | "balanced" |
+    #                                       "highquality" (ref RTXDI quality
+    #                                       presets, RTXDIRenderer.cpp:96-247)
     specular_indirect: bool = True        # traced glossy/mirror reflections
     #                                       (ref BrdfRayTracing; needs an RT
     #                                       indirect mode to activate)

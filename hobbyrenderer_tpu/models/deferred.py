@@ -70,6 +70,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          shadow_capacity: int = None,
                          ddgi_debug: bool = False,
                          csm_debug: bool = False,
+                         tex_debug: bool = False,
                          streaming: bool = False,
                          scene_radius: float = 30.0,
                          use_regir: bool = False,
@@ -78,8 +79,12 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          out_width: int = None,
                          out_height: int = None,
                          denoiser_profile: str = "relax",
-                         specular_indirect: bool = False) -> RenderGraph:
+                         specular_indirect: bool = False,
+                         restir_quality: str = "balanced",
+                         regir_mode: str = "onion") -> RenderGraph:
     g = RenderGraph()
+    from hobbyrenderer_tpu.ops.restir_presets import get_preset
+    rq = get_preset(restir_quality)
     masked_capacity = max(masked_capacity or visible_capacity, 1)
     transparent_capacity = max(transparent_capacity or visible_capacity, 1)
     shadow_capacity = max(shadow_capacity or 4 * visible_capacity, 1)
@@ -194,30 +199,38 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not occlusion_culling:
         g.get("RasterPhase2").enabled = False
 
+    resolve_writes = ("gbuffer",) + (("tex_feedback",) if streaming else ()) \
+        + (("tex_clamp",) if tex_debug and streaming else ())
+
     @g.add
     @render_pass("ResolveGBuffer", reads=("raster_depth", "raster_visid",
                                           "raster_aux", "raster_attr",
                                           "visible_slots"),
-                 writes=(("gbuffer", "tex_feedback") if streaming
-                         else ("gbuffer",)))
+                 writes=resolve_writes)
     def _resolve(ctx, res):
         ro = rasterops.RasterOutput(res["raster_depth"], res["raster_visid"],
                                     jnp.int32(0))
         attr = res["raster_attr"]
         attr = None if attr.ndim == 0 else attr
         aux = res["raster_aux"] if attr is None else None
+        want_dbg = tex_debug and streaming
         out = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro,
                                         res["visible_slots"],
                                         aux=aux, attr_img=attr,
-                                        want_feedback=streaming)
-        if streaming:
+                                        want_feedback=streaming,
+                                        want_tex_debug=want_dbg)
+        if want_dbg:
+            res["gbuffer"], fb, res["tex_clamp"] = out
+        elif streaming:
             res["gbuffer"], fb = out
+        else:
+            res["gbuffer"] = out
+            fb = None
+        if streaming:
             # sampler-feedback resolve for the host streamer (ref
             # FeedbackManager feedback resolves)
             res["tex_feedback"] = fb if fb is not None else jnp.zeros(
                 (ctx.gpu.mat_f.shape[0], 11), jnp.int32)
-        else:
-            res["gbuffer"] = out
 
     @g.add
     @render_pass("MaskedLayer", reads=("gbuffer",), writes=("gbuffer",))
@@ -339,6 +352,25 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         g.get("ShadowCSM").enabled = False
 
     @g.add
+    @render_pass("IBL", reads=(), writes=("sky_irradiance",))
+    def _ibl(ctx, res):
+        """Per-frame sky irradiance integration (ref CommonResources IBL
+        cubemaps; dynamic here because the env is the procedural sky). With an
+        authored environment map, its load-time SH projection is used
+        instead (ref IBL mode's prebaked irradiance cubemap). Ordered before
+        the RT indirect passes: they add the sky-SH exitance at bounce hits."""
+        from hobbyrenderer_tpu.ops import ibl as iblops
+        if env_as_lights:
+            # the env rides the ReSTIR pool as directional lights; zero the
+            # ambient term so its energy is not counted twice
+            res["sky_irradiance"] = jnp.zeros((9, 3), jnp.float32)
+        elif ctx.gpu.env_sh is not None:
+            res["sky_irradiance"] = ctx.gpu.env_sh
+        else:
+            res["sky_irradiance"] = iblops.build_sky_irradiance(
+                _scene_sun_dir(ctx), ctx.settings)
+
+    @g.add
     @render_pass("RTXDI", reads=("gbuffer", "restir_reservoir"),
                  writes=("restir_direct", "restir_reservoir",
                          "rt_overflow_di"),
@@ -349,16 +381,26 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         grid = None
         if use_regir and ctx.rt is not None and ctx.rt.lights is not None \
                 and scene_bounds is not None:
-            # per-frame world-space cell reservoirs (ref ReGIR grid build)
+            # per-frame world-space cell reservoirs (ref ReGIR grid build).
+            # Onion mode is the reference default (RTXDIRenderer.cpp:781-786):
+            # camera-centered detail+coverage shells.
             from hobbyrenderer_tpu.ops import regir as regirops
-            grid = regirops.build_regir_grid(
-                ctx.rt.lights, jnp.asarray(scene_bounds[0]),
-                jnp.asarray(scene_bounds[1]), ctx.vc["frame_index"])
+            if regir_mode == "onion":
+                grid = regirops.build_regir_onion(
+                    ctx.rt.lights, ctx.vc["camera_pos"], scene_radius,
+                    ctx.vc["frame_index"])
+            else:
+                grid = regirops.build_regir_grid(
+                    ctx.rt.lights, jnp.asarray(scene_bounds[0]),
+                    jnp.asarray(scene_bounds[1]), ctx.vc["frame_index"])
         so = {}
         direct, new_res = restirops.restir_di(
             ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
             res["restir_reservoir"], ctx.vc["frame_index"],
-            visibility=ctx.rt is not None, regir_grid=grid, stats_out=so)
+            visibility=ctx.rt is not None, regir_grid=grid, stats_out=so,
+            num_candidates=rq.di_candidates, spatial_taps=rq.di_spatial_taps,
+            boiling_mult=rq.di_boiling_mult,
+            checkerboard=rq.di_checkerboard)
         res["restir_direct"] = direct
         res["restir_reservoir"] = new_res
         res["rt_overflow_di"] = so.get("overflow", jnp.int32(0))
@@ -370,21 +412,26 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                      and mode in (RenderingMode.NORMAL, RenderingMode.IBL))
 
     @g.add
-    @render_pass("RTXDIGI", reads=("gbuffer", "restir_gi_reservoir"),
+    @render_pass("RTXDIGI", reads=("gbuffer", "restir_gi_reservoir",
+                                   "sky_irradiance"),
                  writes=("restir_indirect", "restir_gi_reservoir",
                          "rt_overflow_gi"),
                  persistent=("restir_gi_reservoir",))
     def _rtxdi_gi(ctx, res):
         """ReSTIR GI chain (ref RTXDIRenderer GI passes,
-        src/RTXDIRenderer.cpp:2256-2293)."""
+        src/RTXDIRenderer.cpp:2256-2293). Bounce hits add the sky-SH diffuse
+        exitance (the sky->hit->receiver path PT integrates)."""
         from hobbyrenderer_tpu.ops import restir_gi as giops
         so = {}
         ind, new_res = giops.restir_gi(
             ctx.gpu, ctx.rt, res["gbuffer"], ctx.vc, ctx.settings,
             res["restir_gi_reservoir"], ctx.vc["frame_index"],
-            scale=GI_SCALE, half_rate=GI_HALF_RATE,
+            scale=GI_SCALE, half_rate=rq.gi_half_rate,
             trace_max_steps=GI_TRACE_STEPS,
-            skip_pool_emissive=use_restir, stats_out=so)
+            skip_pool_emissive=use_restir, stats_out=so,
+            sky_sh=res["sky_irradiance"],
+            ibl_scale=ctx.settings.ibl_intensity * ctx.settings.ambient_scale,
+            spatial_taps=rq.gi_spatial_taps, m_clamp=rq.gi_m_clamp)
         res["restir_indirect"] = ind
         res["restir_gi_reservoir"] = new_res
         res["rt_overflow_gi"] = so.get("overflow", jnp.int32(0))
@@ -410,29 +457,11 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_restir:
         g.get("Denoise").enabled = False
 
-    @g.add
-    @render_pass("IBL", reads=(), writes=("sky_irradiance",))
-    def _ibl(ctx, res):
-        """Per-frame sky irradiance integration (ref CommonResources IBL
-        cubemaps; dynamic here because the env is the procedural sky). With an
-        authored environment map, its load-time SH projection is used
-        instead (ref IBL mode's prebaked irradiance cubemap)."""
-        from hobbyrenderer_tpu.ops import ibl as iblops
-        if env_as_lights:
-            # the env rides the ReSTIR pool as directional lights; zero the
-            # ambient term so its energy is not counted twice
-            res["sky_irradiance"] = jnp.zeros((9, 3), jnp.float32)
-        elif ctx.gpu.env_sh is not None:
-            res["sky_irradiance"] = ctx.gpu.env_sh
-        else:
-            res["sky_irradiance"] = iblops.build_sky_irradiance(
-                _scene_sun_dir(ctx), ctx.settings)
-
     use_sharc = (indirect_mode == "sharc"
                  and mode in (RenderingMode.NORMAL, RenderingMode.IBL))
 
     @g.add
-    @render_pass("SHARC", reads=("gbuffer", "sharc_cache"),
+    @render_pass("SHARC", reads=("gbuffer", "sharc_cache", "sky_irradiance"),
                  writes=("sharc_cache", "sharc_indirect"),
                  persistent=("sharc_cache",))
     def _sharc(ctx, res):
@@ -469,7 +498,10 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             hpos, hn, h_rad = _hit_radiance(
                 ctx.gpu, ctx.rt, ctx.rt.lights, hit, o, d,
                 pix + jnp.uint32(0x5A4C), frame,
-                skip_pool_emissive=False)
+                skip_pool_emissive=False,
+                sky_sh=res["sky_irradiance"],
+                ibl_scale=(ctx.settings.ibl_intensity
+                           * ctx.settings.ambient_scale))
             # multi-bounce propagation: the cache's previous-frame value at
             # the HIT cell is the indirect exitance there (ref SHARC
             # path-continuation cache lookups) — one extra bounce per frame
@@ -561,7 +593,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     use_spec = (specular_indirect and with_rt_shadows
                 and mode in (RenderingMode.NORMAL, RenderingMode.IBL)
                 and indirect_mode in ("restir", "sharc", "ddgi"))
-    spec_reads = ("gbuffer", "spec_state") \
+    spec_reads = ("gbuffer", "spec_state", "sky_irradiance") \
         + (("sharc_cache",) if use_sharc else ())
 
     @g.add
@@ -589,7 +621,10 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             sun_dir=_scene_sun_dir(ctx),
             sharc_cache=res.get("sharc_cache") if use_sharc else None,
             skip_pool_emissive=use_restir,
-            include_env_miss=not env_as_lights)
+            include_env_miss=not env_as_lights,
+            sky_sh=res["sky_irradiance"],
+            ibl_scale=(ctx.settings.ibl_intensity
+                       * ctx.settings.ambient_scale))
         res["spec_indirect"] = spec
         res["spec_weight"] = w_blend
         res["spec_state"] = st
@@ -644,7 +679,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                 res["sky_irradiance"], gb.normal, v, gb.albedo, metal, rough,
                 _scene_sun_dir(ctx), ctx.settings, intensity=ibl_scale,
                 env_fn=env_fn,
-                spec_suppress=res["spec_weight"] if use_spec else None)
+                spec_suppress=res["spec_weight"] if use_spec else None,
+                brdf_lut=ctx.gpu.brdf_lut)
         hdr = direct + ambient + gb.emissive
         if use_spec:
             hdr = hdr + res["spec_indirect"]
@@ -675,102 +711,23 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     @render_pass("Transparent", reads=("gbuffer", "hdr", "sky_irradiance"),
                  writes=("hdr",))
     def _transparent(ctx, res):
-        """Forward transparency (ref TransparentPassRenderer: forward shading
-        into the HDR target, depth-read-no-write, Fresnel split, refraction
-        through the downsampled opaque mip chain with roughness-driven LOD +
-        Beer-Lambert absorption over the in-medium travel — ref
-        src/BasePassRenderer.cpp:694-814, src/shaders/BasePass.hlsl:266-483).
-        Back-to-front compositing at MESHLET granularity: transparent pairs
-        split into far/near camera-distance bins, each rasterized (nearest
-        fragment per pixel within a bin) and blended far-first — the TPU
-        analogue of the reference's CPU-sorted transparent draw order.
-        Overlapping layers INSIDE one bin still collapse to the nearest."""
-        from hobbyrenderer_tpu.ops import ibl as iblops
-        from hobbyrenderer_tpu.ops import refraction as refrops
-        from hobbyrenderer_tpu.scene.gpu import (MAT_ATTEN_COLOR,
-                                                 MAT_ATTEN_DIST,
-                                                 MAT_BASE_COLOR, MAT_IOR,
-                                                 MAT_METALLIC, MAT_ROUGHNESS,
-                                                 MAT_TRANSMISSION)
-        gb = res["gbuffer"]
-        alpha_ok = jnp.asarray([False, False, True])
-        cull = cullops.cull_pairs(ctx.gpu, ctx.vc, alpha_mask=alpha_ok)
-        vdir = skyops.view_dirs_from_pixels(ctx.vc, height, width)
-        v = -vdir
-        Mt = ctx.gpu.mat_f.shape[0]
-
-        def shade_layer(hdr, slots):
-            """Rasterize one bin's slots and composite over hdr."""
-            ro, aux, attr = rasterops.rasterize(ctx.gpu, ctx.vc, slots, width,
-                                                height, double_sided_all=False,
-                                                resolve_attrs=True)
-            # depth-READ against the opaque depth: keep strictly nearer frags
-            nearer = ro.depth > gb.depth
-            ro2 = rasterops.RasterOutput(depth=jnp.where(nearer, ro.depth, 0.0),
-                                         visid=jnp.where(nearer, ro.visid, -1),
-                                         overflow=ro.overflow)
-            tgb = rasterops.resolve_gbuffer(ctx.gpu, ctx.vc, ro2, slots,
-                                            aux=aux, attr_img=attr)
-            rough = tgb.orm[..., 1]
-            metal = tgb.orm[..., 2]
-            direct = shadeops.shade_all_lights(ctx.gpu, tgb.world_pos,
-                                               tgb.normal, v, tgb.albedo,
-                                               metal, rough)
-            if env_as_lights:
-                ambient = jnp.zeros_like(tgb.albedo)
-            else:
-                env_fn = None
-                if ctx.gpu.env_map is not None:
-                    from hobbyrenderer_tpu.ops import envmap as envops
-                    env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map,
-                                                              d)
-                ibl_scale = (ctx.settings.ibl_intensity
-                             * ctx.settings.ambient_scale)
-                if mode == RenderingMode.IBL:
-                    ibl_scale = ibl_scale * 2.0   # match DeferredLighting
-                ambient = iblops.ibl_ambient(
-                    res["sky_irradiance"], tgb.normal, v, tgb.albedo, metal,
-                    rough, _scene_sun_dir(ctx), ctx.settings,
-                    intensity=ibl_scale, env_fn=env_fn)
-            shaded = direct + ambient + tgb.emissive
-            # coverage/transmission from the material table
-            mat = jnp.maximum(tgb.material, 0)
-            moh = (mat[..., None] == jnp.arange(Mt)).astype(jnp.float32)
-            mf = jnp.einsum("hwm,mf->hwf", moh, ctx.gpu.mat_f)
-            # textured alpha from the resolve (cutoff = 0 for BLEND materials)
-            alpha = jnp.clip(tgb.alpha, 0.0, 1.0)
-            transmission = mf[..., MAT_TRANSMISSION]
-            atten = mf[..., MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3]
-            # the scene seen THROUGH the surface: refracted + roughness-
-            # blurred fetch of the behind-layer mip chain, Beer-Lambert over
-            # the travel
-            opaque_pos = jnp.where(gb.valid[..., None], gb.world_pos,
-                                   tgb.world_pos + vdir)
-            bg_refr = refrops.refracted_background(
-                hdr, ctx.vc, tgb.world_pos, opaque_pos, tgb.normal, vdir,
-                mf[..., MAT_IOR], rough, atten, mf[..., MAT_ATTEN_DIST],
-                tgb.valid)
-            bg = (bg_refr * transmission[..., None]
-                  + hdr * (1.0 - transmission[..., None]))
-            coverage = jnp.clip(alpha * (1.0 - transmission)
-                                + transmission * 0.04, 0.0, 1.0)[..., None]
-            out = bg * (1.0 - coverage) + shaded * coverage
-            return jnp.where(tgb.valid[..., None], out, hdr)
-
-        # far/near partition by meshlet camera distance (threshold = midpoint
-        # of the live range, a traced scalar -> static shapes throughout)
-        dist = jnp.linalg.norm(cull["ml_center_world"]
-                               - ctx.vc["camera_pos"][None, :], axis=-1)
-        live = cull["mask"]
-        d_min = jnp.min(jnp.where(live, dist, jnp.inf))
-        d_max = jnp.max(jnp.where(live, dist, -jnp.inf))
-        thresh = 0.5 * (d_min + d_max)
-        far_mask = live & (dist >= thresh)
-        near_mask = live & (dist < thresh)
-        slots_far, _ = cullops.compact_mask(far_mask, transparent_capacity)
-        slots_near, _ = cullops.compact_mask(near_mask, transparent_capacity)
-        hdr = shade_layer(res["hdr"], slots_far)
-        res["hdr"] = shade_layer(hdr, slots_near)
+        """Forward transparency over the lit opaque frame — shared shard-aware
+        implementation in ops/transparent.py (ref TransparentPassRenderer,
+        src/BasePassRenderer.cpp:694-814, src/shaders/BasePass.hlsl:266-483)."""
+        from hobbyrenderer_tpu.ops import transparent as transops
+        env_fn = None
+        if ctx.gpu.env_map is not None:
+            from hobbyrenderer_tpu.ops import envmap as envops
+            env_fn = lambda d: envops.sample_equirect(ctx.gpu.env_map, d)
+        ibl_scale = ctx.settings.ibl_intensity * ctx.settings.ambient_scale
+        if mode == RenderingMode.IBL:
+            ibl_scale = ibl_scale * 2.0   # match DeferredLighting
+        res["hdr"] = transops.transparent_composite(
+            ctx.gpu, ctx.vc, ctx.settings, res["gbuffer"], res["hdr"],
+            width=width, height=height,
+            transparent_capacity=transparent_capacity,
+            sun_dir=_scene_sun_dir(ctx), sky_sh=res["sky_irradiance"],
+            env_as_lights=env_as_lights, env_fn=env_fn, ibl_scale=ibl_scale)
 
     if not has_transparent:
         g.get("Transparent").enabled = False
@@ -848,6 +805,29 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     # LDR; they stay native-res-only
     if not (csm_debug and mode == RenderingMode.NORMAL_BASIC) or upscale:
         g.get("CSMDebug").enabled = False
+
+    @g.add
+    @render_pass("TexResidencyDebug", reads=("ldr", "tex_clamp"),
+                 writes=("ldr",))
+    def _tex_debug(ctx, res):
+        """Texture-streaming residency heatmap (ref
+        src/Streaming/TileResidencyDebugRenderer.cpp): each textured pixel
+        tints by how many mips COARSER its sample came back than the
+        footprint asked for (residency clamp) — green = desired mip resident,
+        yellow ~1 mip short, red >= 3 mips short. Untextured/sky pixels keep
+        the frame."""
+        c = res["tex_clamp"]                       # (H, W) mips clamped away
+        t = jnp.clip(c / 3.0, 0.0, 1.0)
+        heat = jnp.stack([jnp.clip(2.0 * t, 0.0, 1.0),
+                          jnp.clip(2.0 - 2.0 * t, 0.0, 1.0),
+                          jnp.zeros_like(t)], -1)
+        w = jnp.where(c > 1e-3, 0.55, 0.22)[..., None]
+        ldr_f = res["ldr"].astype(jnp.float32) / 255.0
+        out = ldr_f * (1.0 - w) + heat * w
+        res["ldr"] = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    if not (tex_debug and streaming) or upscale:
+        g.get("TexResidencyDebug").enabled = False
 
     return g
 
@@ -949,6 +929,8 @@ class DeferredRenderer:
                                               config, "ddgi_debug", False)),
                                           csm_debug=bool(getattr(
                                               config, "csm_debug", False)),
+                                          tex_debug=bool(getattr(
+                                              config, "tex_debug", False)),
                                           streaming=gpu.tex_stream is not None,
                                           scene_radius=scene_radius,
                                           use_regir=bool(getattr(
@@ -962,7 +944,13 @@ class DeferredRenderer:
                                           or "relax",
                                           specular_indirect=bool(getattr(
                                               config, "specular_indirect",
-                                              False)))
+                                              False)),
+                                          restir_quality=getattr(
+                                              config, "restir_quality",
+                                              "balanced") or "balanced",
+                                          regir_mode=getattr(
+                                              config, "regir_mode",
+                                              "onion") or "onion")
         self.streaming = gpu.tex_stream is not None
         self.state = initial_frame_state(width, height, direct_mode=direct_mode,
                                          indirect_mode=indirect_mode,

@@ -370,6 +370,18 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         # RaytracingCommon.hlsli:138-199)
         from hobbyrenderer_tpu.scene.gpu import MAT_ALPHA_CUTOFF
         alpha_fail = active & (alpha_v < mf[:, MAT_ALPHA_CUTOFF])
+        # BLEND coverage (glTF baseColor.a on alpha-blend materials):
+        # stochastic pass-through with probability (1 - coverage). Coverage
+        # is max(alpha, transmission): KHR_materials_transmission wants
+        # transmissive surfaces fully covered (the transmission lobe, not
+        # alpha, makes them see-through), but assets commonly author glass as
+        # alpha~0 + transmission=1 — the max() honors both conventions. The
+        # deferred transparent pass composites the same expectation
+        # analytically (ops/transparent.py).
+        u_cov, _ = rand2(dim + 6)
+        blend = gpu.inst_alpha_mode[inst] == 2
+        cov = jnp.maximum(alpha_v, trans)
+        alpha_fail = alpha_fail | (active & blend & (u_cov >= cov))
         shade_ok = active & ~alpha_fail
 
         v = -d

@@ -211,13 +211,21 @@ def env_to_directional_lights(env: np.ndarray, n: int = 128):
             colors[keep].astype(np.float32))
 
 
-def project_sh9(env: np.ndarray) -> np.ndarray:
+def project_sh9(env: np.ndarray, convolved: bool = False) -> np.ndarray:
     """(9, 3) SH projection of the equirect radiance (host numpy, once at
     load) — the same quantity ops/ibl.py's build_sky_irradiance produces for
-    the procedural sky, so sample_irradiance() consumes either."""
-    from hobbyrenderer_tpu.ops.ibl import sh_basis
+    the procedural sky, so sample_irradiance() consumes either.
+
+    convolved=True: the input is a PREBAKED IRRADIANCE map (ref --irradiance
+    cubemap — already cosine-convolved, storing E/pi). sample_irradiance()
+    re-applies the cosine-lobe band weights, so divide them out here: the
+    reconstruction then lands back on the authored map."""
+    from hobbyrenderer_tpu.ops.ibl import _BAND, sh_basis
     He, We = env.shape[:2]
     d, dw = _equirect_dirs_dw(He, We)
     Y = np.asarray(sh_basis(jnp.asarray(d, jnp.float32)))
-    return np.einsum("nc,nk,n->kc", env.reshape(-1, 3), Y,
-                     dw).astype(np.float32)
+    sh = np.einsum("nc,nk,n->kc", env.reshape(-1, 3), Y,
+                   dw).astype(np.float32)
+    if convolved:
+        sh = sh / np.asarray(_BAND, np.float32)[:, None]
+    return sh

@@ -183,15 +183,40 @@ def env_brdf(ndv, rough):
     return jnp.clip(A, 0.0, 1.0), jnp.clip(B, 0.0, 1.0)
 
 
+def env_brdf_lut(lut, ndv, rough):
+    """Split-sum (scale, bias) from an AUTHORED LUT texture (ref
+    CommonResources BRDF LUT / --brdflut): bilinear fetch of a (N, N, 2)
+    table indexed (x=NdotV, y=roughness)."""
+    N = lut.shape[0]
+    x = jnp.clip(ndv[..., 0], 0.0, 1.0) * (N - 1)
+    y = jnp.clip(rough[..., 0], 0.0, 1.0) * (N - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, N - 1)
+    y1 = jnp.minimum(y0 + 1, N - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = lut.reshape(N * N, 2)
+    c00 = flat[y0 * N + x0]
+    c01 = flat[y0 * N + x1]
+    c10 = flat[y1 * N + x0]
+    c11 = flat[y1 * N + x1]
+    c = (c00 * (1 - fx) + c01 * fx) * (1 - fy) \
+        + (c10 * (1 - fx) + c11 * fx) * fy
+    return c[..., 0:1], c[..., 1:2]
+
+
 def ibl_ambient(sh, n, v, albedo, metallic, roughness, sun_dir, settings,
-                intensity=1.0, env_fn=None, spec_suppress=None):
+                intensity=1.0, env_fn=None, spec_suppress=None,
+                brdf_lut=None):
     """Diffuse irradiance + roughness-aware specular ambient.
 
     Specular: reflection-direction environment sample (env_fn when an
     authored environment map exists, else the procedural sky) blended toward
     irradiance with roughness (prefiltered-radiance stand-in), weighted by
-    the split-sum environment BRDF (ref CommonResources BRDF LUT; here the
-    validated gather-free analytic fit — see env_brdf).
+    the split-sum environment BRDF (ref CommonResources BRDF LUT — passed as
+    brdf_lut when authored via --brdflut, else the validated gather-free
+    analytic fit — see env_brdf).
 
     spec_suppress (H, W) in [0, 1], optional: fraction of the specular term
     REPLACED by traced specular indirect (ops/specular.py) — where reflection
@@ -215,7 +240,10 @@ def ibl_ambient(sh, n, v, albedo, metallic, roughness, sun_dir, settings,
     spec_env = (env_r * (1 - rough)
                 + jnp.maximum(sample_irradiance(sh, r), 0.0) * rough)
     ndv = jnp.maximum(jnp.sum(n * v, -1, keepdims=True), 1e-4)
-    scale, bias = env_brdf(ndv, rough)
+    if brdf_lut is not None:
+        scale, bias = env_brdf_lut(brdf_lut, ndv, rough)
+    else:
+        scale, bias = env_brdf(ndv, rough)
     spec = spec_env * (f0 * scale + bias)
     if spec_suppress is not None:
         spec = spec * (1.0 - spec_suppress)[..., None]

@@ -587,7 +587,8 @@ class GBuffer(NamedTuple):
 def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
                     sample_textures=None, y0: int = 0,
                     attr_img=None, textured: bool = True,
-                    want_feedback: bool = False) -> GBuffer:
+                    want_feedback: bool = False,
+                    want_tex_debug: bool = False) -> GBuffer:
     """Per-pixel attribute resolve from the visibility buffer.
 
     Two sources (the reference does this in the raster pixel shader,
@@ -674,6 +675,7 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
     # An all-untextured scene's table has exactly one 1x1 neutral texel per
     # material — skip the whole path statically then.
     tex_feedback = None
+    tex_clamp = None
     streaming = getattr(gpu, "tex_stream", None) is not None
     if textured and (streaming
                      or gpu.tex_table.shape[0] > gpu.mat_f.shape[0]):
@@ -698,6 +700,16 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
             tex_feedback = texops.texture_feedback(
                 jnp.where(valid, mat, 0), jnp.where(valid, lod, 30.0),
                 gpu.mat_f.shape[0])
+            if want_tex_debug:
+                # residency-clamp severity per pixel: how many mips coarser
+                # the sample came back vs what the footprint asked for (ref
+                # TileResidencyDebugRenderer's residency heatmap)
+                Mres = gpu.tex_stream.mat_resident.shape[0]
+                res_mip = gpu.tex_stream.mat_resident[
+                    jnp.clip(mat, 0, Mres - 1)].astype(jnp.float32)
+                tex_clamp = jnp.maximum(res_mip - jnp.maximum(lod, 0.0), 0.0)
+                tex_clamp = jnp.where(valid & (tex_size > 1.5), tex_clamp,
+                                      0.0)
         else:
             ts = texops.sample_material(gpu, tex_size, tex_base, uv_s, lod, key)
         albedo = albedo * ts.albedo
@@ -751,6 +763,10 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
         valid=valid,
         alpha=jnp.where(valid, alpha_margin, 0.0),
     )
+    if want_tex_debug:
+        if tex_clamp is None:
+            tex_clamp = jnp.zeros((H, W), jnp.float32)
+        return gb, tex_feedback, tex_clamp
     if want_feedback:
         return gb, tex_feedback
     return gb

@@ -93,15 +93,27 @@ def refracted_background(hdr: jnp.ndarray, vc, surf_pos: jnp.ndarray,
                          opaque_pos: jnp.ndarray, normal: jnp.ndarray,
                          vdir: jnp.ndarray, ior: jnp.ndarray,
                          rough: jnp.ndarray, atten_color: jnp.ndarray,
-                         atten_dist: jnp.ndarray, valid: jnp.ndarray):
+                         atten_dist: jnp.ndarray, valid: jnp.ndarray,
+                         y0: int = 0, miss_fn=None):
     """The scene seen THROUGH a transparent surface.
 
     Refract the camera ray at the surface, march the in-medium travel to the
     opaque hit distance behind the pixel, reproject to screen UV, and fetch
     the opaque mip stack at a roughness-driven LOD; tint by Beer-Lambert
-    absorption over the travel distance. Returns the (H, W, 3) background.
-    """
+    absorption over the travel distance. Returns the background at the shape
+    of surf_pos.
+
+    Row sharding: hdr is always the FULL frame (refraction offsets cross
+    shard boundaries, so each device samples the gathered frame); surf_pos &
+    friends may be a row band starting at full-image row y0.
+
+    miss_fn (dirs (..., 3) -> radiance (..., 3)), optional: environment
+    radiance along the refracted direction, used where the refracted exit
+    point leaves the screen — screen-space refraction has no data there, and
+    clamping to the frame edge reads as a dark smear against the path-traced
+    truth (which exits to the sky). Blended over an edge band."""
     H, W = hdr.shape[:2]
+    bh = surf_pos.shape[0]
     eta = 1.0 / jnp.maximum(ior, 1.0 + 1e-4)[..., None]
     rdir, no_tir = refract_dir(vdir, normal, eta)
     # in-medium travel: distance to the opaque surface behind this pixel
@@ -118,7 +130,7 @@ def refracted_background(hdr: jnp.ndarray, vc, surf_pos: jnp.ndarray,
                       0.5 - ndc[..., 1] * 0.5], axis=-1)
     # fall back to the unrefracted pixel on TIR / behind-camera projection
     xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-    ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    ys = (y0 + jnp.arange(bh, dtype=jnp.float32) + 0.5) / H
     uv_same = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
     ok = (no_tir & in_front & valid)[..., None]
     uv = jnp.where(ok, uv_r, uv_same)
@@ -129,6 +141,17 @@ def refracted_background(hdr: jnp.ndarray, vc, surf_pos: jnp.ndarray,
     # a roughness-indexed mip of its refraction chain)
     lod = jnp.sqrt(jnp.clip(rough, 0.0, 1.0)) * (stack.shape[0] - 1.0)
     bg = sample_level_stack(stack, uv, lod)
+    if miss_fn is not None:
+        # smoothstep to the environment over the outer 5% UV band; fully
+        # env once the exit point is off-screen or behind the camera
+        MARGIN = 0.05
+        e = jnp.minimum(jnp.minimum(uv_r[..., 0], 1.0 - uv_r[..., 0]),
+                        jnp.minimum(uv_r[..., 1], 1.0 - uv_r[..., 1]))
+        t = jnp.clip(e / MARGIN, 0.0, 1.0)
+        on_screen = t * t * (3.0 - 2.0 * t) * in_front.astype(jnp.float32)
+        env = miss_fn(rdir)
+        w = jnp.where(no_tir & valid, 1.0 - on_screen, 0.0)[..., None]
+        bg = bg * (1.0 - w) + env * w
 
     # Beer-Lambert over the travel distance (ref KHR_materials_volume)
     sigma = -jnp.log(jnp.clip(atten_color, 1e-4, 1.0)) \

@@ -29,14 +29,66 @@ from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 
 class RegirGrid(NamedTuple):
     rows: jnp.ndarray      # (C, S, 18) f32 presample-tile-format cell tables
-    lo: jnp.ndarray        # (3,) f32 grid origin (world)
-    inv_cell: jnp.ndarray  # (3,) f32 1 / cell size
-    dims: tuple            # static (nx, ny, nz)
+    lo: jnp.ndarray        # (3,) f32 grid origin (world; uniform mode)
+    inv_cell: jnp.ndarray  # (3,) f32 1 / cell size (uniform mode)
+    dims: tuple            # static (nx, ny, nz) (uniform mode)
+    # onion mode (ref rtxdi::ReGIRMode::Onion, RTXDIRenderer.cpp:781-786):
+    # camera-centered radial shells — LINEAR detail layers near the camera,
+    # GEOMETRIC coverage layers out to the scene radius — so cell density
+    # follows where candidates matter; a uniform world grid wastes cells at
+    # range and under-resolves near the camera on large scenes.
+    mode: str = "grid"     # static "grid" | "onion"
+    cam: jnp.ndarray = None       # (3,) onion center (camera position)
+    onion_dims: tuple = None      # static (n_detail, n_coverage, n_az, n_el)
+    r_detail: jnp.ndarray = None  # f32 outer radius of the detail layers
+    r_max: jnp.ndarray = None     # f32 outer radius of the last layer
 
 
 def _luminance(rgb):
     return (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
             + 0.0722 * rgb[..., 2])
+
+
+def _onion_centers(cam, r_detail, r_max, onion_dims):
+    """(C, 3) representative points of the onion cells (shell mid-radius at
+    each angular cell's central direction), camera-centered."""
+    n_det, n_cov, n_az, n_el = onion_dims
+    L = n_det + n_cov
+    C = L * n_az * n_el
+    ci = jnp.arange(C, dtype=jnp.int32)
+    az = ci % n_az
+    el = (ci // n_az) % n_el
+    layer = ci // (n_az * n_el)
+    # detail: linear spacing in [0, r_detail); coverage: geometric to r_max
+    g = (r_max / jnp.maximum(r_detail, 1e-3)) ** (1.0 / n_cov)
+    lf = layer.astype(jnp.float32)
+    r_mid = jnp.where(layer < n_det,
+                      r_detail * (lf + 0.5) / n_det,
+                      r_detail * g ** (lf - n_det + 0.5))
+    az_c = (az.astype(jnp.float32) + 0.5) / n_az * (2.0 * jnp.pi) - jnp.pi
+    el_c = (el.astype(jnp.float32) + 0.5) / n_el * jnp.pi - 0.5 * jnp.pi
+    d = jnp.stack([jnp.cos(el_c) * jnp.cos(az_c), jnp.sin(el_c),
+                   jnp.cos(el_c) * jnp.sin(az_c)], -1)
+    return cam[None, :] + d * r_mid[..., None]
+
+
+def build_regir_onion(pool, cam, scene_radius, frame,
+                      onion_dims=(5, 10, 12, 6), tile_size: int = 128,
+                      rounds: int = 4) -> RegirGrid:
+    """Onion-mode ReGIR (ref rtxdi::ReGIRMode::Onion with OnionDetailLayers=5,
+    OnionCoverageLayers=10, RTXDIRenderer.cpp:781-786): camera-centered
+    shells x (az, el) angular cells. Same tile-table output contract as
+    build_regir_grid."""
+    n_det, n_cov, n_az, n_el = onion_dims
+    C = (n_det + n_cov) * n_az * n_el
+    cam = jnp.asarray(cam, jnp.float32)
+    r_max = jnp.maximum(jnp.asarray(scene_radius, jnp.float32), 1.0)
+    r_detail = 0.15 * r_max
+    centers = _onion_centers(cam, r_detail, r_max, onion_dims)
+    rows = _build_cells(pool, centers, frame, tile_size, rounds)
+    return RegirGrid(rows=rows, lo=cam, inv_cell=jnp.ones(3), dims=(0, 0, 0),
+                     mode="onion", cam=cam, onion_dims=onion_dims,
+                     r_detail=r_detail, r_max=r_max)
 
 
 def build_regir_grid(pool, lo, hi, frame, dims=(12, 6, 12), tile_size: int = 128,
@@ -59,7 +111,16 @@ def build_regir_grid(pool, lo, hi, frame, dims=(12, 6, 12), tile_size: int = 128
     cz = ci // (nx * ny)
     centers = lo + (jnp.stack([cx, cy, cz], -1).astype(jnp.float32) + 0.5) \
         * cell_sz                                          # (C, 3)
+    rows = _build_cells(pool, centers, frame, S, rounds)
+    return RegirGrid(rows=rows, lo=lo, inv_cell=1.0 / cell_sz, dims=dims)
 
+
+def _build_cells(pool, centers, frame, tile_size: int, rounds: int):
+    """K-round streaming RIS per (cell, slot) lane over power-CDF draws;
+    p-hat = unshadowed luminance at the cell's representative point.
+    Returns (C, S, 18) presample-tile-format tables."""
+    C = centers.shape[0]
+    S = tile_size
     slot = jnp.arange(C * S, dtype=jnp.uint32)
     fr = jnp.asarray(frame).astype(jnp.uint32)
     pos = jnp.repeat(centers, S, axis=0)                   # (C*S, 3)
@@ -94,13 +155,34 @@ def build_regir_grid(pool, lo, hi, frame, dims=(12, 6, 12), tile_size: int = 128
     W = jnp.where((y_id >= 0) & (ph_y > 0),
                   w_sum / jnp.maximum(rounds * ph_y, 1e-20), 0.0)
     table = jnp.concatenate([y_rows, W[..., None], y_id[..., None]], -1)
-    return RegirGrid(rows=table.reshape(C, S, 18), lo=lo,
-                     inv_cell=1.0 / cell_sz, dims=dims)
+    return table.reshape(C, S, 18)
 
 
 def cells_of_positions(grid: RegirGrid, pos, valid):
     """World positions (..., 3) -> flat cell ids (...,); invalid positions
     clamp to the nearest cell (their candidates are still valid RIS draws)."""
+    if grid.mode == "onion":
+        n_det, n_cov, n_az, n_el = grid.onion_dims
+        L = n_det + n_cov
+        rel = pos - grid.cam
+        r = jnp.linalg.norm(rel, axis=-1)
+        g = (grid.r_max / jnp.maximum(grid.r_detail, 1e-3)) ** (1.0 / n_cov)
+        # inverse of _onion_centers' layer spacing
+        lay_det = jnp.floor(r / jnp.maximum(grid.r_detail, 1e-6) * n_det)
+        lay_cov = n_det + jnp.floor(
+            jnp.log(jnp.maximum(r / jnp.maximum(grid.r_detail, 1e-6), 1.0))
+            / jnp.log(g))
+        layer = jnp.clip(jnp.where(r < grid.r_detail, lay_det, lay_cov),
+                         0, L - 1).astype(jnp.int32)
+        rn = jnp.maximum(r, 1e-6)
+        az = jnp.clip(((jnp.arctan2(rel[..., 2], rel[..., 0]) + jnp.pi)
+                       / (2.0 * jnp.pi) * n_az).astype(jnp.int32),
+                      0, n_az - 1)
+        el = jnp.clip(((jnp.arcsin(jnp.clip(rel[..., 1] / rn, -1.0, 1.0))
+                        + 0.5 * jnp.pi) / jnp.pi * n_el).astype(jnp.int32),
+                      0, n_el - 1)
+        cid = (layer * n_el + el) * n_az + az
+        return jnp.where(valid, cid, 0)
     nx, ny, nz = grid.dims
     q = (pos - grid.lo) * grid.inv_cell
     qi = jnp.clip(q.astype(jnp.int32),

@@ -132,7 +132,8 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
               num_candidates: int = 8, visibility: bool = True,
               spatial_taps: int = SPATIAL_TAPS, pool=None, shard=None,
               force_kernel: bool = False, boiling_mult: float = 20.0,
-              regir_grid=None, stats_out: dict = None):
+              regir_grid=None, stats_out: dict = None,
+              checkerboard: bool = False):
     """Full ReSTIR DI chain for one frame.
 
     gb: GBuffer; prev: last frame's reservoir (already at this frame's pixel
@@ -166,14 +167,21 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     rough = gb.orm.reshape(R, 3)[:, 1]
     metal = gb.orm.reshape(R, 3)[:, 2]
 
-    def p_hat_rows(rows, li, uv):
+    def p_hat_rows_at(rows, li, uv, s_pos, s_n, s_v, s_alb, s_metal, s_rough,
+                      s_valid):
         """Target: luminance of unshadowed reflected radiance of the sample
         described by in-hand packed rows (ref
-        RAB_GetLightSampleTargetPdfForSurface) — no pool gather."""
-        L, rad, dist = lightops.light_incident_rows(rows, uv, pos)
-        f = shadeops.eval_brdf(n, v, L, albedo, metal, rough)
+        RAB_GetLightSampleTargetPdfForSurface) — no pool gather. Surface
+        arrays are explicit so the candidate stage can run on the
+        checkerboard half grid."""
+        L, rad, dist = lightops.light_incident_rows(rows, uv, s_pos)
+        f = shadeops.eval_brdf(s_n, s_v, L, s_alb, s_metal, s_rough)
         ph = hm.luminance(f * rad, xp=jnp)
-        return jnp.where(valid & (li >= 0), ph, 0.0), L, dist
+        return jnp.where(s_valid & (li >= 0), ph, 0.0), L, dist
+
+    def p_hat_rows(rows, li, uv):
+        return p_hat_rows_at(rows, li, uv, pos, n, v, albedo, metal, rough,
+                             valid)
 
     def res_update(state, cand_y, cand_uv, cand_row, cand_w, u):
         y, uv, row, w_sum, M = state
@@ -183,6 +191,45 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
                 jnp.where(take[..., None], cand_uv, uv),
                 jnp.where(take[..., None], cand_row, row),
                 w_sum_new, M + 1.0)
+
+    # ---- checkerboard half grid (ref rtxdi::CheckerboardMode) ----
+    # Only W/2 columns per row (alternating parity per frame) draw fresh
+    # candidates; temporal reuse carries the off-parity pixels — the
+    # reference's checkerboard reconstruction story. On TPU the saving must
+    # come from SMALLER SHAPES (masked lanes still cost); compaction is two
+    # strided slices + a select, zero gathers.
+    if checkerboard:
+        assert W % 2 == 0, "checkerboard needs an even render width"
+        Wc = W // 2
+        par = ((jnp.arange(H, dtype=jnp.int32) + y0
+                + frame.astype(jnp.int32)) & 1)            # (H,) traced
+
+        def _compact(img):
+            ev, od = img[:, 0::2], img[:, 1::2]
+            pr = par.reshape((H,) + (1,) * (img.ndim - 1))
+            return jnp.where(pr == 0, ev[:, :Wc], od[:, :Wc])
+
+        pos_g = _compact(gb.world_pos)
+        n_g = _compact(gb.normal)
+        alb_g = _compact(gb.albedo)
+        orm_g = _compact(gb.orm)
+        valid_g = _compact(gb.valid)
+    else:
+        Wc = W
+        pos_g, n_g, alb_g, orm_g, valid_g = (gb.world_pos, gb.normal,
+                                             gb.albedo, gb.orm, gb.valid)
+    Rc = H * Wc
+    posc = pos_g.reshape(Rc, 3)
+    nc = n_g.reshape(Rc, 3)
+    validc = valid_g.reshape(Rc)
+    albc = alb_g.reshape(Rc, 3)
+    roughc = orm_g.reshape(Rc, 3)[:, 1]
+    metalc = orm_g.reshape(Rc, 3)[:, 2]
+    vc_cand = hm.normalize(cam[None, :] - posc, xp=jnp)
+    # candidate RNG ids: gy * W + local col (the kernel's w_log contract;
+    # == the global pixel id when not checkerboarded)
+    pixc = (((jnp.arange(Rc, dtype=jnp.int32) // Wc) + y0) * W
+            + jnp.arange(Rc, dtype=jnp.int32) % Wc).astype(jnp.uint32)
 
     # ---- presampled candidate ROW tiles (RIS presampling) ----
     # (T, S=128, 18) packed-light-row tiles; each 128-pixel row SEGMENT pulls
@@ -202,7 +249,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         tile_rows = lightops.presample_light_rows(pool, frame)
     T, S, CH = tile_rows.shape
     flat = tile_rows.reshape(T, S * CH)        # minor dim 2304 = 18 x 128
-    nseg = (W + S - 1) // S
+    nseg = (Wc + S - 1) // S
     Wp = nseg * S
     gy_img = jnp.arange(H, dtype=jnp.uint32) + jnp.uint32(y0)
     seg = jnp.arange(nseg, dtype=jnp.uint32)
@@ -216,9 +263,9 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     # (H, nseg, C, S, CH) form pads 8x under TPU tiling (OOM).
     if regir_grid is not None:
         seg_x = jnp.minimum(jnp.arange(nseg, dtype=jnp.int32) * S + S // 2,
-                            W - 1)
+                            Wc - 1)
         tsel = regirops.cells_of_positions(
-            regir_grid, gb.world_pos[:, seg_x], gb.valid[:, seg_x])
+            regir_grid, pos_g[:, seg_x], valid_g[:, seg_x])
     else:
         sbits = pcg3d(jnp.stack([
             jnp.broadcast_to(gy_img[:, None], (H, nseg)),
@@ -228,12 +275,12 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
     fetched = flat[tsel].reshape(H, nseg, S, CH)   # (H, nseg, S, CH)
 
     def candidate_rows(c):
-        """(R, CH) packed candidate rows for candidate c (see above)."""
+        """(Rc, CH) packed candidate rows for candidate c (see above)."""
         shift = (17 * c) % S
         rolled = (fetched if shift == 0 else
                   jnp.concatenate([fetched[:, :, shift:],
                                    fetched[:, :, :shift]], axis=2))
-        return rolled.reshape(H, Wp, CH)[:, :W].reshape(R, CH)
+        return rolled.reshape(H, Wp, CH)[:, :Wc].reshape(Rc, CH)
 
     # ---- initial candidates (GenerateInitialSamples) ----
     if jax.default_backend() == "tpu" or force_kernel:
@@ -244,44 +291,64 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         Hp = -(-H // rpk.ROWS) * rpk.ROWS
 
         def pad2(v1d):
-            return jnp.pad(v1d.reshape(H, W).astype(jnp.float32),
-                           ((0, Hp - H), (0, Wp - W)))
+            return jnp.pad(v1d.reshape(H, Wc).astype(jnp.float32),
+                           ((0, Hp - H), (0, Wp - Wc)))
 
-        planes = [pad2(pos[:, 0]), pad2(pos[:, 1]), pad2(pos[:, 2]),
-                  pad2(n[:, 0]), pad2(n[:, 1]), pad2(n[:, 2]),
-                  pad2(albedo[:, 0]), pad2(albedo[:, 1]), pad2(albedo[:, 2]),
-                  pad2(rough), pad2(metal), pad2(valid)]
+        planes = [pad2(posc[:, 0]), pad2(posc[:, 1]), pad2(posc[:, 2]),
+                  pad2(nc[:, 0]), pad2(nc[:, 1]), pad2(nc[:, 2]),
+                  pad2(albc[:, 0]), pad2(albc[:, 1]), pad2(albc[:, 2]),
+                  pad2(roughc), pad2(metalc), pad2(validc)]
         flat3 = tile_rows.transpose(0, 2, 1)
         tselp = jnp.pad(tsel, ((0, Hp - H), (0, 0)))
         yf, uf, vf, wf, rowf = rpk.restir_candidates(
             flat3, tselp, planes, cam, frame, jnp.asarray(y0),
             num_candidates=num_candidates, w_log=W,
             interpret=force_kernel and jax.default_backend() != "tpu")
-        y = jnp.round(yf[:H, :W]).astype(jnp.int32).reshape(R)
-        uv = jnp.stack([uf[:H, :W].reshape(R), vf[:H, :W].reshape(R)], -1)
-        w_sum = wf[:H, :W].reshape(R)
-        row = rowf[:H, :, :W].transpose(0, 2, 1).reshape(R, 16)
-        M = jnp.full((R,), float(num_candidates))
+        y = jnp.round(yf[:H, :Wc]).astype(jnp.int32).reshape(Rc)
+        uv = jnp.stack([uf[:H, :Wc].reshape(Rc), vf[:H, :Wc].reshape(Rc)], -1)
+        w_sum = wf[:H, :Wc].reshape(Rc)
+        row = rowf[:H, :, :Wc].transpose(0, 2, 1).reshape(Rc, 16)
+        M = jnp.full((Rc,), float(num_candidates))
     else:
-        y = jnp.full((R,), -1, jnp.int32)
-        uv = jnp.zeros((R, 2))
-        row = jnp.zeros((R, 16))
-        w_sum = jnp.zeros((R,))
-        M = jnp.zeros((R,))
+        y = jnp.full((Rc,), -1, jnp.int32)
+        uv = jnp.zeros((Rc, 2))
+        row = jnp.zeros((Rc, 16))
+        w_sum = jnp.zeros((Rc,))
+        M = jnp.zeros((Rc,))
         state = (y, uv, row, w_sum, M)
         for c in range(num_candidates):
             # one counter-RNG eval per candidate: slot choice is the lane
             # rank (stratified within the chunk), so only (accept, uv) need
             # randomness
-            u_r, u_u, u_v = _rand(pix, frame, 100 + c)
+            u_r, u_u, u_v = _rand(pixc, frame, 100 + c)
             crows = candidate_rows(c)
             crow = crows[:, :16]
             li = jnp.round(crows[:, 17]).astype(jnp.int32)
             inv_pdf = crows[:, 16]
             cuv = jnp.stack([u_u, u_v], -1)
-            ph, _L, _d = p_hat_rows(crow, li, cuv)
+            ph, _L, _d = p_hat_rows_at(crow, li, cuv, posc, nc, vc_cand,
+                                       albc, metalc, roughc, validc)
             state = res_update(state, li, cuv, crow, ph * inv_pdf, u_r)
         y, uv, row, w_sum, M = state
+
+    if checkerboard:
+        # scatter the half-grid reservoirs back to screen layout; off-parity
+        # pixels start this frame EMPTY (M=0) and are refilled by temporal
+        # reuse below (ref checkerboard reconstruction)
+        def _expand(cmp, fill):
+            img = cmp.reshape((H, Wc) + cmp.shape[1:])
+            pr = par.reshape((H,) + (1,) * (img.ndim - 1))
+            f = jnp.full_like(img, fill)
+            ev = jnp.where(pr == 0, img, f)
+            od = jnp.where(pr == 1, img, f)
+            return jnp.stack([ev, od], axis=2).reshape((H * W,)
+                                                       + cmp.shape[1:])
+
+        y = _expand(y, -1)
+        uv = _expand(uv, 0.0)
+        row = _expand(row, 0.0)
+        w_sum = _expand(w_sum, 0.0)
+        M = _expand(M, 0.0)
 
     # ---- temporal reuse (TemporalResampling) ----
     motion = gb.motion  # prev - cur, pixels

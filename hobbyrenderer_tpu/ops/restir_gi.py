@@ -66,10 +66,18 @@ def _rand(pix, frame, dim):
 
 
 def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
-                  skip_pool_emissive: bool = False):
+                  skip_pool_emissive: bool = False,
+                  sky_sh=None, ibl_scale=1.0):
     """Outgoing radiance at the bounce hit toward -d: emissive + one
     power-presampled NEE light sample with a shadow ray (the GI sample's
-    initial radiance, ref the GI initial-sampling pass)."""
+    initial radiance, ref the GI initial-sampling pass).
+
+    sky_sh (9, 3) optional: adds the diffuse sky/IBL exitance at the hit
+    (albedo * irradiance/pi, Lambertian) — the path sky -> hit -> receiver
+    that PT integrates and NEE alone cannot see. Without it, reflections and
+    GI bounces off sky-lit geometry come out dark (measured: the traced
+    specular pass REGRESSED flagship-vs-PT RMSE 0.123 -> 0.141 before this,
+    because it replaced the split-sum env term with darker-than-truth hits)."""
     from hobbyrenderer_tpu.models.pathtracer import _fetch_hit_attrs
     from hobbyrenderer_tpu.scene.gpu import (MAT_BASE_COLOR, MAT_EMISSIVE,
                                              MAT_METALLIC, MAT_ROUGHNESS)
@@ -120,6 +128,11 @@ def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
         emissive = jnp.where(((e_idx >= 0) & skip_pool_emissive)[..., None],
                              0.0, emissive)
     rad_out = emissive + direct
+    if sky_sh is not None:
+        from hobbyrenderer_tpu.ops.ibl import sample_irradiance
+        amb = (albedo * (1.0 - metal)[..., None]
+               * jnp.maximum(sample_irradiance(sky_sh, n_s), 0.0) * ibl_scale)
+        rad_out = rad_out + amb
     return p, n_s, jnp.where((hit.tri >= 0)[..., None], rad_out, 0.0)
 
 
@@ -139,7 +152,10 @@ def _jacobian(recv_pos, s_pos, s_nrm, src_pos):
 def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
               scale: int = 4, pool=None, shard=None, half_rate: bool = False,
               trace_max_steps: int = None,
-              skip_pool_emissive: bool = False, stats_out: dict = None):
+              skip_pool_emissive: bool = False, stats_out: dict = None,
+              sky_sh=None, ibl_scale=1.0,
+              spatial_taps: int = GI_SPATIAL_TAPS,
+              m_clamp: float = GI_M_CLAMP):
     """One ReSTIR GI frame at 1/scale res. Returns (indirect (H, W, 3)
     full-res diffuse indirect, new GIReservoir (Hg, Wg)). shard: optional
     FULL-RES RowShard; the GI grid shards with it (shard_h % scale == 0).
@@ -197,7 +213,8 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
                                             max_steps=trace_max_steps,
                                             active=valid)
             sp, sn, sr = _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
-                                       skip_pool_emissive=skip_pool_emissive)
+                                       skip_pool_emissive=skip_pool_emissive,
+                                       sky_sh=sky_sh, ibl_scale=ibl_scale)
             return sp, sn, sr, hit.tri
 
         def skip(_):
@@ -212,7 +229,8 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
                                         active=valid)
         s_pos, s_nrm, s_rad = _hit_radiance(
             gpu, rt, pool, hit, o, d, pix, frame,
-            skip_pool_emissive=skip_pool_emissive)
+            skip_pool_emissive=skip_pool_emissive,
+            sky_sh=sky_sh, ibl_scale=ibl_scale)
         ok0 = valid & (hit.tri >= 0)
     # target p_hat = luminance of incoming radiance (receiver-BRDF-free,
     # Ouyang §4.1); candidate pdf = cos/pi cancels against the cosine in the
@@ -255,7 +273,7 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     t_nrm = pw[..., 3:6].reshape(R, 3)
     t_rad = pw[..., 6:9].reshape(R, 3)
     t_W = pw[..., 9].reshape(R)
-    t_M = jnp.minimum(pw[..., 10].reshape(R), GI_M_CLAMP)
+    t_M = jnp.minimum(pw[..., 10].reshape(R), m_clamp)
     t_ok = on_s & valid & (t_M > 0)
     # sample must be in front of the receiver
     t_dir = t_pos - pos
@@ -286,7 +304,7 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     PADX = hl
     snap_e = jnp.pad(shu.extend_rows(snap, hl, gshard),
                      ((0, 0), (PADX, PADX), (0, 0)), mode="edge")
-    for k in range(GI_SPATIAL_TAPS):
+    for k in range(spatial_taps):
         kb = pcg3d(jnp.stack([jnp.asarray(k + 1, jnp.uint32), frame,
                               jnp.asarray(0x61AB1E, jnp.uint32)])[None])[0]
         u_a = uniform_from_bits(kb[0])
@@ -302,7 +320,7 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
         c_rad = nb[..., 6:9].reshape(R, 3)
         c_ws = nb[..., 9].reshape(R)
         c_M_raw = nb[..., 10].reshape(R)
-        c_M = jnp.minimum(c_M_raw, GI_M_CLAMP)
+        c_M = jnp.minimum(c_M_raw, m_clamp)
         n_n = nb[..., 11:14].reshape(R, 3)
         d_n = nb[..., 14].reshape(R)
         sim = ((jnp.sum(n_n * n, -1) > 0.85)

@@ -64,7 +64,8 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
                       rough_max: float = ROUGH_MAX, env_fn=None,
                       sun_dir=None, sharc_cache=None, shard=None,
                       skip_pool_emissive: bool = False,
-                      include_env_miss: bool = True):
+                      include_env_miss: bool = True,
+                      sky_sh=None, ibl_scale=1.0):
     """One traced-specular frame. Returns (spec (H, W, 3) full-res PREMULTIPLIED
     by the blend weight, weight (H, W), new DenoiseState (half-res)).
 
@@ -144,7 +145,8 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
     from hobbyrenderer_tpu.ops.restir_gi import _hit_radiance
     hpos, hnrm, hrad = _hit_radiance(gpu, rt, rt.lights, hit, o, d,
                                      pix + jnp.uint32(0x53EC), frame,
-                                     skip_pool_emissive=skip_mask)
+                                     skip_pool_emissive=skip_mask,
+                                     sky_sh=sky_sh, ibl_scale=ibl_scale)
     if sharc_cache is not None:
         from hobbyrenderer_tpu.ops.sharc import sharc_query
         fb, fb_ok = sharc_query(sharc_cache, hpos, hnrm, cam)

@@ -52,7 +52,7 @@ from hobbyrenderer_tpu.parallel.frame import _sun_dir
 
 
 def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
-                 n_dev, capacity, with_gi):
+                 n_dev, capacity, with_gi, with_transparent):
     """Per-device body (runs under shard_map)."""
     shard = shu.make_row_shard(TILE_AXIS, n_dev, shard_h)
     y0 = shard.y0
@@ -77,12 +77,16 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
                                      shard=shard)
 
     # indirect: ReSTIR GI on the banded GI grid (needs rays)
+    from hobbyrenderer_tpu.ops import ibl as iblops
+    sun_dir = _sun_dir(gpu, settings)
+    irr = iblops.build_sky_irradiance(sun_dir, settings)   # replicated (cheap)
     if with_gi:
         indirect, gi_res = giops.restir_gi(
             gpu, rt, gb, vc, settings, state["restir_gi_reservoir"],
             vc["frame_index"], scale=GI_SCALE, shard=shard,
             half_rate=GI_HALF_RATE, trace_max_steps=GI_TRACE_STEPS,
-            skip_pool_emissive=True)
+            skip_pool_emissive=True, sky_sh=irr,
+            ibl_scale=settings.ibl_intensity * settings.ambient_scale)
     else:
         indirect, gi_res = 0.0, None
 
@@ -92,9 +96,6 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     v = -vdir
     rough = gb.orm[..., 1]
     metal = gb.orm[..., 2]
-    from hobbyrenderer_tpu.ops import ibl as iblops
-    sun_dir = _sun_dir(gpu, settings)
-    irr = iblops.build_sky_irradiance(sun_dir, settings)   # replicated (cheap)
     ambient = iblops.ibl_ambient(irr, gb.normal, v, gb.albedo, metal, rough,
                                  sun_dir, settings,
                                  intensity=settings.ibl_intensity
@@ -102,6 +103,19 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     hdr = direct + ambient + gb.emissive + indirect
     hdr = jnp.where(gb.valid[..., None], hdr,
                     skyops.sky_radiance_fast(vdir, sun_dir, settings))
+
+    # transparent forward pass on the band: raster/shade stay sharded; the
+    # refraction background samples the GATHERED opaque frame (refracted
+    # exits cross shard boundaries — one all_gather over ICI)
+    if with_transparent:
+        from hobbyrenderer_tpu.ops import transparent as transops
+        hdr_opaque_full = jax.lax.all_gather(hdr, TILE_AXIS, axis=0,
+                                             tiled=True)
+        hdr = transops.transparent_composite(
+            gpu, vc, settings, gb, hdr, width=width, height=height,
+            transparent_capacity=capacity, sun_dir=sun_dir, sky_sh=irr,
+            ibl_scale=settings.ibl_intensity * settings.ambient_scale,
+            y0=y0, shard_h=shard_h, hdr_full=hdr_opaque_full)
 
     # TAA: halo'd history reprojection
     hdr = taaops.taa_resolve(hdr, state["taa_history"], gb.motion,
@@ -134,12 +148,13 @@ class FlagshipShardedRenderer:
     TAA, exposure and post under one shard_map. API-compatible
     render(gpu, vc, settings, dt); rt enables visibility rays + GI.
 
-    Not yet sharded: the forward Transparent pass and the debug overlays —
-    alpha-BLEND geometry is culled here and does not render (the single-chip
-    Normal mode draws it); masked + opaque are fully covered."""
+    Sharded: opaque + masked raster, ReSTIR DI/GI, denoise, transparent
+    (banded raster/shade; refraction reads the gathered frame), TAA, exposure.
+    Not yet sharded: the debug overlays; bloom/tonemap run replicated after
+    the all_gather."""
 
     def __init__(self, gpu, width: int, height: int, rt=None, n_devices: int = 0,
-                 with_gi: bool = None, mesh=None):
+                 with_gi: bool = None, mesh=None, with_transparent: bool = None):
         self.mesh = mesh if mesh is not None else build_mesh(n_devices)
         n = self.mesh.devices.size
         assert height % (n * TILE) == 0, (
@@ -150,6 +165,11 @@ class FlagshipShardedRenderer:
         self.shard_h = height // n
         self.rt = rt
         self.with_gi = (rt is not None) if with_gi is None else with_gi
+        if with_transparent is None:
+            import numpy as _np
+            with_transparent = bool(
+                (_np.asarray(gpu.inst_alpha_mode) == 2).any())
+        self.with_transparent = with_transparent
         self.capacity = max(int(gpu.lod0_pair_capacity), 1)
         self.state: Dict[str, jnp.ndarray] = {
             "exposure": jnp.float32(1.0),
@@ -172,7 +192,8 @@ class FlagshipShardedRenderer:
         body = functools.partial(_flagship_fn, width=self.width,
                                  height=self.height, shard_h=self.shard_h,
                                  n_dev=self.n, capacity=self.capacity,
-                                 with_gi=self.with_gi)
+                                 with_gi=self.with_gi,
+                                 with_transparent=self.with_transparent)
         st_specs = self._state_specs()
         sharded = shard_map(body, mesh=self.mesh,
                             in_specs=(P(), P(), P(), P(), st_specs, P()),

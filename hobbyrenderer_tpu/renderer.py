@@ -57,6 +57,36 @@ class Renderer:
         if env_path:
             from hobbyrenderer_tpu.ops.envmap import load_envmap
             env = load_envmap(env_path)
+        # prebaked IBL inputs (ref Config.cpp --irradiance/--radiance/
+        # --brdflut; --envmap also derives <stem>_irradiance/_radiance
+        # siblings when they exist). Cubemaps are authored as EQUIRECT
+        # panoramas here (HDR/DDS-BC6H) — the TPU pipeline samples equirect.
+        import os as _os
+        irr_path = getattr(cfg, "irradiance", None)
+        rad_path = getattr(cfg, "radiance", None)
+        if env_path and not (irr_path or rad_path):
+            stem, _ext = _os.path.splitext(env_path)
+            for ext in (".hdr", ".dds"):
+                if not irr_path and _os.path.exists(stem + "_irradiance" + ext):
+                    irr_path = stem + "_irradiance" + ext
+                if not rad_path and _os.path.exists(stem + "_radiance" + ext):
+                    rad_path = stem + "_radiance" + ext
+        env_sh = None
+        if irr_path:
+            # an irradiance map stores E(n)/pi directly: project WITHOUT the
+            # cosine-lobe convolution the radiance projection would get
+            from hobbyrenderer_tpu.ops.envmap import load_envmap, project_sh9
+            env_sh = project_sh9(np.asarray(load_envmap(irr_path),
+                                            np.float32), convolved=True)
+        if rad_path:
+            from hobbyrenderer_tpu.ops.envmap import load_envmap
+            env = load_envmap(rad_path) if env is None else env
+        brdf_lut = None
+        lut_path = getattr(cfg, "brdflut", None)
+        if lut_path:
+            from hobbyrenderer_tpu.scene.textures import load_image_file
+            u8 = load_image_file(lut_path)     # (N, N, 4) u8
+            brdf_lut = u8[..., :2].astype(np.float32) / 255.0
         self._env_as_lights = False
         n_env_lights = int(getattr(cfg, "env_lights", 0) or 0)
         # env-as-lights pairs with ReSTIR (the pool machinery) or the path
@@ -79,6 +109,7 @@ class Renderer:
         with PROFILER.scope("Init/Upload"):
             self.gpu = build_scene_gpu(
                 self.scene, streamer=self.streamer, env_map=env,
+                env_sh=env_sh, brdf_lut=brdf_lut,
                 max_lights=max(64, len(self.scene.lights) + 8))
         cam_desc = self.scene.cameras[0] if self.scene.cameras else None
         self.camera = Camera(cam_desc, cfg.render_width, cfg.render_height)

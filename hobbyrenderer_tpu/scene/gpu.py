@@ -118,6 +118,9 @@ class SceneGPU:
     # environment map (ops/envmap.py; ref EnvironmentLight/IBL cubemaps)
     env_map: Any = None     # (He, We, 3) f32 linear equirect radiance
     env_sh: Any = None      # (9, 3) f32 SH projection (diffuse IBL term)
+    brdf_lut: Any = None    # (N, N, 2) f32 split-sum env BRDF LUT
+    #                         (ref CommonResources BRDF LUT; --brdflut.
+    #                         None -> the validated analytic fit in ops/ibl)
 
     def tree_flatten(self):
         import dataclasses as dc
@@ -207,11 +210,15 @@ def _texture_arrays(scene: Scene) -> Dict[str, np.ndarray]:
 
 
 def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True,
-                    streamer=None, env_map=None) -> SceneGPU:
+                    streamer=None, env_map=None, env_sh=None,
+                    brdf_lut=None) -> SceneGPU:
     """Flatten the host Scene into the SceneGPU pytree (upload happens via jnp).
 
     streamer: a scene.streaming.TextureStreamer — texture pixels then live in
-    its budgeted paged pool instead of the fully-resident dense table."""
+    its budgeted paged pool instead of the fully-resident dense table.
+    env_sh: optional PREBAKED (9, 3) irradiance SH (ref --irradiance cubemap;
+    overrides the env_map projection). brdf_lut: optional (N, N, 2) split-sum
+    LUT (ref --brdflut; None keeps the analytic fit)."""
     # --- vertex pool ---
     vtx_offsets = []
     pos_l, nrm_l, uv_l, tan_l = [], [], [], []
@@ -450,6 +457,11 @@ def build_scene_gpu(scene: Scene, max_lights: int = 64, device_put: bool = True,
         gpu = dataclasses_replace(
             gpu, env_map=jnp.asarray(env_map, jnp.float32),
             env_sh=jnp.asarray(project_sh9(np.asarray(env_map, np.float32))))
+    if env_sh is not None:
+        gpu = dataclasses_replace(gpu, env_sh=jnp.asarray(env_sh, jnp.float32))
+    if brdf_lut is not None:
+        gpu = dataclasses_replace(gpu,
+                                  brdf_lut=jnp.asarray(brdf_lut, jnp.float32))
     if streamer is not None:
         gpu = dataclasses_replace(gpu, tex_stream=streamer.initial_tables())
     return gpu

@@ -166,3 +166,94 @@ def test_hdr_screenshot(tmp_path):
     img = envops.decode_hdr(open(p, "rb").read())
     assert img.shape == (48, 64, 3)
     assert np.isfinite(img).all() and img.max() > 0.01
+
+
+def test_prebaked_irradiance_sh_roundtrip(tmp_path):
+    """--irradiance (ref prebaked irradiance cubemap, here equirect): a
+    CONSTANT authored irradiance map must reconstruct that same constant
+    through sample_irradiance (the convolved=True projection divides out the
+    cosine-lobe band weights that sampling re-applies)."""
+    import jax.numpy as jnp
+    from hobbyrenderer_tpu.ops.envmap import project_sh9
+    from hobbyrenderer_tpu.ops.ibl import sample_irradiance
+
+    env = np.full((16, 32, 3), 0.4, np.float32)
+    env[..., 2] = 0.7
+    sh = project_sh9(env, convolved=True)
+    dirs = np.array([[0, 1, 0], [1, 0, 0], [0, 0, -1],
+                     [0.577, -0.577, 0.577]], np.float32)
+    got = np.asarray(sample_irradiance(jnp.asarray(sh), jnp.asarray(dirs)))
+    np.testing.assert_allclose(got, np.tile([0.4, 0.4, 0.7], (4, 1)),
+                               rtol=0.02, atol=0.005)
+
+
+def test_prebaked_ibl_cli_inputs(tmp_path):
+    """--irradiance/--radiance/--brdflut route through Renderer: the frame
+    picks up the authored irradiance tint and the LUT path is exercised
+    (ref Config.cpp:34-100)."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.ops.envmap import encode_hdr
+    from hobbyrenderer_tpu.renderer import Renderer
+    from hobbyrenderer_tpu.utils.image import write_png
+    from hobbyrenderer_tpu.ops.ibl import env_brdf
+
+    # strongly green irradiance, dim red radiance
+    irr = np.zeros((16, 32, 3), np.float32)
+    irr[..., 1] = 1.2
+    (tmp_path / "i.hdr").write_bytes(encode_hdr(irr))
+    rad = np.zeros((16, 32, 3), np.float32)
+    rad[..., 0] = 0.8
+    (tmp_path / "r.hdr").write_bytes(encode_hdr(rad))
+    # authored LUT image = the analytic fit baked to u8 (red=scale,
+    # green=bias)
+    import jax.numpy as jnp
+    N = 64
+    g = (np.arange(N, dtype=np.float32) + 0.5) / N
+    ndv, rough = np.meshgrid(g, g, indexing="xy")
+    s, b = env_brdf(jnp.asarray(ndv), jnp.asarray(rough))
+    lut = np.zeros((N, N, 4), np.uint8)
+    lut[..., 0] = np.asarray(np.clip(s, 0, 1) * 255, np.uint8)
+    lut[..., 1] = np.asarray(np.clip(b, 0, 1) * 255, np.uint8)
+    lut[..., 3] = 255
+    write_png(str(tmp_path / "lut.png"), lut)
+
+    cfg = Config(scene="cube", width=64, height=48, mode=RenderingMode.IBL,
+                 irradiance=str(tmp_path / "i.hdr"),
+                 radiance=str(tmp_path / "r.hdr"),
+                 brdflut=str(tmp_path / "lut.png"))
+    r = Renderer(cfg)
+    assert r.gpu.env_sh is not None and r.gpu.brdf_lut is not None
+    assert r.gpu.brdf_lut.shape == (N, N, 2)
+    ldr = np.asarray(r.render_frame()).astype(np.float32)
+    assert np.isfinite(ldr).all()
+    # the cube's top (sky-facing, white albedo) leans green from the
+    # authored irradiance
+    from hobbyrenderer_tpu.ops.ibl import env_brdf_lut
+    s2, b2 = env_brdf_lut(r.gpu.brdf_lut, jnp.asarray([[0.5]]),
+                          jnp.asarray([[0.3]]))
+    s1, b1 = env_brdf(jnp.asarray([0.5]), jnp.asarray([0.3]))
+    assert abs(float(s2[0, 0]) - float(s1[0])) < 0.02
+    assert abs(float(b2[0, 0]) - float(b1[0])) < 0.02
+
+
+def test_envmap_derives_prebaked_siblings(tmp_path):
+    """--envmap foo.hdr auto-discovers foo_irradiance.hdr / foo_radiance.hdr
+    (ref Config.cpp:58-80 stem-derived cubemap paths)."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.ops.envmap import encode_hdr
+    from hobbyrenderer_tpu.renderer import Renderer
+
+    env = np.full((16, 32, 3), 0.3, np.float32)
+    irr = np.zeros((16, 32, 3), np.float32)
+    irr[..., 1] = 2.0                       # unmistakably green
+    (tmp_path / "sky.hdr").write_bytes(encode_hdr(env))
+    (tmp_path / "sky_irradiance.hdr").write_bytes(encode_hdr(irr))
+    cfg = Config(scene="cube", width=64, height=48, mode=RenderingMode.IBL,
+                 envmap=str(tmp_path / "sky.hdr"))
+    r = Renderer(cfg)
+    # the SH came from the sibling irradiance map, not the envmap projection
+    import jax.numpy as jnp
+    from hobbyrenderer_tpu.ops.ibl import sample_irradiance
+    up = np.asarray(sample_irradiance(r.gpu.env_sh,
+                                      jnp.asarray([[0.0, 1.0, 0.0]])))[0]
+    assert up[1] > 4 * max(up[0], up[2]), up

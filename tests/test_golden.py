@@ -15,13 +15,16 @@ W, H = 96, 64
 # CSM/contact shadows, PT integrates transport exactly. Measured ~0.11 RMSE on
 # the cube scene; ratcheted down as quality work lands.
 RMSE_GATE = 0.16
-# flagship Normal mode (the benched config) vs PT. Measured RMSE 0.141 /
-# corr 0.72 when the gate landed (r3) — the gap is concentrated in glass/
-# transmission blocks (PT integrates real transmission; the deferred
-# transparent pass approximates). Ratcheted down as quality work closes the
-# gap toward the 0.05 VERDICT-r2 target and the 1e-2 BASELINE north star.
-FLAGSHIP_RMSE_GATE = 0.15
-FLAGSHIP_CORR_GATE = 0.65
+# flagship Normal mode (the benched config) vs PT, compared at FORCED LOD0:
+# PT traces LOD0 geometry while the raster picks simplified LODs, and at this
+# tiny test resolution the LOD silhouette error dominates lighting error
+# (measured: RMSE 0.132 with LODs, 0.108 at LOD0 — same lighting). The gate
+# is a LIGHTING gate; mesh-simplification quality is gated in test_native.
+# History: r3 landed at 0.141/corr 0.72; sky-SH exitance at bounce hits +
+# PT-consistent transparent compositing + LOD0 brought it to 0.108/0.806.
+# Ratchet toward the 0.05 VERDICT-r2 target / 1e-2 BASELINE north star.
+FLAGSHIP_RMSE_GATE = 0.12
+FLAGSHIP_CORR_GATE = 0.78
 
 
 def _render(mode, frames, scene="cube", **cfg_kw):
@@ -54,9 +57,15 @@ def test_flagship_matches_pathtracer():
     truth on a scene with emissive, glass AND textured materials (stress:4).
     This gates the config bench.py measures, not just NormalBasic-on-a-cube
     (BASELINE.md north star: RMSE <= 1e-2; tracked ratchet below)."""
-    ref = _render(RenderingMode.PATH_TRACER, frames=48, scene="stress:4")
-    got = _render(RenderingMode.NORMAL, frames=24, scene="stress:4",
-                  direct_mode="restir", indirect_mode="restir")
+    from hobbyrenderer_tpu.ops import culling
+    old_err = culling.LOD_TARGET_PIXEL_ERROR
+    culling.LOD_TARGET_PIXEL_ERROR = 1e-6   # LOD0: match PT's geometry
+    try:
+        ref = _render(RenderingMode.PATH_TRACER, frames=48, scene="stress:4")
+        got = _render(RenderingMode.NORMAL, frames=24, scene="stress:4",
+                      direct_mode="restir", indirect_mode="restir")
+    finally:
+        culling.LOD_TARGET_PIXEL_ERROR = old_err
     assert ref.shape == got.shape
     rmse = float(np.sqrt(np.mean((ref - got) ** 2)))
     corr = float(np.corrcoef(ref.ravel(), got.ravel())[0, 1])

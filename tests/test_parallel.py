@@ -217,3 +217,77 @@ def test_sharded_flagship_runs_and_matches_on_restir_chain():
         ldr, _ = r.render(gpu, cam.view_constants(i), settings)
     assert np.asarray(ldr).shape == (H, W, 3)
     assert np.isfinite(np.asarray(ldr)).all()
+
+
+def test_sharded_transparent_matches_single_device():
+    """The forward transparent pass under shard_map (banded raster/shade,
+    refraction through the gathered full frame) == the single-chip pass.
+    Covers VERDICT-r2 item 5: BLEND geometry used to be DROPPED multi-chip."""
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import ibl as iblops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.ops import transparent as transops
+    from hobbyrenderer_tpu.parallel.frame import _sun_dir
+    from hobbyrenderer_tpu.scene import make_stress_scene
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    W, H = 64, 64
+    n_dev = 2
+    sc = make_stress_scene(4)   # has transmission=0.6 BLEND materials
+    gpu = build_scene_gpu(sc)
+    assert (np.asarray(gpu.inst_alpha_mode) == 2).any(), \
+        "stress scene must carry BLEND geometry for this test"
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    def opaque(gpu, vc):
+        cu = cullops.cull_pairs(gpu, vc,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+        return rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+
+    gb = jax.jit(opaque)(gpu, vc)
+    # synthetic lit-opaque hdr with structure (so refraction fetches matter)
+    yy, xx = jnp.meshgrid(jnp.linspace(0, 1, H), jnp.linspace(0, 1, W),
+                          indexing="ij")
+    hdr = jnp.stack([xx, yy, 1.0 - xx], -1).astype(jnp.float32)
+    sun = _sun_dir(gpu, settings)
+    irr = iblops.build_sky_irradiance(sun, settings)
+
+    kw = dict(width=W, height=H, transparent_capacity=cap, sun_dir=sun,
+              sky_sh=irr, ibl_scale=1.0)
+    ref = jax.jit(lambda: transops.transparent_composite(
+        gpu, vc, settings, gb, hdr, **kw))()
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+    sp = lambda t: jax.tree_util.tree_map(lambda _: P("tiles"), t)
+
+    def body(gb_b, hdr_b, hdr_full):
+        from hobbyrenderer_tpu.ops import shard_utils as shu
+        shard = shu.make_row_shard("tiles", n_dev, shard_h)
+        return transops.transparent_composite(
+            gpu, vc, settings, gb_b, hdr_b, y0=shard.y0, shard_h=shard_h,
+            hdr_full=hdr_full, **kw)
+
+    got = jax.jit(shard_map(body, mesh=mesh,
+                            in_specs=(sp(gb), P("tiles"), P()),
+                            out_specs=P("tiles"),
+                            check_vma=False))(gb, hdr, hdr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # and the flagship renderer draws BLEND geometry end-to-end on the mesh
+    from hobbyrenderer_tpu.parallel import FlagshipShardedRenderer
+    r = FlagshipShardedRenderer(gpu, W, H, rt=None, mesh=mesh)
+    assert r.with_transparent
+    ldr, _ = r.render(gpu, vc, settings)
+    assert np.isfinite(np.asarray(ldr)).all()

@@ -235,3 +235,53 @@ def test_streaming_residency_honest_under_churn():
                 nt = st._mip_tiles(m, li)
                 assert (pt[base:base + nt] >= 0).all(), \
                     f"step {step}: mat {m} mip {li} resident with holes"
+
+
+def test_tex_residency_debug_overlay():
+    """--tex-debug heatmap (ref TileResidencyDebugRenderer): at startup only
+    the mip tails are resident, so textured pixels must show the residency
+    tint (differ from the plain render); the overlay disappears once the
+    demanded mips stream in... which we emulate by comparing against the
+    overlay-less config at the same frame."""
+    import time as _t
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+    from hobbyrenderer_tpu.scene.procedural import (camera_looking_at,
+                                                    plane_geometry)
+    from hobbyrenderer_tpu.scene.scene import Material, Node, Scene
+    from hobbyrenderer_tpu.scene.cooker import cook_mesh
+
+    def build_scene():
+        rng = np.random.default_rng(3)
+        img = (rng.random((256, 256, 4)) * 255).astype(np.uint8)
+        img[..., 3] = 255
+        sc = Scene()
+        sc.images = [img]
+        m = sc.add_material(Material(name="floor", roughness=0.8,
+                                     base_color_tex=0, double_sided=True))
+        pos, nrm, uv, idx = plane_geometry(4.0, uv_tiles=1.0)
+        prim = sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv), material=m)
+        sc.add_node(Node(name="floor", mesh_primitives=[prim]))
+        sc.cameras.append(camera_looking_at(np.array([0, 3.0, 3.0], np.float32),
+                                            np.array([0, 0, 0], np.float32)))
+        sc.finalize()
+        return sc
+
+    W, H = 96, 64
+    cfg = Config(width=W, height=H, mode=RenderingMode.NORMAL_BASIC,
+                 tex_streaming=True, tex_budget_mb=8, tex_debug=True)
+    r = Renderer(cfg, scene=build_scene())
+    over = np.asarray(r.render_frame()).astype(np.int32)
+    r.shutdown()
+    cfg2 = Config(width=W, height=H, mode=RenderingMode.NORMAL_BASIC,
+                  tex_streaming=True, tex_budget_mb=8)
+    r2 = Renderer(cfg2, scene=build_scene())
+    plain = np.asarray(r2.render_frame()).astype(np.int32)
+    r2.shutdown()
+    # frame 0: everything is clamped to the tail -> red-ish tint on the floor
+    diff_frac = (np.abs(over - plain).max(-1) > 8).mean()
+    assert diff_frac > 0.2, f"overlay changed only {diff_frac:.2%} of pixels"
+    # tint leans red (clamped) not green on the textured region
+    changed = np.abs(over - plain).max(-1) > 8
+    assert (over[..., 0][changed].mean() > plain[..., 0][changed].mean()), \
+        "residency-clamped pixels should gain red"
