@@ -103,6 +103,81 @@ def bloom(hdr: jnp.ndarray, settings, mips: int = 6) -> jnp.ndarray:
     return hdr + acc * settings.bloom_intensity
 
 
+def bloom_sharded(hdr: jnp.ndarray, settings, shard, full_h: int,
+                  mips: int = 6) -> jnp.ndarray:
+    """Row-sharded dual-pyramid bloom: the downsample chain and the upsample
+    accumulation run on each device's band; only ONE halo row per level
+    crosses the band boundary (ppermute), replacing the former
+    all_gather-the-frame + replicated-bloom post path.
+
+    Exactness vs bloom(): 2x2 box blocks nest inside the band because the
+    flagship mesh guarantees shard_h % TILE == 0 (TILE=32 covers 5 levels;
+    deeper levels stop early, see lvl_max). The 2x bilinear upsample is the
+    separable half-pixel kernel jax.image.resize applies: out[2i] =
+    0.25*in[i-1] + 0.75*in[i]; out[2i+1] = 0.75*in[i] + 0.25*in[i+1], with
+    in[] clamped at the GLOBAL image edge (the band edge reads the neighbor's
+    row via the halo)."""
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    h_band, W = hdr.shape[0], hdr.shape[1]
+    # levels must keep 2x2 blocks inside the band AND mirror the single-chip
+    # chain's global stop condition (h < 4 or w < 4)
+    lvl_max = 0
+    hb, hg, wg = h_band, full_h, W
+    while (lvl_max < mips and hb % 2 == 0 and hb >= 1
+           and hg >= 4 and wg >= 4):
+        lvl_max += 1
+        hb //= 2
+        hg = (hg + hg % 2) // 2
+        wg = (wg + wg % 2) // 2
+
+    thr = settings.bloom_threshold
+    knee = jnp.maximum(settings.bloom_knee * thr, 1e-4)
+    lum = hm.luminance(hdr, xp=jnp)[..., None]
+    soft = jnp.clip(lum - thr + knee, 0.0, 2.0 * knee)
+    soft = soft * soft / (4.0 * knee)
+    weight = jnp.maximum(lum - thr, soft) / jnp.maximum(lum, 1e-4)
+    pre = hdr * weight
+
+    is_top = shu.global_y0(shard) == 0
+    is_bot = (shu.global_y0(shard) + h_band) == full_h
+
+    chain = [pre]
+    x = pre
+    for _ in range(lvl_max):
+        w = x.shape[1]
+        if w % 2:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)), mode="edge")
+        x = _downsample2(x)
+        chain.append(x)
+
+    def up2_rows(x_band, out_w):
+        """2x bilinear upsample of a band with one cross-device halo row."""
+        ext = shu.extend_rows(x_band, 1, shard)
+        # global-edge clamp (ppermute zero-fills beyond the frame)
+        ext = jnp.concatenate([
+            jnp.where(is_top, x_band[:1], ext[:1]), ext[1:]], axis=0)
+        ext = jnp.concatenate([
+            ext[:-1], jnp.where(is_bot, x_band[-1:], ext[-1:])], axis=0)
+        a, b, c = ext[:-2], ext[1:-1], ext[2:]
+        even = 0.25 * a + 0.75 * b
+        odd = 0.75 * b + 0.25 * c
+        h2 = x_band.shape[0] * 2
+        rows = jnp.stack([even, odd], axis=1).reshape(h2, *x_band.shape[1:])
+        # width: same separable half-pixel kernel, clamped at the frame edge
+        ew = jnp.concatenate([rows[:, :1], rows, rows[:, -1:]], axis=1)
+        aw, bw, cw = ew[:, :-2], ew[:, 1:-1], ew[:, 2:]
+        cols = jnp.stack([0.25 * aw + 0.75 * bw, 0.75 * bw + 0.25 * cw],
+                         axis=2).reshape(h2, rows.shape[1] * 2,
+                                         *x_band.shape[2:])
+        return cols[:, :out_w]
+
+    acc = chain[-1]
+    for lvl in range(len(chain) - 2, -1, -1):
+        up = up2_rows(acc, chain[lvl].shape[1])
+        acc = chain[lvl] + up * settings.bloom_radius
+    return hdr + acc * settings.bloom_intensity
+
+
 def tonemap_pbr_neutral(c: jnp.ndarray) -> jnp.ndarray:
     """Khronos PBR Neutral tonemapper (ref Tonemap.hlsl:13-104, SDR path)."""
     start_compression = 0.8 - 0.04

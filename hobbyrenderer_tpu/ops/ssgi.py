@@ -8,7 +8,13 @@ TPU design: one cosine-sampled march per half-res pixel per frame (temporal
 accumulation integrates), marched as K fixed world-space steps projected to
 screen against the reversed-Z depth buffer; hits fetch bounce radiance from the
 previous frame's lit HDR (the TAA history buffer), misses fall back to sky
-irradiance. All taps are bilinear screen-space fetches — regular VPU work."""
+irradiance. All taps are bilinear screen-space fetches — regular VPU work.
+
+Row sharding: the march projects to ARBITRARY screen positions (a 4-world-unit
+march near the camera can cross the whole frame), so the banded variant taps
+the GATHERED full-frame depth + prev-HDR while marching only its band's
+half-res pixels; RNG/blue-noise tiling is aligned to GLOBAL rows so
+sharded == single."""
 
 from __future__ import annotations
 
@@ -24,10 +30,20 @@ MARCH_DISTANCE = 4.0      # world units
 THICKNESS = 0.35          # relative depth-gap acceptance
 
 
-def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2):
-    """Returns (H, W, 3) indirect radiance (upsampled from half res)."""
-    H, W = gb.depth.shape
-    sh, sw = H // scale, W // scale
+def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2,
+                  shard=None, depth_full=None, prev_hdr_full=None):
+    """Returns (h_band, W, 3) indirect radiance (upsampled from half res).
+
+    Single-chip: gb/prev_hdr are the full frame. Sharded: gb is the device's
+    row band; depth_full/prev_hdr_full are the all_gather'd full-frame depth
+    and previous lit HDR the march taps (prev_hdr is then unused)."""
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    depth_tap = gb.depth if depth_full is None else depth_full
+    hdr_tap = prev_hdr if prev_hdr_full is None else prev_hdr_full
+    Hf, W = depth_tap.shape
+    hb = gb.depth.shape[0]            # band rows (== Hf single-chip)
+    y0 = shu.global_y0(shard)
+    sh, sw = hb // scale, W // scale
     pos = gb.world_pos[::scale, ::scale][:sh, :sw].reshape(-1, 3)
     nrm = gb.normal[::scale, ::scale][:sh, :sw].reshape(-1, 3)
     alb = gb.albedo[::scale, ::scale][:sh, :sw].reshape(-1, 3)
@@ -37,11 +53,18 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2):
     # spatiotemporal blue-noise ray jitter (ref vendored LDR_RG01_0.png blue
     # noise): neighboring pixels get maximally-separated hemisphere samples,
     # so the A-trous/temporal filters see high-frequency error instead of
-    # white-noise clumps; golden-ratio rotation keeps the temporal mean flat
+    # white-noise clumps; golden-ratio rotation keeps the temporal mean flat.
+    # The texture is rolled to the band's GLOBAL half-res row so a sharded
+    # band reads the same noise as the full-frame tiling.
     from hobbyrenderer_tpu.utils import bluenoise as bn
-    u1 = bn.animate(bn.tile_for(bn.blue_noise(seed=0), sh, sw),
-                    frame).reshape(R)
-    u2 = bn.animate(bn.tile_for(bn.blue_noise(seed=1), sh, sw),
+
+    def band_noise(seed):
+        tex = jnp.asarray(bn.blue_noise(seed=seed))
+        tex = jnp.roll(tex, -(y0 // scale) % tex.shape[0], axis=0)
+        return bn.tile_for(tex, sh, sw)
+
+    u1 = bn.animate(band_noise(0), frame).reshape(R)
+    u2 = bn.animate(band_noise(1),
                     frame * jnp.uint32(7) + jnp.uint32(3)).reshape(R)
     d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
 
@@ -53,7 +76,7 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2):
         clip = p @ VP[:3, :3].T + VP[:3, 3]
         ndc = clip / w[..., None]
         x = (ndc[..., 0] * 0.5 + 0.5) * W
-        y = (0.5 - ndc[..., 1] * 0.5) * H
+        y = (0.5 - ndc[..., 1] * 0.5) * Hf
         return x, y, ndc[..., 2]
 
     hit_col = jnp.zeros((R, 3))
@@ -63,13 +86,13 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2):
         t = MARCH_DISTANCE * ((k + 1) / MARCH_STEPS) ** 2 + 0.05
         p = pos + d * t
         x, y, z = project(p)
-        on = (x >= 0) & (x < W) & (y >= 0) & (y < H) & (z > 0)
+        on = (x >= 0) & (x < W) & (y >= 0) & (y < Hf) & (z > 0)
         xi = jnp.clip(x.astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip(y.astype(jnp.int32), 0, H - 1)
-        zbuf = gb.depth[yi, xi]
+        yi = jnp.clip(y.astype(jnp.int32), 0, Hf - 1)
+        zbuf = depth_tap[yi, xi]
         # reversed-Z: buffer nearer than the ray point -> potential occluder
         hit = on & (zbuf > z) & (zbuf < z * (1.0 + THICKNESS)) & ~found
-        col = prev_hdr[yi, xi]
+        col = hdr_tap[yi, xi]
         hit_col = jnp.where(hit[..., None], col, hit_col)
         found = found | hit
 
@@ -79,5 +102,5 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2):
     # cosine-sampled single bounce: indirect ~= albedo * E[L] (pdf cancels cos/pi)
     ind = jnp.where(valid[..., None], alb * radiance, 0.0).reshape(sh, sw, 3)
     if scale > 1:
-        ind = jax.image.resize(ind, (H, W, 3), method="bilinear")
+        ind = jax.image.resize(ind, (hb, W, 3), method="bilinear")
     return ind

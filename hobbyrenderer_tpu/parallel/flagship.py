@@ -52,7 +52,8 @@ from hobbyrenderer_tpu.parallel.frame import _sun_dir
 
 
 def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
-                 n_dev, capacity, with_gi, with_transparent):
+                 n_dev, capacity, with_gi, with_transparent,
+                 indirect="restir"):
     """Per-device body (runs under shard_map)."""
     shard = shu.make_row_shard(TILE_AXIS, n_dev, shard_h)
     y0 = shard.y0
@@ -80,15 +81,29 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     from hobbyrenderer_tpu.ops import ibl as iblops
     sun_dir = _sun_dir(gpu, settings)
     irr = iblops.build_sky_irradiance(sun_dir, settings)   # replicated (cheap)
-    if with_gi:
-        indirect, gi_res = giops.restir_gi(
+    if indirect == "restir" and with_gi:
+        ind, gi_res = giops.restir_gi(
             gpu, rt, gb, vc, settings, state["restir_gi_reservoir"],
             vc["frame_index"], scale=GI_SCALE, shard=shard,
             half_rate=GI_HALF_RATE, trace_max_steps=GI_TRACE_STEPS,
             skip_pool_emissive=True, sky_sh=irr,
             ibl_scale=settings.ibl_intensity * settings.ambient_scale)
+    elif indirect == "ssgi":
+        # screen-space GI marches to arbitrary rows: tap the GATHERED depth
+        # + previous lit frame (ICI all_gather), march only this band
+        from hobbyrenderer_tpu.ops import ssgi as ssgiops
+        depth_full = jax.lax.all_gather(gb.depth, TILE_AXIS, axis=0,
+                                        tiled=True)
+        prev_full = jax.lax.all_gather(state["taa_history"], TILE_AXIS,
+                                       axis=0, tiled=True)
+        ind = ssgiops.ssgi_half_res(gb, vc, None, irr, settings,
+                                    vc["frame_index"], shard=shard,
+                                    depth_full=depth_full,
+                                    prev_hdr_full=prev_full)
+        gi_res = None
     else:
-        indirect, gi_res = 0.0, None
+        ind, gi_res = 0.0, None
+    indirect_rad = ind
 
     # ambient + sky on the band
     vdir = skyops.view_dirs_from_pixels(vc, shard_h, width, y0=y0,
@@ -100,7 +115,7 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
                                  sun_dir, settings,
                                  intensity=settings.ibl_intensity
                                  * settings.ambient_scale)
-    hdr = direct + ambient + gb.emissive + indirect
+    hdr = direct + ambient + gb.emissive + indirect_rad
     hdr = jnp.where(gb.valid[..., None], hdr,
                     skyops.sky_radiance_fast(vdir, sun_dir, settings))
 
@@ -127,10 +142,12 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     hist = jax.lax.psum(hist, TILE_AXIS)
     exposure = postops.exposure_adapt(hist, state["exposure"], dt, settings)
 
-    # post: gather the full HDR frame, replicated bloom + tonemap
-    hdr_full = jax.lax.all_gather(hdr, TILE_AXIS, axis=0, tiled=True)
-    hdr_full = postops.bloom(hdr_full, settings)
-    ldr = postops.tonemap_to_output(hdr_full, exposure)
+    # post: BANDED bloom (one ppermute halo row per pyramid level) + banded
+    # tonemap; only the final uint8 LDR is gathered — 12x less ICI traffic
+    # than the former all_gather-the-f32-HDR + replicated bloom
+    hdr = postops.bloom_sharded(hdr, settings, shard, full_h=height)
+    ldr_band = postops.tonemap_to_output(hdr, exposure)
+    ldr = jax.lax.all_gather(ldr_band, TILE_AXIS, axis=0, tiled=True)
 
     new_state = dict(state)
     new_state["restir_reservoir"] = new_res
@@ -138,7 +155,7 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     new_state["taa_history"] = taa_hist
     new_state["taa_valid"] = jnp.bool_(True)
     new_state["exposure"] = exposure
-    if with_gi:
+    if indirect == "restir" and with_gi:
         new_state["restir_gi_reservoir"] = gi_res
     return ldr, new_state
 
@@ -148,13 +165,17 @@ class FlagshipShardedRenderer:
     TAA, exposure and post under one shard_map. API-compatible
     render(gpu, vc, settings, dt); rt enables visibility rays + GI.
 
-    Sharded: opaque + masked raster, ReSTIR DI/GI, denoise, transparent
-    (banded raster/shade; refraction reads the gathered frame), TAA, exposure.
-    Not yet sharded: the debug overlays; bloom/tonemap run replicated after
-    the all_gather."""
+    Sharded: opaque + masked raster, ReSTIR DI, indirect (ReSTIR GI on the
+    banded grid, or SSGI marching the gathered frame), denoise, transparent
+    (banded raster/shade; refraction reads the gathered frame), TAA,
+    exposure, BANDED bloom + tonemap (only the uint8 LDR is gathered).
+    Not yet sharded: the debug overlays.
+
+    indirect: "restir" (needs rt) | "ssgi" | "none"."""
 
     def __init__(self, gpu, width: int, height: int, rt=None, n_devices: int = 0,
-                 with_gi: bool = None, mesh=None, with_transparent: bool = None):
+                 with_gi: bool = None, mesh=None, with_transparent: bool = None,
+                 indirect: str = "restir"):
         self.mesh = mesh if mesh is not None else build_mesh(n_devices)
         n = self.mesh.devices.size
         assert height % (n * TILE) == 0, (
@@ -164,6 +185,7 @@ class FlagshipShardedRenderer:
         self.n = n
         self.shard_h = height // n
         self.rt = rt
+        self.indirect = indirect
         self.with_gi = (rt is not None) if with_gi is None else with_gi
         if with_transparent is None:
             import numpy as _np
@@ -178,7 +200,7 @@ class FlagshipShardedRenderer:
             "restir_reservoir": restirops.reservoir_init(height, width),
             "denoise_state": dnops.denoise_init(height, width),
         }
-        if self.with_gi:
+        if self.with_gi and indirect == "restir":
             self.state["restir_gi_reservoir"] = giops.gi_reservoir_init(
                 height // GI_SCALE, width // GI_SCALE)
         self._jitted = None
@@ -193,7 +215,8 @@ class FlagshipShardedRenderer:
                                  height=self.height, shard_h=self.shard_h,
                                  n_dev=self.n, capacity=self.capacity,
                                  with_gi=self.with_gi,
-                                 with_transparent=self.with_transparent)
+                                 with_transparent=self.with_transparent,
+                                 indirect=self.indirect)
         st_specs = self._state_specs()
         sharded = shard_map(body, mesh=self.mesh,
                             in_specs=(P(), P(), P(), P(), st_specs, P()),

@@ -291,3 +291,108 @@ def test_sharded_transparent_matches_single_device():
     assert r.with_transparent
     ldr, _ = r.render(gpu, vc, settings)
     assert np.isfinite(np.asarray(ldr)).all()
+
+
+def test_sharded_bloom_matches_single_device():
+    """Banded bloom (one ppermute halo row per pyramid level) == the
+    replicated bloom() it replaces, at pow2-friendly dims (the flagship mesh
+    guarantees shard_h % 32 == 0)."""
+    from hobbyrenderer_tpu.config import RenderSettings
+    from hobbyrenderer_tpu.ops import post as postops
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    H, W = 128, 64
+    n_dev = 2
+    rng = np.random.default_rng(11)
+    hdr = jnp.asarray(rng.random((H, W, 3), np.float32) * 3.0)
+    settings = RenderSettings().as_pytree()
+
+    ref = jax.jit(lambda x: postops.bloom(x, settings))(hdr)
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+
+    def body(x):
+        shard = shu.make_row_shard("tiles", n_dev, shard_h)
+        return postops.bloom_sharded(x, settings, shard, full_h=H)
+
+    got = jax.jit(shard_map(body, mesh=mesh, in_specs=(P("tiles"),),
+                            out_specs=P("tiles"), check_vma=False))(hdr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_ssgi_matches_single_device():
+    """SSGI under shard_map (band marches against the gathered depth +
+    prev-HDR; blue noise aligned to global rows) == the single-chip pass.
+    VERDICT-r2 item 5: one RT-free indirect mode multi-chip."""
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import ibl as iblops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    from hobbyrenderer_tpu.ops import ssgi as ssgiops
+    from hobbyrenderer_tpu.parallel.frame import _sun_dir
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    W, H = 64, 64
+    n_dev = 2
+    sc = make_default_cube_scene()
+    gpu = build_scene_gpu(sc)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    def opaque(gpu, vc):
+        cu = cullops.cull_pairs(gpu, vc,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+        return rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+
+    gb = jax.jit(opaque)(gpu, vc)
+    rng = np.random.default_rng(4)
+    prev_hdr = jnp.asarray(rng.random((H, W, 3), np.float32))
+    sun = _sun_dir(gpu, settings)
+    irr = iblops.build_sky_irradiance(sun, settings)
+
+    ref = jax.jit(lambda: ssgiops.ssgi_half_res(
+        gb, vc, prev_hdr, irr, settings, jnp.int32(5)))()
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+    sp = lambda t: jax.tree_util.tree_map(lambda _: P("tiles"), t)
+
+    def body(gb_b, prev_b):
+        shard = shu.make_row_shard("tiles", n_dev, shard_h)
+        depth_full = jax.lax.all_gather(gb_b.depth, "tiles", axis=0,
+                                        tiled=True)
+        prev_full = jax.lax.all_gather(prev_b, "tiles", axis=0, tiled=True)
+        return ssgiops.ssgi_half_res(gb_b, vc, None, irr, settings,
+                                     jnp.int32(5), shard=shard,
+                                     depth_full=depth_full,
+                                     prev_hdr_full=prev_full)
+
+    got = jax.jit(shard_map(body, mesh=mesh, in_specs=(sp(gb), P("tiles")),
+                            out_specs=P("tiles"), check_vma=False))(gb,
+                                                                    prev_hdr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # flagship renderer end-to-end in SSGI mode on the mesh
+    from hobbyrenderer_tpu.parallel import FlagshipShardedRenderer
+    r = FlagshipShardedRenderer(gpu, W, H, rt=None, mesh=mesh,
+                                indirect="ssgi")
+    for i in range(2):
+        ldr, _ = r.render(gpu, cam.view_constants(i), settings)
+    assert np.isfinite(np.asarray(ldr)).all()

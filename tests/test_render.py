@@ -425,3 +425,33 @@ def test_taau_upscale_converges_to_native():
     assert rmse_conv < rmse_first * 0.65, \
         f"TAAU never converged: first {rmse_first:.2f} -> {rmse_conv:.2f}"
     assert rmse_conv < 14.0, f"converged TAAU too far from native: {rmse_conv}"
+
+
+def test_high_res_tile_boundaries():
+    """Production-scale raster sanity (VERDICT-r2 weak #9: estimator tests at
+    32-96 px never cross the 1080p-class tile/padding boundaries): one
+    NormalBasic frame at 1024x512 on the dense stress scene — capacities,
+    phase-2 re-raster, HZB mip chain and worklist padding must all hold up
+    with NO overflow and no dead bands at tile seams."""
+    import numpy as np
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+
+    W, H = 1024, 512
+    cfg = Config(scene="stress:6", width=W, height=H,
+                 mode=RenderingMode.NORMAL_BASIC, cache_dir=".hr_cache_test")
+    r = Renderer(cfg)
+    r.camera.jitter_enabled = False
+    for _ in range(2):   # frame 2 exercises phase-2 occlusion re-raster
+        ldr = r.render_frame(dt=0.0)
+    img = np.asarray(ldr)
+    assert img.shape == (H, W, 3)
+    assert np.isfinite(img.astype(np.float32)).all()
+    s = r.stats()
+    assert s.get("raster_overflow", 0) == 0, s
+    # geometry covers a healthy fraction of the frame (a tile-boundary bug
+    # shows up as black 32px bands: check every 32-row stripe has content)
+    lit = (img.astype(np.int32).sum(-1) > 8)
+    stripe = lit.reshape(H // 32, 32, W).mean((1, 2))
+    assert (stripe > 0.5).all(), f"dead tile stripes: {stripe.round(2)}"
+    r.shutdown()
