@@ -50,7 +50,10 @@ def main(argv=None):
                    choices=("simple", "restir"))
     p.add_argument("--shadow-scale", type=int, default=2)
     p.add_argument("--indirect-mode", type=str, default="none",
-                   choices=("none", "sharc", "ssgi", "restir", "ddgi"))
+                   choices=("none", "sharc", "ssgi", "restir", "ddgi",
+                            "combined"),
+                   help="combined = ReSTIR DI + traced SHARC-backed indirect "
+                        "(ref RTXDI combined mode)")
     p.add_argument("--ddgi-debug", action="store_true",
                    help="overlay DDGI probe visualization")
     p.add_argument("--tex-streaming", action="store_true",

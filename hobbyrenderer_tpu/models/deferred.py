@@ -457,8 +457,14 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not use_restir:
         g.get("Denoise").enabled = False
 
-    use_sharc = (indirect_mode == "sharc"
+    # "combined" = ReSTIR DI + SHARC-backed indirect (ref bCombinedMode,
+    # src/RTXDIRenderer.cpp:2185-2208): the cache updates as usual, but the
+    # indirect signal comes from a TRACED half-res diffuse ray whose hit
+    # queries the resolved cache — first-bounce visibility is exact, the
+    # cache supplies the multi-bounce tail.
+    use_sharc = (indirect_mode in ("sharc", "combined")
                  and mode in (RenderingMode.NORMAL, RenderingMode.IBL))
+    use_sharc_traced = use_sharc and indirect_mode == "combined"
 
     @g.add
     @render_pass("SHARC", reads=("gbuffer", "sharc_cache", "sky_irradiance"),
@@ -521,6 +527,73 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
 
     if not use_sharc:
         g.get("SHARC").enabled = False
+
+    @g.add
+    @render_pass("SharcIndirectQuery",
+                 reads=("gbuffer", "sharc_cache", "sky_irradiance",
+                        "sharc_q_state"),
+                 writes=("sharc_indirect", "sharc_q_state"),
+                 persistent=("sharc_q_state",))
+    def _sharc_query_traced(ctx, res):
+        """Combined ReSTIR-GI+SHARC indirect (ref SharcIndirectQuery,
+        src/RTXDIRenderer.cpp:2185-2208): one cosine diffuse ray per half-res
+        pixel; the hit contributes its NEE-shaded direct + emissive + sky-SH
+        exitance PLUS the resolved cache's multi-bounce tail at the hit cell.
+        Replaces the primary-surface cache query (exact first-bounce
+        visibility; no primary-cell light leaks). RELAX temporal + short
+        A-trous at the trace grid, bilinearly upsampled."""
+        from hobbyrenderer_tpu.ops import denoise as dnops
+        from hobbyrenderer_tpu.ops import sharc as sharcops
+        from hobbyrenderer_tpu.ops import trace as traceops
+        from hobbyrenderer_tpu.ops.restir_gi import _hit_radiance
+        from hobbyrenderer_tpu.ops.specular import _SubGB
+        gb = res["gbuffer"]
+        if ctx.rt is None:
+            res["sharc_indirect"] = jnp.zeros((height, width, 3), jnp.float32)
+            res["sharc_q_state"] = res["sharc_q_state"]
+            return
+        s_ = 2
+        sh, sw = height // s_, width // s_
+        sub = lambda img: img[::s_, ::s_][:sh, :sw]
+        pos = sub(gb.world_pos).reshape(-1, 3)
+        nrm = sub(gb.normal).reshape(-1, 3)
+        gn = sub(gb.geo_normal).reshape(-1, 3)
+        alb = sub(gb.albedo).reshape(-1, 3)
+        val = sub(gb.valid).reshape(-1)
+        R = pos.shape[0]
+        pix = jnp.arange(R, dtype=jnp.uint32)
+        frame = ctx.vc["frame_index"].astype(jnp.uint32)
+        bits = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
+                                jnp.full_like(pix, 77)], -1))
+        u1 = uniform_from_bits(bits[..., 0])
+        u2 = uniform_from_bits(bits[..., 1])
+        d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
+        o = offset_ray_origin(pos, gn, d) + gn * ctx.settings.shadow_bias
+        hit = traceops.closest_hit_auto(ctx.rt, o, d, active=val)
+        hpos, hn, h_rad = _hit_radiance(
+            ctx.gpu, ctx.rt, ctx.rt.lights, hit, o, d,
+            pix + jnp.uint32(0xC0B1), frame,
+            skip_pool_emissive=use_restir,
+            sky_sh=res["sky_irradiance"],
+            ibl_scale=(ctx.settings.ibl_intensity
+                       * ctx.settings.ambient_scale))
+        fb, fb_ok = sharcops.sharc_query(res["sharc_cache"], hpos, hn,
+                                         ctx.vc["camera_pos"])
+        rad = h_rad + jnp.where((fb_ok & (hit.tri >= 0))[..., None], fb, 0.0)
+        # cosine-sampled single bounce: indirect ~= albedo * E[L]
+        ind = jnp.where((val & (hit.tri >= 0))[..., None], alb * rad, 0.0)
+        ind = ind.reshape(sh, sw, 3)
+        sgb = _SubGB(motion=sub(gb.motion) / float(s_), depth=sub(gb.depth),
+                     normal=sub(gb.normal), valid=sub(gb.valid))
+        color, var, st = dnops.temporal_accumulate(ind, sgb,
+                                                   res["sharc_q_state"])
+        color = dnops.atrous_filter(color, var, sgb, iterations=2)
+        res["sharc_indirect"] = jax.image.resize(color, (height, width, 3),
+                                                 "bilinear")
+        res["sharc_q_state"] = st
+
+    if not use_sharc_traced:
+        g.get("SharcIndirectQuery").enabled = False
 
     use_ddgi = indirect_mode == "ddgi"
 
@@ -592,7 +665,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     # src/RTXDIRenderer.cpp:2218-2235): any RT indirect mode gets it
     use_spec = (specular_indirect and with_rt_shadows
                 and mode in (RenderingMode.NORMAL, RenderingMode.IBL)
-                and indirect_mode in ("restir", "sharc", "ddgi"))
+                and indirect_mode in ("restir", "sharc", "ddgi",
+                                      "combined"))
     spec_reads = ("gbuffer", "spec_state", "sky_irradiance") \
         + (("sharc_cache",) if use_sharc else ())
 
@@ -856,9 +930,12 @@ def initial_frame_state(width: int, height: int,
         from hobbyrenderer_tpu.ops.denoise import denoise_init
         state["restir_reservoir"] = reservoir_init(height, width)
         state["denoise_state"] = denoise_init(height, width)
-    if indirect_mode == "sharc":
+    if indirect_mode in ("sharc", "combined"):
         from hobbyrenderer_tpu.ops.sharc import sharc_init
         state["sharc_cache"] = sharc_init()
+    if indirect_mode == "combined":
+        from hobbyrenderer_tpu.ops.denoise import denoise_init
+        state["sharc_q_state"] = denoise_init(height // 2, width // 2)
     if indirect_mode == "ssgi":
         from hobbyrenderer_tpu.ops.denoise import denoise_init
         state["ssgi_state"] = denoise_init(height, width)
@@ -871,7 +948,8 @@ def initial_frame_state(width: int, height: int,
         lo, hi = scene_bounds if scene_bounds is not None \
             else ((-10.0, -10.0, -10.0), (10.0, 10.0, 10.0))
         state["ddgi_volume"] = ddgi_init(lo, hi)
-    if specular_indirect and indirect_mode in ("restir", "sharc", "ddgi"):
+    if specular_indirect and indirect_mode in ("restir", "sharc", "ddgi",
+                                               "combined"):
         from hobbyrenderer_tpu.ops.specular import spec_state_init
         state["spec_state"] = spec_state_init(height, width)
     return state

@@ -53,7 +53,7 @@ from hobbyrenderer_tpu.parallel.frame import _sun_dir
 
 def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
                  n_dev, capacity, with_gi, with_transparent,
-                 indirect="restir"):
+                 indirect="restir", with_spec=False):
     """Per-device body (runs under shard_map)."""
     shard = shu.make_row_shard(TILE_AXIS, n_dev, shard_h)
     y0 = shard.y0
@@ -105,6 +105,19 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
         ind, gi_res = 0.0, None
     indirect_rad = ind
 
+    # traced specular indirect on the band (ref BrdfRayTracing; same pass as
+    # the single-chip flagship — reflection rays + RELAX at the half-res grid
+    # ride the shard's halo machinery inside ops/specular.py)
+    spec = None
+    spec_state = state.get("spec_state")
+    if with_spec and rt is not None:
+        from hobbyrenderer_tpu.ops import specular as specops
+        spec, spec_w, spec_state = specops.specular_indirect(
+            gpu, rt, gb, vc, settings, state["spec_state"],
+            vc["frame_index"], sun_dir=sun_dir, shard=shard,
+            skip_pool_emissive=True, sky_sh=irr,
+            ibl_scale=settings.ibl_intensity * settings.ambient_scale)
+
     # ambient + sky on the band
     vdir = skyops.view_dirs_from_pixels(vc, shard_h, width, y0=y0,
                                         full_height=height)
@@ -114,8 +127,12 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     ambient = iblops.ibl_ambient(irr, gb.normal, v, gb.albedo, metal, rough,
                                  sun_dir, settings,
                                  intensity=settings.ibl_intensity
-                                 * settings.ambient_scale)
+                                 * settings.ambient_scale,
+                                 spec_suppress=spec_w if spec is not None
+                                 else None)
     hdr = direct + ambient + gb.emissive + indirect_rad
+    if spec is not None:
+        hdr = hdr + spec
     hdr = jnp.where(gb.valid[..., None], hdr,
                     skyops.sky_radiance_fast(vdir, sun_dir, settings))
 
@@ -157,6 +174,8 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     new_state["exposure"] = exposure
     if indirect == "restir" and with_gi:
         new_state["restir_gi_reservoir"] = gi_res
+    if with_spec and rt is not None:
+        new_state["spec_state"] = spec_state
     return ldr, new_state
 
 
@@ -175,7 +194,7 @@ class FlagshipShardedRenderer:
 
     def __init__(self, gpu, width: int, height: int, rt=None, n_devices: int = 0,
                  with_gi: bool = None, mesh=None, with_transparent: bool = None,
-                 indirect: str = "restir"):
+                 indirect: str = "restir", with_spec: bool = None):
         self.mesh = mesh if mesh is not None else build_mesh(n_devices)
         n = self.mesh.devices.size
         assert height % (n * TILE) == 0, (
@@ -186,6 +205,7 @@ class FlagshipShardedRenderer:
         self.shard_h = height // n
         self.rt = rt
         self.indirect = indirect
+        self.with_spec = (rt is not None) if with_spec is None else with_spec
         self.with_gi = (rt is not None) if with_gi is None else with_gi
         if with_transparent is None:
             import numpy as _np
@@ -203,6 +223,9 @@ class FlagshipShardedRenderer:
         if self.with_gi and indirect == "restir":
             self.state["restir_gi_reservoir"] = giops.gi_reservoir_init(
                 height // GI_SCALE, width // GI_SCALE)
+        if self.with_spec and rt is not None:
+            from hobbyrenderer_tpu.ops.specular import spec_state_init
+            self.state["spec_state"] = spec_state_init(height, width)
         self._jitted = None
 
     def _state_specs(self):
@@ -216,7 +239,8 @@ class FlagshipShardedRenderer:
                                  n_dev=self.n, capacity=self.capacity,
                                  with_gi=self.with_gi,
                                  with_transparent=self.with_transparent,
-                                 indirect=self.indirect)
+                                 indirect=self.indirect,
+                                 with_spec=self.with_spec and self.rt is not None)
         st_specs = self._state_specs()
         sharded = shard_map(body, mesh=self.mesh,
                             in_specs=(P(), P(), P(), P(), st_specs, P()),

@@ -396,3 +396,74 @@ def test_sharded_ssgi_matches_single_device():
     for i in range(2):
         ldr, _ = r.render(gpu, cam.view_constants(i), settings)
     assert np.isfinite(np.asarray(ldr)).all()
+
+
+def test_sharded_specular_matches_single_device():
+    """Traced specular indirect under shard_map (GGX-VNDF rays + RELAX at the
+    half-res band; RNG on global pixel ids) == single-chip. With it, the FULL
+    benched flagship config (DI + GI + specular + transparent) is multi-chip."""
+    from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import ibl as iblops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    from hobbyrenderer_tpu.ops import specular as specops
+    from hobbyrenderer_tpu.ops.specular import spec_state_init
+    from hobbyrenderer_tpu.parallel.frame import _sun_dir
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    W, H = 64, 64
+    n_dev = 2
+    sc = make_default_cube_scene()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    def opaque(gpu, vc):
+        cu = cullops.cull_pairs(gpu, vc,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+        return rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+
+    gb = jax.jit(opaque)(gpu, vc)
+    sun = _sun_dir(gpu, settings)
+    irr = iblops.build_sky_irradiance(sun, settings)
+    st0 = spec_state_init(H, W)
+
+    kw = dict(sun_dir=sun, skip_pool_emissive=True, sky_sh=irr, ibl_scale=1.0)
+    ref = jax.jit(lambda: specops.specular_indirect(
+        gpu, rt, gb, vc, settings, st0, jnp.int32(2), **kw))()
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+    sp = lambda t: jax.tree_util.tree_map(lambda _: P("tiles"), t)
+
+    def body(gb_b, st_b):
+        shard = shu.make_row_shard("tiles", n_dev, shard_h)
+        return specops.specular_indirect(gpu, rt, gb_b, vc, settings, st_b,
+                                         jnp.int32(2), shard=shard, **kw)
+
+    got = jax.jit(shard_map(body, mesh=mesh, in_specs=(sp(gb), sp(st0)),
+                            out_specs=(P("tiles"), P("tiles"), sp(st0)),
+                            check_vma=False))(gb, st0)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # end-to-end: flagship with rt (DI visibility + GI + specular) on the mesh
+    from hobbyrenderer_tpu.parallel import FlagshipShardedRenderer
+    r = FlagshipShardedRenderer(gpu, W, H, rt=rt, mesh=mesh)
+    assert r.with_spec
+    for i in range(2):
+        ldr, _ = r.render(gpu, cam.view_constants(i), settings)
+    assert np.isfinite(np.asarray(ldr)).all()

@@ -109,3 +109,38 @@ def test_sharc_multibounce_feedback_accumulates():
     assert e_late > e_first * 1.02, \
         f"multi-bounce never accumulated: {e_first:.3f} -> {e_late:.3f}"
     assert np.isfinite(e_late) and e_late < e_first * 50, "feedback must not blow up"
+
+
+def test_combined_mode_renders_and_carries_bounce_light():
+    """Combined ReSTIR-DI + SHARC indirect (ref bCombinedMode,
+    RTXDIRenderer.cpp:2185-2208): e2e frames are finite, and an emissive
+    panel's bounce light reaches a neighboring wall through the traced
+    half-res query (exact first-bounce visibility)."""
+    import numpy as np
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+
+    W, H = 96, 64
+    cfg = Config(scene="stress:4", width=W, height=H,
+                 mode=RenderingMode.NORMAL, cache_dir=".hr_cache_test",
+                 direct_mode="restir", indirect_mode="combined")
+    r = Renderer(cfg)
+    r.camera.jitter_enabled = False
+    for _ in range(12):    # cache warm-up + temporal accumulation
+        ldr = r.render_frame(dt=0.0)
+    img = np.asarray(ldr).astype(np.float32)
+    assert np.isfinite(img).all()
+    assert (img.sum(-1) > 0).mean() > 0.5
+    r.shutdown()
+
+    # indirect-off baseline: combined mode must ADD energy (bounce light)
+    cfg0 = Config(scene="stress:4", width=W, height=H,
+                  mode=RenderingMode.NORMAL, cache_dir=".hr_cache_test",
+                  direct_mode="restir", indirect_mode="none")
+    r0 = Renderer(cfg0)
+    r0.camera.jitter_enabled = False
+    for _ in range(12):
+        ldr0 = r0.render_frame(dt=0.0)
+    img0 = np.asarray(ldr0).astype(np.float32)
+    r0.shutdown()
+    assert img.mean() > img0.mean(), (img.mean(), img0.mean())
