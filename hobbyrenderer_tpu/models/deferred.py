@@ -495,7 +495,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
             o = offset_ray_origin(pos, gn, d) + gn * ctx.settings.shadow_bias
             from hobbyrenderer_tpu.ops import trace as traceops
-            hit = traceops.closest_hit_auto(ctx.rt, o, d, active=val)
+            hit = traceops.closest_hit_auto(ctx.rt, o, d, active=val,
+                                            max_steps=512)
             # outgoing radiance at the bounce hit: emissive + ONE power-CDF
             # NEE light sample WITH a shadow ray (ref SHARCUpdate.hlsl's real
             # NEE; the former unshadowed sun-only sample converged the cache
@@ -569,7 +570,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         u2 = uniform_from_bits(bits[..., 1])
         d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
         o = offset_ray_origin(pos, gn, d) + gn * ctx.settings.shadow_bias
-        hit = traceops.closest_hit_auto(ctx.rt, o, d, active=val)
+        hit = traceops.closest_hit_auto(ctx.rt, o, d, active=val,
+                                            max_steps=512)
         hpos, hn, h_rad = _hit_radiance(
             ctx.gpu, ctx.rt, ctx.rt.lights, hit, o, d,
             pix + jnp.uint32(0xC0B1), frame,
@@ -580,16 +582,23 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         fb, fb_ok = sharcops.sharc_query(res["sharc_cache"], hpos, hn,
                                          ctx.vc["camera_pos"])
         rad = h_rad + jnp.where((fb_ok & (hit.tri >= 0))[..., None], fb, 0.0)
-        # cosine-sampled single bounce: indirect ~= albedo * E[L]
-        ind = jnp.where((val & (hit.tri >= 0))[..., None], alb * rad, 0.0)
-        ind = ind.reshape(sh, sw, 3)
+        # cosine-sampled single bounce, DEMODULATED: the grid carries
+        # irradiance/pi (rad; cos/pi pdf cancels) so full-res albedo detail
+        # is re-applied after the filter/upsample instead of being blurred
+        # (the NRD demodulation convention)
+        irr = jnp.where((val & (hit.tri >= 0))[..., None], rad, 0.0)
+        irr = irr.reshape(sh, sw, 3)
         sgb = _SubGB(motion=sub(gb.motion) / float(s_), depth=sub(gb.depth),
                      normal=sub(gb.normal), valid=sub(gb.valid))
-        color, var, st = dnops.temporal_accumulate(ind, sgb,
+        color, var, st = dnops.temporal_accumulate(irr, sgb,
                                                    res["sharc_q_state"])
         color = dnops.atrous_filter(color, var, sgb, iterations=2)
-        res["sharc_indirect"] = jax.image.resize(color, (height, width, 3),
-                                                 "bilinear")
+        from hobbyrenderer_tpu.ops.upsample import joint_bilateral_upsample
+        full_irr = joint_bilateral_upsample(
+            color, sgb.depth, sgb.normal, sgb.valid,
+            gb.depth, gb.normal, s_)
+        res["sharc_indirect"] = jnp.where(gb.valid[..., None],
+                                          gb.albedo * full_irr, 0.0)
         res["sharc_q_state"] = st
 
     if not use_sharc_traced:
@@ -621,10 +630,15 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             prev_vol)
         s = 4
         sh, sw = height // s, width // s
-        pos = gb.world_pos[::s, ::s][:sh, :sw].reshape(-1, 3)
-        nrm = gb.normal[::s, ::s][:sh, :sw].reshape(-1, 3)
+        sub = lambda img: img[::s, ::s][:sh, :sw]
+        pos = sub(gb.world_pos).reshape(-1, 3)
+        nrm = sub(gb.normal).reshape(-1, 3)
         E = ddgiops.ddgi_query(vol, pos, nrm).reshape(sh, sw, 3)
-        E = jax.image.resize(E, (height, width, 3), "bilinear")
+        # depth/normal-guided upsample (the quarter-res irradiance grid
+        # bleeds across geometry edges under a plain bilinear resize)
+        from hobbyrenderer_tpu.ops.upsample import joint_bilateral_upsample
+        E = joint_bilateral_upsample(E, sub(gb.depth), sub(gb.normal),
+                                     sub(gb.valid), gb.depth, gb.normal, s)
         ind = (gb.albedo / jnp.pi) * E
         res["ddgi_indirect"] = jnp.where(gb.valid[..., None], ind, 0.0)
         res["ddgi_volume"] = vol
@@ -654,8 +668,10 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         raw = ssgiops.ssgi_half_res(gb, ctx.vc, prev_hdr,
                                     res["sky_irradiance"], ctx.settings,
                                     ctx.vc["frame_index"])
-        color, var, st = dnops.temporal_accumulate(raw, gb, res["ssgi_state"])
-        res["ssgi_indirect"] = dnops.atrous_filter(color, var, gb, iterations=2)
+        # full denoise chain (demodulated internally): the A-trous smooths
+        # irradiance, not albedo detail
+        out, st = dnops.denoise(raw, gb, res["ssgi_state"])
+        res["ssgi_indirect"] = out
         res["ssgi_state"] = st
 
     if not use_ssgi:

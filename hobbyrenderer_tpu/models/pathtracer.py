@@ -60,6 +60,9 @@ class SceneRT(NamedTuple):
     inst_inv0: jnp.ndarray     # (N, 4, 4) f32 inverse load-time world matrix
     lights: object = None      # ops.lights.LightPool (analytic + emissive tris)
     btable: jnp.ndarray = None  # (I+L, 128) beam-traversal table (ops.beam)
+    bvh16: object = None       # ops.bvh16.BVH16 — the incoherent-ray fast
+    #                            path (6-14 fat-row gathers per ray vs the
+    #                            4-ary walk's ~40-100 narrow ones)
     em_index: jnp.ndarray = None  # (T,) i32 original tri -> light-pool emissive
     #                               entry (-1 = not NEE-sampled); the inverse
     #                               of lights.em_orig, for hit-emission MIS
@@ -146,10 +149,12 @@ def build_scene_rt(scene, gpu) -> SceneRT:
     orig = np.asarray(pool.em_orig)
     live = orig >= 0
     em_index[orig[live]] = np.nonzero(live)[0].astype(np.int32)
+    from hobbyrenderer_tpu.ops import bvh16 as b16ops
     return rt._replace(lights=pool,
                        em_index=jnp.asarray(em_index),
                        btable=jnp.asarray(beamops.beam_table(
-                           np.asarray(bvh.table))))
+                           np.asarray(bvh.table))),
+                       bvh16=b16ops.build_bvh16(split_verts))
 
 
 @jax.jit
@@ -168,6 +173,9 @@ def refit_scene_rt(rt: SceneRT, inst_transform) -> SceneRT:
     if rt.btable is not None:
         from hobbyrenderer_tpu.ops import beam as beamops
         rt = rt._replace(btable=beamops.beam_table(rt.bvh.table))
+    if rt.bvh16 is not None:
+        from hobbyrenderer_tpu.ops import bvh16 as b16ops
+        rt = rt._replace(bvh16=b16ops.refit_bvh16(rt.bvh16, v))
     if rt.lights is not None:
         from hobbyrenderer_tpu.ops import lights as lightops
         M_tri = M[rt.tri_inst[jnp.maximum(rt.lights.em_orig, 0)]]

@@ -367,6 +367,32 @@ def unpack_tiles(img_t, H: int, W: int):
     return out.reshape(ty * TILE, tx * TILE)[:H, :W]
 
 
+def tile_majority_mask(key, H: int, W: int, probes: int = 8):
+    """(H, W) i32 keys -> bool (H, W): lanes matching their 32x32 tile's
+    approximate modal key (mode estimated by counting matches of `probes`
+    evenly-spaced candidate lanes — exact when the tile holds <= `probes`
+    distinct majority runs, which post-ReSTIR-spatial-reuse winner ids do).
+
+    The beam kernel's cost is driven by each tile's direction CONE: one
+    mixed-winner lane widens the cone to the whole light pool and the BFS
+    frontier degenerates to a near-full tree sweep (measured 1.46 s for the
+    1080p winner-visibility pass vs ~0.1 s coherent). Splitting the modal
+    majority (beam) from stragglers (wavefront walk on the compacted few)
+    restores the tile coherence the kernel was built for."""
+    ty = -(-H // TILE)
+    tx = -(-W // TILE)
+    Hp, Wp = ty * TILE, tx * TILE
+    kp = jnp.pad(key, ((0, Hp - H), (0, Wp - W)),
+                 constant_values=-(2 ** 30))
+    t = kp.reshape(ty, TILE, tx, TILE).transpose(0, 2, 1, 3) \
+        .reshape(ty * tx, PIX)
+    step = PIX // probes
+    cand = t[:, ::step][:, :probes]                       # (T, P)
+    cnt = jnp.sum(t[:, None, :] == cand[:, :, None], -1)  # (T, P)
+    rep = jnp.take_along_axis(cand, jnp.argmax(cnt, -1)[:, None], 1)
+    return unpack_tiles((t == rep).astype(jnp.float32), H, W) > 0.5
+
+
 def beam_any_hit(btable, o, d, t_max, active, H: int, W: int,
                  interpret: bool = False, return_overflow: bool = False):
     """Convenience: (H, W) image-space any-hit occlusion via tile beams.

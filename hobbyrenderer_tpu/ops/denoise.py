@@ -173,15 +173,39 @@ def atrous_filter(color, var, gb, iterations: int = 3,
     return color
 
 
+def demodulation_factor(gb):
+    """Texture-frequency reflectance estimate divided out of the lit signal
+    before denoising and re-applied after filtering — the NRD demodulation
+    convention (ref NrdIntegration: RTXDI feeds NRD demodulated
+    diffuse/specular radiance). The filter then smooths a near-irradiance
+    signal; albedo detail (which the A-trous cannot edge-stop on) passes
+    through the remodulation untouched instead of being blurred."""
+    from hobbyrenderer_tpu.ops.shading import brdf_params
+    diff, f0, _ = brdf_params(gb.albedo, gb.orm[..., 2], gb.orm[..., 1])
+    # floor keeps near-black surfaces from amplifying noise to infinity
+    return jnp.maximum(diff + f0, 0.03)
+
+
 def denoise(signal, gb, state: DenoiseState, shard=None,
-            profile: str = "relax"):
+            profile: str = "relax", demodulate: bool = True):
     """Full denoise chain. Returns (denoised, new_state).
 
     profile 'relax': fixed-footprint variance-guided A-trous (ref RELAX).
     profile 'reblur': accumulation-driven shrinking kernel (ref REBLUR): the
     spatial radius collapses as per-pixel history lengthens, converging to
     the temporally-accumulated signal on static scenes instead of keeping a
-    residual spatial blur."""
+    residual spatial blur.
+
+    demodulate: divide by the per-pixel reflectance before the chain and
+    remodulate after (skipped automatically for G-buffers without material
+    channels, e.g. estimator tests). The history state then holds the
+    demodulated signal; reprojection under motion remodulates with the
+    CURRENT pixel's albedo — exactly NRD's responsiveness contract."""
+    mod = None
+    if demodulate and getattr(gb, "albedo", None) is not None \
+            and getattr(gb, "orm", None) is not None:
+        mod = demodulation_factor(gb)
+        signal = signal / mod
     color, var, new_state = temporal_accumulate(signal, gb, state, shard=shard)
     radius = None
     if profile == "reblur":
@@ -190,4 +214,6 @@ def denoise(signal, gb, state: DenoiseState, shard=None,
         # accumulation converges; the floor keeps a minimal firefly filter
         radius = jnp.maximum(8.0 / (1.0 + 0.5 * hist), 0.7)
     out = atrous_filter(color, var, gb, shard=shard, radius_px=radius)
+    if mod is not None:
+        out = out * mod
     return out, new_state

@@ -474,18 +474,48 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         tmax = jnp.where(shoot, tmax_t, 1e-4)
         if getattr(rt, "btable", None) is not None \
                 and jax.default_backend() == "tpu":
-            # winner rays are sun/dominant-light coherent after RIS: the
-            # tile-beam kernel (ops/beam.py) amortizes the BVH walk per tile
+            # winner rays are only PER-TILE coherent where the tile agrees on
+            # one winner; a handful of off-winner lanes widen the beam cone to
+            # the whole light pool and the kernel degenerates (measured 1.46 s
+            # of the 1.55 s RTXDI pass at 1080p). Split: the tile-modal
+            # majority rides the beam kernel (tight cone), the stragglers
+            # compact into a small wavefront for the 16-ary walk.
             from hobbyrenderer_tpu.ops import beam as beamops
-            occ, n_ovf = beamops.beam_any_hit(
+            key = jnp.where(shoot, y, -1).reshape(H, W)
+            match = beamops.tile_majority_mask(key, H, W) \
+                & shoot.reshape(H, W)
+            occ_b, n_ovf = beamops.beam_any_hit(
                 rt.btable, o.reshape(H, W, 3), L_vis.reshape(H, W, 3),
-                tmax.reshape(H, W), shoot.reshape(H, W), H, W,
+                tmax.reshape(H, W), match, H, W,
                 return_overflow=True)
-            occ = occ.reshape(R)
+            minority = shoot & ~match.reshape(R)
+            CAP = max(R // 8, 1024)
+            rank = jnp.cumsum(minority.astype(jnp.int32)) - 1
+            slot = jnp.where(minority & (rank < CAP), rank, CAP)
+            sel = jnp.full((CAP + 1,), R, jnp.int32) \
+                .at[slot].set(jnp.arange(R, dtype=jnp.int32),
+                              mode="drop")[:CAP]
+            pad = sel >= R
+            o_c = jnp.where(pad[:, None], 0.0, o[jnp.minimum(sel, R - 1)])
+            d_c = jnp.where(pad[:, None], 0.0,
+                            L_vis[jnp.minimum(sel, R - 1)])
+            tm_c = jnp.where(pad, 0.0, tmax[jnp.minimum(sel, R - 1)])
+            if getattr(rt, "bvh16", None) is not None:
+                from hobbyrenderer_tpu.ops import bvh16 as b16ops
+                occ_c = b16ops.bvh16_any_hit(rt.bvh16, o_c, d_c, t_max=tm_c,
+                                             max_steps=64)
+            else:
+                occ_c = bvhops.bvh_any_hit(rt.bvh, o_c, d_c, t_max=tm_c,
+                                           max_steps=256)
+            occ_m = jnp.zeros(R, bool).at[sel].set(occ_c & ~pad,
+                                                   mode="drop")
+            occ = jnp.where(match.reshape(R), occ_b.reshape(R), occ_m)
             if stats_out is not None:
-                # a frontier-overflowed tile under-reports occlusion
-                # (ops/beam.py contract); surfaced in Renderer.stats()
-                stats_out["overflow"] = n_ovf
+                # under-reported occlusion events: frontier-overflowed beam
+                # tiles + straggler lanes past the wavefront capacity (both
+                # render unoccluded); surfaced in Renderer.stats()
+                n_min = jnp.sum(minority.astype(jnp.int32))
+                stats_out["overflow"] = n_ovf + jnp.maximum(n_min - CAP, 0)
         else:
             occ = bvhops.bvh_any_hit(rt.bvh, o, L_vis, t_max=tmax)
         contrib = jnp.where(occ[..., None], 0.0, contrib)

@@ -111,7 +111,7 @@ def _hit_radiance(gpu, rt, pool, hit, o, d, pix, frame,
     from hobbyrenderer_tpu.ops import trace as traceops
     occ = traceops.any_hit_auto(rt, so, L_v,
                                 t_max=jnp.where(shoot, tmax_t, 1e-4),
-                                active=shoot)
+                                active=shoot, max_steps=256)
     direct = jnp.where((occ | ~shoot)[..., None], 0.0, direct)
     # emissive triangles that live in the DI light pool are ALREADY sampled
     # by ReSTIR DI at the receiver — counting their Le here too double-lights
@@ -191,7 +191,6 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     n = sub(gb.normal).reshape(R, 3)
     gn = sub(gb.geo_normal).reshape(R, 3)
     valid = sub(gb.valid).reshape(R)
-    albedo = sub(gb.albedo).reshape(R, 3)
 
     # ---- initial sample: one cosine bounce ray ----
     u1, u2, u3 = _rand(pix, frame, 500)
@@ -371,14 +370,21 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     Wgt = jnp.where(occ, 0.0, Wgt)
 
     cos_r = jnp.maximum(jnp.sum(L * n, -1), 0.0)
-    indirect = (albedo / jnp.pi) * y_rad * (cos_r * Wgt)[..., None]
-    indirect = jnp.where(valid[..., None], indirect, 0.0)
+    # demodulated resolve: the grid carries IRRADIANCE/pi (no albedo) so the
+    # full-res modulation below restores texture detail the low-res grid
+    # cannot represent (the NRD demodulation convention)
+    irr = y_rad * (cos_r * Wgt / jnp.pi)[..., None]
+    irr = jnp.where(valid[..., None], irr, 0.0)
 
     new_res = GIReservoir(pos=y_pos.reshape(Hg, Wg, 3),
                           nrm=y_nrm.reshape(Hg, Wg, 3),
                           rad=y_rad.reshape(Hg, Wg, 3),
                           w_sum=w_sum.reshape(Hg, Wg),
                           M=M.reshape(Hg, Wg), W=Wgt.reshape(Hg, Wg))
-    full = jax.image.resize(indirect.reshape(Hg, Wg, 3), (H, W, 3), "bilinear")
+    from hobbyrenderer_tpu.ops.upsample import joint_bilateral_upsample
+    full_irr = joint_bilateral_upsample(
+        irr.reshape(Hg, Wg, 3), d2v, n.reshape(Hg, Wg, 3),
+        valid.reshape(Hg, Wg), gb.depth, gb.normal, scale, shard=shard)
+    full = gb.albedo * full_irr
     full = jnp.where(gb.valid[..., None], full, 0.0)
     return full, new_res

@@ -130,8 +130,32 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
               & (jnp.sum(gn * d, -1) > 0.0) & (ndl > 0.0))
     o = offset_ray_origin(pos, gn, d)
 
+    # ---- compact the active lanes before tracing ----------------------------
+    # Only ~10-30% of pixels are glossy (measured 0.20 on the stress scene),
+    # but a masked lockstep trace pays EVERY phase for every lane, and the
+    # hit shading below (attr fetch, NEE + shadow ray, SHARC probe) costs
+    # R-row gathers regardless of the mask. Compacting actives into a
+    # quarter-capacity wavefront cuts the whole secondary-surface chain ~4x
+    # (measured 1.55 s -> see README journal). Lanes past CAP (glossier
+    # scenes) fall back to the unoccluded environment sample — exactly the
+    # split-sum term this pass replaces — instead of going black.
+    CAP = max(R // 4, 1024)
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    slot = jnp.where(active & (rank < CAP), rank, CAP)
+    sel = jnp.full((CAP + 1,), R, jnp.int32) \
+        .at[slot].set(jnp.arange(R, dtype=jnp.int32))[:CAP]
+    pad = sel >= R
+    sel_c = jnp.minimum(sel, R - 1)
+    take = lambda a: jnp.where(pad.reshape((-1,) + (1,) * (a.ndim - 1)),
+                               0, a[sel_c])
+    o_c, d_c, pix_c = take(o), take(d), take(pix)
+    delta_c = take(delta)
+
     from hobbyrenderer_tpu.ops import trace as traceops
-    hit = traceops.closest_hit_auto(rt, o, d, active=active)
+    # capped step budget: glossy reflection rays converge in far fewer steps
+    # than the worst-case PT budget; one straggler must not spin the phase
+    # tail of the wavefront
+    hit = traceops.closest_hit_auto(rt, o_c, d_c, active=~pad, max_steps=512)
 
     # ---- shade the secondary surface (ref ShadeSecondarySurfaces) ----------
     # emissive + one power-CDF NEE sample with a shadow ray, shared with the
@@ -140,11 +164,11 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
     # ReSTIR DI's specular lobe at the receiver — skip it there; MIRROR
     # (delta) lanes keep it: DI cannot represent a delta lobe, and lamps must
     # be visible in mirrors (ref includeEmissiveComponent)
-    skip_mask = (~delta if skip_pool_emissive else
-                 jnp.zeros_like(delta))
+    skip_mask = (~delta_c if skip_pool_emissive else
+                 jnp.zeros_like(delta_c))
     from hobbyrenderer_tpu.ops.restir_gi import _hit_radiance
-    hpos, hnrm, hrad = _hit_radiance(gpu, rt, rt.lights, hit, o, d,
-                                     pix + jnp.uint32(0x53EC), frame,
+    hpos, hnrm, hrad = _hit_radiance(gpu, rt, rt.lights, hit, o_c, d_c,
+                                     pix_c + jnp.uint32(0x53EC), frame,
                                      skip_pool_emissive=skip_mask,
                                      sky_sh=sky_sh, ibl_scale=ibl_scale)
     if sharc_cache is not None:
@@ -163,13 +187,25 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
         from hobbyrenderer_tpu.ops import sky as skyops
         env_r = skyops.sky_radiance_fast(d, sun_dir, settings,
                                          with_sun_disk=True)
-    radiance = jnp.where((hit.tri >= 0)[..., None], hrad, env_r)
+    hit_rad_c = jnp.where((hit.tri >= 0)[..., None], hrad, 0.0)
+    hit_ok_c = hit.tri >= 0
+    # scatter the compacted hit results back to the full spec grid; lanes
+    # that never traced (inactive or past CAP) read the env term below
+    hit_rad = jnp.zeros((R, 3), jnp.float32) \
+        .at[sel].set(jnp.where(pad[:, None], 0.0, hit_rad_c), mode="drop")
+    hit_ok = jnp.zeros((R,), bool).at[sel].set(hit_ok_c & ~pad, mode="drop")
+    radiance = jnp.where(hit_ok[..., None], hit_rad, env_r)
     # firefly clamp before weighting (ref c_MaxIndirectRadiance)
     lum = hm.luminance(radiance, xp=jnp)
     radiance = radiance * (jnp.minimum(lum, MAX_RADIANCE)
                            / jnp.maximum(lum, 1e-6))[..., None]
     spec = jnp.where(active[..., None], weight * radiance, 0.0)
-    spec = spec.reshape(Hs, Ws, 3)
+    # demodulate by F0 before the filter chain (the NRD specular
+    # demodulation): for metals F0 carries the albedo texture — filtering
+    # the demodulated signal keeps that detail at FULL res via the
+    # remodulation below; the 0.02 floor bounds the dielectric ratio
+    mod_s = f0 + 0.02
+    spec = (spec / mod_s).reshape(Hs, Ws, 3)
 
     # ---- denoise at the spec grid (RELAX temporal + short A-trous) ---------
     sgb = _SubGB(motion=sub(gb.motion) / float(scale), depth=sub(gb.depth),
@@ -183,7 +219,11 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
     color = atrous_filter(color, var, sgb, iterations=2, shard=gshard,
                           radius_px=jnp.maximum(r_px, 0.5))
 
-    full = jax.image.resize(color, (H, W, 3), "bilinear")
+    from hobbyrenderer_tpu.ops.upsample import joint_bilateral_upsample
+    full = joint_bilateral_upsample(color, sgb.depth, sgb.normal, sgb.valid,
+                                    gb.depth, gb.normal, scale, shard=shard)
+    _, f0_full, _ = brdf_params(gb.albedo, gb.orm[..., 2], gb.orm[..., 1])
+    full = full * (f0_full + 0.02)
     w_blend = spec_blend_weight(gb.orm[..., 1], rough_max) \
         * gb.valid.astype(jnp.float32)
     return full * w_blend[..., None], w_blend, new_state

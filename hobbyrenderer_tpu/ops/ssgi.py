@@ -46,7 +46,6 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2,
     sh, sw = hb // scale, W // scale
     pos = gb.world_pos[::scale, ::scale][:sh, :sw].reshape(-1, 3)
     nrm = gb.normal[::scale, ::scale][:sh, :sw].reshape(-1, 3)
-    alb = gb.albedo[::scale, ::scale][:sh, :sw].reshape(-1, 3)
     valid = gb.valid[::scale, ::scale][:sh, :sw].reshape(-1)
     R = pos.shape[0]
     frame = jnp.asarray(frame_index).astype(jnp.uint32)
@@ -99,8 +98,16 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2,
     # miss -> no contribution: sky visibility is already covered by the IBL
     # ambient term (adding sky here would double-count it)
     radiance = jnp.where(found[..., None], hit_col, 0.0)
-    # cosine-sampled single bounce: indirect ~= albedo * E[L] (pdf cancels cos/pi)
-    ind = jnp.where(valid[..., None], alb * radiance, 0.0).reshape(sh, sw, 3)
+    # cosine-sampled single bounce, DEMODULATED: the half-res grid carries
+    # irradiance/pi (pdf cancels cos/pi); the geometry-guided upsample then
+    # re-applies FULL-res albedo so texture detail never passes through the
+    # low-res grid (NRD demodulation convention)
+    irr = jnp.where(valid[..., None], radiance, 0.0).reshape(sh, sw, 3)
     if scale > 1:
-        ind = jax.image.resize(ind, (hb, W, 3), method="bilinear")
+        from hobbyrenderer_tpu.ops.upsample import joint_bilateral_upsample
+        sub = lambda img: img[::scale, ::scale][:sh, :sw]
+        irr = joint_bilateral_upsample(
+            irr, sub(gb.depth), sub(gb.normal), sub(gb.valid),
+            gb.depth, gb.normal, scale, shard=shard)
+    ind = jnp.where(gb.valid[..., None], gb.albedo * irr, 0.0)
     return ind

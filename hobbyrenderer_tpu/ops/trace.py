@@ -419,31 +419,62 @@ def trace_closest(btable, root_box, o, d, t_min: float = 1e-4, t_max=None,
 
 def closest_hit_auto(rt, o, d, t_min: float = 1e-4, t_max=None,
                      max_steps=None, active=None, force_kernel: bool = False):
-    """Backend dispatch: sorted-block kernel on TPU (or force_kernel for
-    interpret-mode tests), ops.bvh wavefront otherwise. Drop-in HitRecord."""
+    """Backend dispatch for incoherent closest-hit rays. Drop-in HitRecord.
+
+    TPU: the 16-ary fat-row walk (ops/bvh16) — measured the fastest incoherent
+    path by a wide margin (gathers are row-rate-bound; bvh16 needs 6-14 rows
+    per ray vs the 4-ary walk's ~40-100 and the sorted-block beam kernel
+    cannot cull wide direction cones). force_kernel keeps the sorted-block
+    Pallas path testable in interpret mode. CPU: the 4-ary wavefront."""
     from hobbyrenderer_tpu.ops import bvh as bvhops
-    use_kernel = getattr(rt, "btable", None) is not None and (
-        jax.default_backend() == "tpu" or force_kernel)
-    if use_kernel:
+    if force_kernel and getattr(rt, "btable", None) is not None:
         return trace_closest(
             rt.btable, rt.bvh.root_box, o, d, t_min=t_min, t_max=t_max,
-            active=active,
-            interpret=force_kernel and jax.default_backend() != "tpu")
+            active=active, interpret=jax.default_backend() != "tpu")
+    if getattr(rt, "bvh16", None) is not None \
+            and jax.default_backend() == "tpu":
+        from hobbyrenderer_tpu.ops import bvh16 as b16ops
+        if active is not None:
+            # inactive lanes get t_max 0: the root box test fails and they
+            # drain in one lockstep step (they report miss, as before)
+            R = o.shape[0]
+            tm = jnp.full((R,), TMAX_CAP) if t_max is None else \
+                jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+            t_max = jnp.where(active, tm, 0.0)
+        # the 16-ary tree drains ~4x faster per lockstep step
+        ms16 = max(24, max_steps // 4) if max_steps is not None else None
+        return b16ops.bvh16_closest_hit(rt.bvh16, o, d, t_min=t_min,
+                                        t_max=t_max, max_steps=ms16)
     return bvhops.bvh_closest_hit(rt.bvh, o, d, t_min=t_min, t_max=t_max,
                                   max_steps=max_steps)
 
 
 def any_hit_auto(rt, o, d, t_max=None, active=None,
-                 force_kernel: bool = False):
-    """Backend dispatch for incoherent shadow rays (occluded (R,) bool)."""
+                 force_kernel: bool = False, max_steps=None):
+    """Backend dispatch for incoherent shadow rays (occluded (R,) bool).
+
+    max_steps: 4-ary-walk step budget (the bvh16 path drains ~4x faster per
+    lockstep step and converts accordingly). Callers on the real-time paths
+    cap it so one straggler lane cannot spin the phase tail; uncapped
+    traversal remains the default for the reference-quality PT path."""
     from hobbyrenderer_tpu.ops import bvh as bvhops
-    use_kernel = getattr(rt, "btable", None) is not None and (
-        jax.default_backend() == "tpu" or force_kernel)
-    if use_kernel:
+    if force_kernel and getattr(rt, "btable", None) is not None:
         return trace_any_hit(
             rt.btable, rt.bvh.root_box, o, d, t_max=t_max, active=active,
-            interpret=force_kernel and jax.default_backend() != "tpu")
-    return bvhops.bvh_any_hit(rt.bvh, o, d, t_max=t_max)
+            interpret=jax.default_backend() != "tpu")
+    if getattr(rt, "bvh16", None) is not None \
+            and jax.default_backend() == "tpu":
+        from hobbyrenderer_tpu.ops import bvh16 as b16ops
+        if active is not None:
+            R = o.shape[0]
+            tm = jnp.full((R,), TMAX_CAP) if t_max is None else \
+                jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+            t_max = jnp.where(active, tm, 0.0)
+        ms16 = max(24, max_steps // 4) if max_steps is not None else None
+        return b16ops.bvh16_any_hit(rt.bvh16, o, d, t_max=t_max,
+                                    max_steps=ms16)
+    return bvhops.bvh_any_hit(rt.bvh, o, d, t_max=t_max,
+                              max_steps=max_steps)
 
 
 def trace_any_hit(btable, root_box, o, d, t_max=None, active=None,

@@ -51,6 +51,96 @@ GI_TRACE_STEPS = 512
 from hobbyrenderer_tpu.parallel.frame import _sun_dir
 
 
+def _sharc_indirect_band(gpu, rt, gb, vc, settings, cache, q_state, irr,
+                         shard, width, shard_h):
+    """Combined SHARC indirect for one row band (mirrors models/deferred.py's
+    _sharc + _sharc_query_traced passes; ref src/RTXDIRenderer.cpp:2185-2208).
+
+    Returns (indirect (shard_h, W, 3), new replicated cache, new band q_state).
+
+    RNG is keyed on GLOBAL grid pixel ids and the update-sample set is
+    all_gather'd into single-chip row-major order before the deterministic
+    sort+segment insert, so the replicated cache — and therefore the frame —
+    is bit-identical to the single-chip combined mode. shard=None runs the
+    same math on the full frame (the sharded==single test reference)."""
+    from hobbyrenderer_tpu.ops import sharc as sharcops
+    from hobbyrenderer_tpu.ops import trace as traceops
+    from hobbyrenderer_tpu.ops.intersect import offset_ray_origin
+    from hobbyrenderer_tpu.ops.restir_gi import _hit_radiance
+    from hobbyrenderer_tpu.ops.specular import _SubGB
+    from hobbyrenderer_tpu.ops.upsample import joint_bilateral_upsample
+    from hobbyrenderer_tpu.ops import sampling as smp
+    from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
+
+    cam = vc["camera_pos"]
+    frame = vc["frame_index"].astype(jnp.uint32)
+    ibl_scale = settings.ibl_intensity * settings.ambient_scale
+    y0 = shu.global_y0(shard)
+
+    def band_rays(s, seed, skip_pool_emissive, feedback):
+        """Cosine bounce rays on the band's 1/s grid with GLOBAL RNG ids."""
+        sh, sw = shard_h // s, width // s
+        sub = lambda img: img[::s, ::s][:sh, :sw]
+        pos = sub(gb.world_pos).reshape(-1, 3)
+        nrm = sub(gb.normal).reshape(-1, 3)
+        gn = sub(gb.geo_normal).reshape(-1, 3)
+        alb = sub(gb.albedo).reshape(-1, 3)
+        val = sub(gb.valid).reshape(-1)
+        R = pos.shape[0]
+        ly = jnp.arange(R, dtype=jnp.int32) // sw
+        lx = jnp.arange(R, dtype=jnp.int32) % sw
+        pix = ((ly + y0 // s) * sw + lx).astype(jnp.uint32)
+        bits = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
+                                jnp.full_like(pix, seed)], -1))
+        u1 = uniform_from_bits(bits[..., 0])
+        u2 = uniform_from_bits(bits[..., 1])
+        d = smp.to_world(nrm, smp.cosine_sample_hemisphere(u1, u2))
+        o = offset_ray_origin(pos, gn, d) + gn * settings.shadow_bias
+        hit = traceops.closest_hit_auto(rt, o, d, active=val, max_steps=512)
+        hpos, hn, h_rad = _hit_radiance(
+            gpu, rt, rt.lights, hit, o, d, pix + jnp.uint32(feedback), frame,
+            skip_pool_emissive=skip_pool_emissive, sky_sh=irr,
+            ibl_scale=ibl_scale)
+        return (sh, sw, pos, nrm, alb, val, hit, hpos, hn, h_rad)
+
+    # ---- quarter-res update samples (seeds match models/deferred._sharc) ---
+    (shq, swq, pos4, nrm4, alb4, val4, hit4, hp4, hn4, hr4) = band_rays(
+        4, 55, False, 0x5A4C)
+    fb, fb_hit = sharcops.sharc_query(cache, hp4, hn4, cam)
+    L_hit = hr4 + jnp.where(fb_hit[..., None], fb, 0.0)
+    sample = jnp.where((hit4.tri < 0)[..., None], 0.0, alb4 * L_hit)
+    pack = jnp.concatenate([pos4, nrm4, sample,
+                            val4.astype(jnp.float32)[..., None]],
+                           -1).reshape(shq, swq, 10)
+    if shard is not None:
+        pack = jax.lax.all_gather(pack, TILE_AXIS, axis=0, tiled=True)
+    pf = pack.reshape(-1, 10)
+    cache = sharcops.sharc_update(cache, pf[:, 0:3], pf[:, 3:6], pf[:, 6:9],
+                                  pf[:, 9] > 0.5, cam)
+    cache = sharcops.sharc_resolve(cache)
+
+    # ---- half-res traced query (seeds match _sharc_query_traced) -----------
+    (sh2, sw2, _, _, _, val2, hit2, hp2, hn2, hr2) = band_rays(
+        2, 77, True, 0xC0B1)
+    fb2, fb2_ok = sharcops.sharc_query(cache, hp2, hn2, cam)
+    rad = hr2 + jnp.where((fb2_ok & (hit2.tri >= 0))[..., None], fb2, 0.0)
+    irr_s = jnp.where((val2 & (hit2.tri >= 0))[..., None], rad, 0.0)
+    irr_s = irr_s.reshape(sh2, sw2, 3)
+    qshard = None if shard is None else shard._replace(
+        y0=shard.y0 // 2, shard_h=sh2, full_h=shard.full_h // 2)
+    sub2 = lambda img: img[::2, ::2][:sh2, :sw2]
+    sgb = _SubGB(motion=sub2(gb.motion) / 2.0, depth=sub2(gb.depth),
+                 normal=sub2(gb.normal), valid=sub2(gb.valid))
+    color, var, st = dnops.temporal_accumulate(irr_s, sgb, q_state,
+                                               shard=qshard)
+    color = dnops.atrous_filter(color, var, sgb, iterations=2, shard=qshard)
+    full_irr = joint_bilateral_upsample(color, sgb.depth, sgb.normal,
+                                        sgb.valid, gb.depth, gb.normal, 2,
+                                        shard=shard)
+    ind = jnp.where(gb.valid[..., None], gb.albedo * full_irr, 0.0)
+    return ind, cache, st
+
+
 def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
                  n_dev, capacity, with_gi, with_transparent,
                  indirect="restir", with_spec=False):
@@ -63,12 +153,21 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     cull = cullops.cull_pairs(gpu, vc, alpha_mask=alpha_ok)
     slots, _count = cullops.compact_mask(cull["mask"], capacity)
 
-    # banded raster + G-buffer resolve
+    # banded raster + G-buffer resolve. Under texture streaming each band
+    # resolves its own (mat, mip) demand histogram (pixel ids are global) and
+    # ONE psum over the tile axis yields the full-frame sampler-feedback the
+    # host streamer consumes — identical to the single-chip resolve.
+    streaming = getattr(gpu, "tex_stream", None) is not None
     out = rasterops.rasterize(gpu, vc, slots, width, height,
                               y0=y0, shard_height=shard_h, resolve_attrs=True)
     ro, aux, attr = out
     gb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux, attr_img=attr,
-                                   y0=y0)
+                                   y0=y0, want_feedback=streaming)
+    tex_feedback = jnp.int32(0)
+    if streaming:
+        gb, fb = gb
+        if fb is not None:
+            tex_feedback = jax.lax.psum(fb, TILE_AXIS)
 
     # ReSTIR DI with halo'd temporal/spatial reuse
     direct, new_res = restirops.restir_di(
@@ -101,6 +200,18 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
                                     depth_full=depth_full,
                                     prev_hdr_full=prev_full)
         gi_res = None
+    elif indirect == "sharc" and rt is not None:
+        # combined SHARC indirect, multi-chip (ref bCombinedMode,
+        # src/RTXDIRenderer.cpp:2185-2208). The hash cache is REPLICATED:
+        # every device computes its band's quarter-res update samples, the
+        # (small) sample set is all_gather'd in single-chip row-major order,
+        # and each device runs the IDENTICAL deterministic sort+segment
+        # update — the caches stay bit-equal with no merge collective. The
+        # half-res traced query + RELAX + guided upsample run banded.
+        ind, sharc_cache, sharc_q_state = _sharc_indirect_band(
+            gpu, rt, gb, vc, settings, state["sharc_cache"],
+            state["sharc_q_state"], irr, shard, width, shard_h)
+        gi_res = None
     else:
         ind, gi_res = 0.0, None
     indirect_rad = ind
@@ -116,6 +227,7 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
             gpu, rt, gb, vc, settings, state["spec_state"],
             vc["frame_index"], sun_dir=sun_dir, shard=shard,
             skip_pool_emissive=True, sky_sh=irr,
+            sharc_cache=sharc_cache if indirect == "sharc" else None,
             ibl_scale=settings.ibl_intensity * settings.ambient_scale)
 
     # ambient + sky on the band
@@ -174,9 +286,12 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     new_state["exposure"] = exposure
     if indirect == "restir" and with_gi:
         new_state["restir_gi_reservoir"] = gi_res
+    if indirect == "sharc" and rt is not None:
+        new_state["sharc_cache"] = sharc_cache
+        new_state["sharc_q_state"] = sharc_q_state
     if with_spec and rt is not None:
         new_state["spec_state"] = spec_state
-    return ldr, new_state
+    return ldr, new_state, tex_feedback
 
 
 class FlagshipShardedRenderer:
@@ -185,12 +300,13 @@ class FlagshipShardedRenderer:
     render(gpu, vc, settings, dt); rt enables visibility rays + GI.
 
     Sharded: opaque + masked raster, ReSTIR DI, indirect (ReSTIR GI on the
-    banded grid, or SSGI marching the gathered frame), denoise, transparent
+    banded grid, SSGI marching the gathered frame, or combined SHARC with a
+    replicated hash cache + banded traced query), denoise, transparent
     (banded raster/shade; refraction reads the gathered frame), TAA,
     exposure, BANDED bloom + tonemap (only the uint8 LDR is gathered).
     Not yet sharded: the debug overlays.
 
-    indirect: "restir" (needs rt) | "ssgi" | "none"."""
+    indirect: "restir" (needs rt) | "ssgi" | "sharc" (needs rt) | "none"."""
 
     def __init__(self, gpu, width: int, height: int, rt=None, n_devices: int = 0,
                  with_gi: bool = None, mesh=None, with_transparent: bool = None,
@@ -223,14 +339,23 @@ class FlagshipShardedRenderer:
         if self.with_gi and indirect == "restir":
             self.state["restir_gi_reservoir"] = giops.gi_reservoir_init(
                 height // GI_SCALE, width // GI_SCALE)
+        if indirect == "sharc" and rt is not None:
+            from hobbyrenderer_tpu.ops.sharc import sharc_init
+            self.state["sharc_cache"] = sharc_init()
+            self.state["sharc_q_state"] = dnops.denoise_init(height // 2,
+                                                             width // 2)
         if self.with_spec and rt is not None:
             from hobbyrenderer_tpu.ops.specular import spec_state_init
             self.state["spec_state"] = spec_state_init(height, width)
         self._jitted = None
 
     def _state_specs(self):
-        return {k: jax.tree_util.tree_map(lambda l: P() if l.ndim == 0
-                                          else P(TILE_AXIS), v)
+        # the SHARC hash cache is REPLICATED (every device runs the identical
+        # deterministic update over the all_gather'd sample set); everything
+        # else row-shards along the tile axis
+        return {k: jax.tree_util.tree_map(
+                    lambda l: P() if (l.ndim == 0 or k == "sharc_cache")
+                    else P(TILE_AXIS), v)
                 for k, v in self.state.items()}
 
     def _build(self):
@@ -244,7 +369,7 @@ class FlagshipShardedRenderer:
         st_specs = self._state_specs()
         sharded = shard_map(body, mesh=self.mesh,
                             in_specs=(P(), P(), P(), P(), st_specs, P()),
-                            out_specs=(P(), st_specs),
+                            out_specs=(P(), st_specs, P()),
                             check_vma=False)
         # donate the persistent state (reservoirs/history/denoise) so XLA
         # aliases it in place, like the single-chip paths
@@ -253,6 +378,9 @@ class FlagshipShardedRenderer:
     def render(self, gpu, vc, settings, dt: float = 1 / 60):
         if self._jitted is None:
             self._build()
-        ldr, self.state = self._jitted(gpu, self.rt, vc, settings, self.state,
-                                       jnp.float32(dt))
+        ldr, self.state, fb = self._jitted(gpu, self.rt, vc, settings,
+                                           self.state, jnp.float32(dt))
+        # full-frame sampler-feedback histogram (psum'd across bands) for the
+        # host streamer when the scene streams textures; 0 otherwise
+        self.last_tex_feedback = fb
         return ldr, jnp.int32(0)

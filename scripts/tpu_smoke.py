@@ -53,7 +53,7 @@ def main(full: bool = False):
     sc = make_stress_scene()
     gpu = build_scene_gpu(sc)
     rt = build_scene_rt(sc, gpu)
-    n_tris = int(np.asarray(rt.bvh.tri_v0).shape[0])
+    n_tris = int(rt.bvh.num_tris)
     print("tris:", n_tris)
 
     # ---- kernel smokes ----
@@ -71,7 +71,7 @@ def main(full: bool = False):
           f"-> {H * W / t_beam / 1e6:.1f} Mrays/s")
     OUT["beam_mrays"] = H * W / t_beam / 1e6
 
-    section("sorted-block closest-hit kernel (incoherent)")
+    section("bvh16 closest-hit (incoherent dispatch path)")
     from hobbyrenderer_tpu.ops import trace as traceops
     R = 1 << 18      # 262k incoherent rays
     rng = np.random.default_rng(7)
@@ -81,8 +81,7 @@ def main(full: bool = False):
     dd = rng.normal(size=(R, 3)).astype(np.float32)
     d_i = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True))
 
-    fn = jax.jit(lambda o, d: traceops.trace_closest(
-        rt.btable, rt.bvh.root_box, o, d))
+    fn = jax.jit(lambda o, d: traceops.closest_hit_auto(rt, o, d))
     t_inc, rec = bench(fn, o_i, d_i)
     hitrate = float(np.asarray(rec.tri >= 0).mean())
     print(f"{t_inc * 1e3:.2f} ms for {R} rays "

@@ -140,3 +140,20 @@ def test_beam_overflow_flag():
                                       interpret=interp, return_overflow=True)
     assert int(np.asarray(n_ovf)) == 0
     assert np.asarray(occ).any()
+
+
+def test_tile_majority_mask():
+    """The modal-winner split helper: each 32x32 tile's majority-key lanes
+    are selected; stragglers (and lanes in pad-dominated edge tiles) are not."""
+    H, W = 40, 64  # 2x2 tile grid with a 8-row pad band on the bottom tiles
+    key = np.zeros((H, W), np.int32)
+    key[:32, :32] = 7          # uniform tile -> all match
+    key[:32, 32:] = 3
+    key[5, 40] = 9             # one straggler in an otherwise-uniform tile
+    key[32:, :] = 11           # bottom tiles: 8 real rows vs 24 pad rows
+    m = np.asarray(beamops.tile_majority_mask(jnp.asarray(key), H, W))
+    assert m[:32, :32].all()
+    assert not m[5, 40] and m[6, 40] and m[:32, 32:].sum() == 32 * 32 - 1
+    # pad rows (key -2^30) outnumber real rows in the bottom tiles: the
+    # conservative outcome routes ALL real lanes to the straggler path
+    assert not m[32:, :].any()

@@ -467,3 +467,166 @@ def test_sharded_specular_matches_single_device():
     for i in range(2):
         ldr, _ = r.render(gpu, cam.view_constants(i), settings)
     assert np.isfinite(np.asarray(ldr)).all()
+
+
+def test_sharded_sharc_matches_single_device():
+    """Combined SHARC indirect under shard_map (replicated hash cache updated
+    from the all_gather'd quarter-res sample set in single-chip row-major
+    order; banded traced query + RELAX + guided upsample) == the same chain
+    on the full frame. VERDICT-r2 item 5: a SHARC mode multi-chip."""
+    from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import ibl as iblops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    from hobbyrenderer_tpu.ops import denoise as dnops
+    from hobbyrenderer_tpu.ops.sharc import sharc_init
+    from hobbyrenderer_tpu.parallel.flagship import _sharc_indirect_band
+    from hobbyrenderer_tpu.parallel.frame import _sun_dir
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    W, H = 64, 64
+    n_dev = 2
+    sc = make_default_cube_scene()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    def opaque(gpu, vc):
+        cu = cullops.cull_pairs(gpu, vc,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+        return rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+
+    gb = jax.jit(opaque)(gpu, vc)
+    sun = _sun_dir(gpu, settings)
+    irr = iblops.build_sky_irradiance(sun, settings)
+    cache0 = sharc_init()
+    q0 = dnops.denoise_init(H // 2, W // 2)
+
+    # two frames so the second one reads a POPULATED cache (the multi-bounce
+    # feedback + query paths are live, not trivially zero)
+    def two_frames(gb, cache, q, shard):
+        shard_h = gb.depth.shape[0]
+        out = None
+        for _ in range(2):
+            out, cache, q = _sharc_indirect_band(
+                gpu, rt, gb, vc, settings, cache, q, irr, shard, W, shard_h)
+        return out, cache, q
+
+    ref, ref_cache, _ = jax.jit(
+        lambda gb: two_frames(gb, cache0, q0, None))(gb)
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+    sp = lambda t: jax.tree_util.tree_map(lambda _: P("tiles"), t)
+
+    def body(gb_b, q_b):
+        shard = shu.make_row_shard("tiles", n_dev, shard_h)
+        return two_frames(gb_b, cache0, q_b, shard)
+
+    got, got_cache, _ = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(sp(gb), sp(q0)),
+        out_specs=(P("tiles"), P(), sp(q0)), check_vma=False))(gb, q0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # the replicated cache itself must match the single-chip cache bit-wise
+    assert (np.asarray(got_cache.key) == np.asarray(ref_cache.key)).all()
+    np.testing.assert_allclose(np.asarray(got_cache.radiance),
+                               np.asarray(ref_cache.radiance),
+                               rtol=1e-6, atol=1e-6)
+    assert np.asarray(got_cache.key != 0).sum() > 0, "cache never populated"
+
+    # end-to-end: flagship renderer in combined-SHARC mode on the mesh
+    from hobbyrenderer_tpu.parallel import FlagshipShardedRenderer
+    r = FlagshipShardedRenderer(gpu, W, H, rt=rt, mesh=mesh,
+                                indirect="sharc")
+    for i in range(2):
+        ldr, _ = r.render(gpu, cam.view_constants(i), settings)
+    assert np.isfinite(np.asarray(ldr)).all()
+
+
+def test_sharded_streaming_feedback_matches_single_device():
+    """Sampler-feedback under shard_map: each band resolves its own (mat, mip)
+    demand histogram (global pixel ids) and one psum over the tile axis
+    reproduces the single-chip feedback exactly. VERDICT-r2 item 5:
+    streaming feedback multi-chip."""
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.scene.cooker import cook_mesh
+    from hobbyrenderer_tpu.scene.procedural import (camera_looking_at,
+                                                    plane_geometry)
+    from hobbyrenderer_tpu.scene.scene import Material, Node, Scene
+    from hobbyrenderer_tpu.scene.streaming import TextureStreamer
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    sc = Scene()
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (256, 256, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    sc.images = [img]
+    m = sc.add_material(Material(name="floor", roughness=0.8,
+                                 base_color_tex=0, double_sided=True))
+    pos, nrm, uv, idx = plane_geometry(4.0, uv_tiles=1.0)
+    prim = sc.add_mesh(cook_mesh(pos, idx, normals=nrm, uvs=uv), material=m)
+    sc.add_node(Node(name="floor", mesh_primitives=[prim]))
+    sc.cameras.append(camera_looking_at(np.array([0, 3.0, 3.0], np.float32),
+                                        np.array([0, 0, 0], np.float32)))
+    sc.finalize()
+
+    W, H = 64, 64
+    n_dev = 2
+    st = TextureStreamer(sc, budget_pages=64, sync_mode=True)
+    gpu = build_scene_gpu(sc, streamer=st)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    def frame(gpu, vc, y0=0, shard_h=H):
+        cu = cullops.cull_pairs(gpu, vc,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H, y0=y0,
+                                      shard_height=shard_h)
+        gb, fb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux,
+                                           y0=y0, want_feedback=True)
+        return fb
+
+    ref = np.asarray(jax.jit(frame)(gpu, vc))
+    assert ref.sum() > 0, "no texture demand resolved — scene setup broken"
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+
+    def body():
+        import jax as _jax
+        idx_d = _jax.lax.axis_index("tiles")
+        fb = frame(gpu, vc, y0=idx_d * shard_h, shard_h=shard_h)
+        return _jax.lax.psum(fb, "tiles")
+
+    got = np.asarray(jax.jit(shard_map(body, mesh=mesh, in_specs=(),
+                                       out_specs=P(),
+                                       check_vma=False))())
+    np.testing.assert_array_equal(got, ref)
+
+    # and the flagship renderer surfaces the psum'd histogram per frame
+    from hobbyrenderer_tpu.parallel import FlagshipShardedRenderer
+    r = FlagshipShardedRenderer(gpu, W, H, rt=None, mesh=mesh,
+                                indirect="none", with_gi=False)
+    r.render(gpu, vc, RenderSettings().as_pytree())
+    fb2 = np.asarray(r.last_tex_feedback)
+    assert fb2.shape == ref.shape and fb2.sum() > 0

@@ -103,7 +103,7 @@ def test_restir_gi_converges_to_bruteforce():
         gpu, rt, gb, vc, settings, res, i, scale=SCALE))
     res = giops.gi_reservoir_init(Hg, Wg)
     acc = np.zeros((H, W, 3), np.float32)
-    n_frames = 48
+    n_frames = 96
     for i in range(n_frames):
         ind, res = step(res, jnp.int32(i))
         acc += np.asarray(ind)
@@ -112,9 +112,28 @@ def test_restir_gi_converges_to_bruteforce():
 
     lit = valid & (ref.sum(-1) > 2e-3)
     assert lit.sum() > 20, "scene setup broken: no GI-lit pixels"
-    rel = np.abs(avg[lit] - ref[lit]).sum() / (ref[lit].sum() + 1e-9)
-    # GI reuse carries Jacobian clamps + visibility kills: looser than DI
-    assert rel < 0.35, f"ReSTIR GI deviates {rel:.3f} from brute force"
+    # convergence = BIAS, not per-cell variance: 48 frames of a reservoir
+    # chain keep sizeable per-cell noise (the denoiser's job in the frame),
+    # so compare lit-masked 4x4-block means. (The old per-cell compare only
+    # passed because the resolve's center-aligned bilinear resize blurred
+    # neighboring cells together; the guided upsample resolves exactly.)
+    B = 4
+    Hb, Wb = Hg // B, Wg // B
+    m = lit.reshape(Hg, Wg)[:Hb * B, :Wb * B]
+    blk = lambda x: np.where(m[..., None], x.reshape(Hg, Wg, 3), 0.0)[
+        :Hb * B, :Wb * B].reshape(Hb, B, Wb, B, 3).sum((1, 3))
+    cnt = m.reshape(Hb, B, Wb, B).sum((1, 3))
+    ok = cnt > 1
+    ba = blk(avg)[ok] / cnt[ok, None]
+    br = blk(ref)[ok] / cnt[ok, None]
+    rel = np.abs(ba - br).sum() / (np.abs(br).sum() + 1e-9)
+    # GI reuse carries Jacobian clamps + visibility kills: looser than DI.
+    # Measured trajectory (scripts/diag_gi_bias.py): block L1 0.53/0.33/0.20/
+    # 0.12 and energy ratio 1.10/1.04/0.96/0.94 at 24/48/96/192 frames —
+    # noise-dominated, converging.
+    assert rel < 0.3, f"ReSTIR GI block-mean bias {rel:.3f} vs brute force"
+    energy = avg[lit].sum() / (ref[lit].sum() + 1e-9)
+    assert 0.85 < energy < 1.15, f"GI energy ratio {energy:.3f} off"
 
 
 def test_restir_gi_in_deferred_graph():
@@ -194,4 +213,8 @@ def test_restir_gi_half_rate_converges():
     ratio = avg[lit].sum() / (ref[lit].sum() + 1e-9)
     assert 0.85 < ratio < 1.15, f"half-rate GI energy off: {ratio:.3f}"
     rel = np.abs(avg[lit] - ref[lit]).sum() / (ref[lit].sum() + 1e-9)
-    assert rel < 0.6, f"half-rate ReSTIR GI deviates {rel:.3f}"
+    # 0.7: the exact guided upsample preserves per-cell reservoir noise the
+    # old center-shifted bilinear resize incidentally averaged away (same
+    # reasoning as the block-mean main convergence test); energy above is
+    # the real gate
+    assert rel < 0.7, f"half-rate ReSTIR GI deviates {rel:.3f}"
