@@ -94,7 +94,8 @@ def refracted_background(hdr: jnp.ndarray, vc, surf_pos: jnp.ndarray,
                          vdir: jnp.ndarray, ior: jnp.ndarray,
                          rough: jnp.ndarray, atten_color: jnp.ndarray,
                          atten_dist: jnp.ndarray, valid: jnp.ndarray,
-                         y0: int = 0, miss_fn=None):
+                         y0: int = 0, miss_fn=None, stack=None,
+                         pix_uv=None):
     """The scene seen THROUGH a transparent surface.
 
     Refract the camera ray at the surface, march the in-medium travel to the
@@ -111,9 +112,15 @@ def refracted_background(hdr: jnp.ndarray, vc, surf_pos: jnp.ndarray,
     radiance along the refracted direction, used where the refracted exit
     point leaves the screen — screen-space refraction has no data there, and
     clamping to the frame edge reads as a dark smear against the path-traced
-    truth (which exits to the sky). Blended over an edge band."""
+    truth (which exits to the sky). Blended over an edge band.
+
+    stack, optional: a prebuilt build_level_stack(hdr) — pass it when shading
+    several transparent bins against the SAME opaque frame (the stack build
+    is ~1/4 of this op's cost and was paid per bin).
+    pix_uv (..., 2), optional: each lane's OWN screen uv (the TIR/behind-
+    camera fallback). Required when surf_pos is a compacted (N, 3) lane list
+    instead of a (bh, W) grid — the grid meshgrid fallback is skipped."""
     H, W = hdr.shape[:2]
-    bh = surf_pos.shape[0]
     eta = 1.0 / jnp.maximum(ior, 1.0 + 1e-4)[..., None]
     rdir, no_tir = refract_dir(vdir, normal, eta)
     # in-medium travel: distance to the opaque surface behind this pixel
@@ -129,13 +136,16 @@ def refracted_background(hdr: jnp.ndarray, vc, surf_pos: jnp.ndarray,
     uv_r = jnp.stack([ndc[..., 0] * 0.5 + 0.5,
                       0.5 - ndc[..., 1] * 0.5], axis=-1)
     # fall back to the unrefracted pixel on TIR / behind-camera projection
-    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-    ys = (y0 + jnp.arange(bh, dtype=jnp.float32) + 0.5) / H
-    uv_same = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    if pix_uv is None:
+        bh = surf_pos.shape[0]
+        xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+        ys = (y0 + jnp.arange(bh, dtype=jnp.float32) + 0.5) / H
+        pix_uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
     ok = (no_tir & in_front & valid)[..., None]
-    uv = jnp.where(ok, uv_r, uv_same)
+    uv = jnp.where(ok, uv_r, pix_uv)
 
-    stack = build_level_stack(hdr)
+    if stack is None:
+        stack = build_level_stack(hdr)
     # roughness -> footprint: GGX lobe spread grows ~ rough^2; sqrt gives a
     # perceptually even LOD ramp across the K levels (ref BasePass.hlsl uses
     # a roughness-indexed mip of its refraction chain)

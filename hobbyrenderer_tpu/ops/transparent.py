@@ -60,8 +60,24 @@ def transparent_composite(gpu, vc, settings, gb, hdr, *, width, height,
             return env_fn(d)
         return skyops.sky_radiance_fast(d, sun_dir, settings)
 
+    # mip stack shared by both bins: both refract into the SAME opaque frame
+    stack = refrops.build_level_stack(hdr_full)
+    R = shard_h * width
+    # static capacity for the compacted shade chain (below): a transparent
+    # BIN rarely covers more than an eighth of the frame (the chain cost
+    # scales with CAP, not actual coverage — R//3 left 200+ ms on the table
+    # at 1080p); lanes past the cap composite as pure background (the same
+    # static-capacity contract as the raster worklists)
+    CAP = max(R // 8, 2048)
+
     def shade_layer(hdr_band, slots):
-        """Rasterize one bin's slots and composite over hdr_band."""
+        """Rasterize one bin's slots and composite over hdr_band.
+
+        The per-pixel chain (light loop, IBL, material fetch, the 8-gather
+        refraction fetch) runs on lanes COMPACTED to the bin's actual
+        coverage — at 1080p the full-grid form cost 810 ms/frame of the
+        flagship (refracted_background alone measured 232 ms/bin) for a
+        bin that covers a few percent of the pixels."""
         ro, aux, attr = rasterops.rasterize(gpu, vc, slots, width, height,
                                             double_sided_all=False,
                                             y0=y0, shard_height=shard_h,
@@ -73,35 +89,53 @@ def transparent_composite(gpu, vc, settings, gb, hdr, *, width, height,
                                      overflow=ro.overflow)
         tgb = rasterops.resolve_gbuffer(gpu, vc, ro2, slots,
                                         aux=aux, attr_img=attr, y0=y0)
-        rough = tgb.orm[..., 1]
-        metal = tgb.orm[..., 2]
-        direct = shadeops.shade_all_lights(gpu, tgb.world_pos, tgb.normal, v,
-                                           tgb.albedo, metal, rough)
+
+        # ---- compact covered lanes ----------------------------------------
+        val = tgb.valid.reshape(R)
+        rank = jnp.cumsum(val.astype(jnp.int32)) - 1
+        slot = jnp.where(val & (rank < CAP), rank, CAP)
+        sel = jnp.full((CAP + 1,), R, jnp.int32) \
+            .at[slot].set(jnp.arange(R, dtype=jnp.int32), mode="drop")[:CAP]
+        pad = sel >= R
+        selc = jnp.minimum(sel, R - 1)
+        take = lambda a: jnp.where(
+            pad.reshape((-1,) + (1,) * (a.ndim - 2)), 0,
+            a.reshape((R,) + a.shape[2:])[selc])
+        pos_c, n_c, alb_c = take(tgb.world_pos), take(tgb.normal), \
+            take(tgb.albedo)
+        em_c, v_c = take(tgb.emissive), take(v)
+        rough_c = take(tgb.orm[..., 1])
+        metal_c = take(tgb.orm[..., 2])
+        alpha_c = jnp.clip(take(tgb.alpha), 0.0, 1.0)[..., None]
+
+        direct = shadeops.shade_all_lights(gpu, pos_c, n_c, v_c,
+                                           alb_c, metal_c, rough_c)
         if env_as_lights:
-            ambient = jnp.zeros_like(tgb.albedo)
+            ambient = jnp.zeros_like(alb_c)
         else:
-            ambient = iblops.ibl_ambient(sky_sh, tgb.normal, v, tgb.albedo,
-                                         metal, rough, sun_dir, settings,
+            ambient = iblops.ibl_ambient(sky_sh, n_c, v_c, alb_c,
+                                         metal_c, rough_c, sun_dir, settings,
                                          intensity=ibl_scale, env_fn=env_fn,
                                          brdf_lut=gpu.brdf_lut)
         shaded = direct + ambient
-        # coverage/transmission from the material table
-        mat = jnp.maximum(tgb.material, 0)
-        moh = (mat[..., None] == jnp.arange(Mt)).astype(jnp.float32)
-        mf = jnp.einsum("hwm,mf->hwf", moh, gpu.mat_f)
-        # textured alpha from the resolve (cutoff = 0 for BLEND materials)
-        alpha = jnp.clip(tgb.alpha, 0.0, 1.0)[..., None]
+        # material constants: a row gather at CAP lanes (the full-grid form
+        # used a one-hot MXU einsum — only worth it at dense grid width)
+        mf = gpu.mat_f[jnp.maximum(take(tgb.material), 0)]
         transmission = mf[..., MAT_TRANSMISSION][..., None]
         atten = mf[..., MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3]
         # the scene seen THROUGH the surface: refracted + roughness-blurred
         # fetch of the behind-layer mip chain, Beer-Lambert over the travel;
         # off-screen exits fall back to the environment (PT parity)
-        opaque_pos = jnp.where(gb.valid[..., None], gb.world_pos,
-                               tgb.world_pos + vdir)
+        opq = jnp.where(gb.valid[..., None], gb.world_pos,
+                        tgb.world_pos + vdir)
+        # each lane's own screen uv (TIR / behind-camera fallback)
+        pix_uv = jnp.stack(
+            [(selc % width + 0.5) / width,
+             (y0 + selc // width + 0.5) / height], -1)
         bg_refr = refrops.refracted_background(
-            hdr_full, vc, tgb.world_pos, opaque_pos, tgb.normal, vdir,
-            mf[..., MAT_IOR], rough, atten, mf[..., MAT_ATTEN_DIST],
-            tgb.valid, y0=y0, miss_fn=miss_env)
+            hdr_full, vc, pos_c, take(opq), n_c, take(vdir),
+            mf[..., MAT_IOR], rough_c, atten, mf[..., MAT_ATTEN_DIST],
+            ~pad, y0=y0, miss_fn=miss_env, stack=stack, pix_uv=pix_uv)
         # the path tracer's expectation over its coverage pass-through + BSDF
         # lobe split (models/pathtracer.py): with prob (1 - coverage) the ray
         # ignores the surface; otherwise the surface emits its FULL Le, the
@@ -111,11 +145,20 @@ def transparent_composite(gpu, vc, settings, gb, hdr, *, width, height,
         # conventions (alpha~0+T=1 glass AND spec-correct alpha=1+T=1). The
         # former formula scaled emissive glass by alpha*(1-T) (~0.16x on the
         # stress scene) and read visibly dark against PT.
-        cov = jnp.maximum(alpha, transmission)
-        surf = tgb.emissive + transmission * bg_refr \
+        cov_c = jnp.maximum(alpha_c, transmission)
+        surf_c = em_c + transmission * bg_refr \
             + (1.0 - transmission) * shaded
-        out = hdr_band * (1.0 - cov) + surf * cov
-        return jnp.where(tgb.valid[..., None], out, hdr_band)
+        blend_c = jnp.where(pad[:, None], 0.0, surf_c * cov_c)
+        cov_c = jnp.where(pad[:, None], 0.0, cov_c)
+
+        # ---- scatter back to the band grid --------------------------------
+        surf = jnp.zeros((R, 3), hdr_band.dtype) \
+            .at[sel].set(blend_c, mode="drop") \
+            .reshape(shard_h, width, 3)
+        cov = jnp.zeros((R, 1), hdr_band.dtype) \
+            .at[sel].set(cov_c, mode="drop") \
+            .reshape(shard_h, width, 1)
+        return hdr_band * (1.0 - cov) + surf
 
     # far/near partition by meshlet camera distance (threshold = midpoint
     # of the live range, a traced scalar -> static shapes throughout)

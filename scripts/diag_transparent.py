@@ -34,7 +34,8 @@ def main():
     cfg = Config(scene="stress", width=W, height=H,
                  mode=RenderingMode.NORMAL_BASIC)
     r = Renderer(cfg)
-    gpu, vc, settings = r.gpu, r.camera.view_constants(0), r.settings_pytree()
+    gpu, vc = r.gpu, r.camera.view_constants(0)
+    settings = cfg.settings.as_pytree()
     cap = r._model.transparent_capacity if hasattr(r._model, "transparent_capacity") else None
     from hobbyrenderer_tpu.models import deferred as dd
     gb_hdr = None

@@ -46,3 +46,17 @@ except Exception:
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Drop compiled executables at module teardown.
+
+    The full suite jits ~150+ whole-frame programs; keeping every executable
+    loaded in the XLA:CPU JIT eventually segfaults the COMPILER on the next
+    program (observed deterministically around the 150th test, standalone the
+    same test passes — an accumulation failure, not a test bug). The
+    persistent disk cache (above) makes any cross-module re-jit a cheap
+    reload, so this costs seconds, not the minutes of a cold recompile."""
+    yield
+    jax.clear_caches()
