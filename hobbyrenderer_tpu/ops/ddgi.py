@@ -65,8 +65,15 @@ class DDGIVolume:
 
     @classmethod
     def tree_unflatten(cls, counts, leaves):
-        origin, spacing, irr, dist, alive, offset, varb = leaves
-        return cls(origin, spacing, counts, irr, dist, alive, offset, varb)
+        # bypass __init__: unflatten must accept ARBITRARY leaf objects
+        # (None placeholders, PartitionSpecs, tracers) — __init__'s
+        # irradiance.shape default derivation breaks under shard_map's
+        # spec-tree handling
+        obj = object.__new__(cls)
+        (obj.origin, obj.spacing, obj.irradiance, obj.distance,
+         obj.alive, obj.offset, obj.variability) = leaves
+        obj.counts = tuple(counts)
+        return obj
 
     def _replace(self, **kw):
         d = dict(origin=self.origin, spacing=self.spacing, counts=self.counts,

@@ -141,6 +141,40 @@ def _sharc_indirect_band(gpu, rt, gb, vc, settings, cache, q_state, irr,
     return ind, cache, st
 
 
+def _ddgi_indirect_band(gpu, rt, gb, vc, settings, vol, shard, width,
+                        shard_h):
+    """DDGI indirect for one row band (mirrors models/deferred.py's _ddgi
+    pass; ref src/DDGIRenderer.cpp:449-548).
+
+    The probe VOLUME is replicated: ddgi_update's inputs (volume, scene,
+    lights, frame) carry no screen dependence, so every device runs the
+    IDENTICAL deterministic update (16k probe rays — cheaper than any merge
+    collective) and the volumes stay bit-equal with no communication. Only
+    the quarter-res Chebyshev query + guided upsample run banded."""
+    from hobbyrenderer_tpu.ops import ddgi as ddgiops
+    from hobbyrenderer_tpu.ops.upsample import joint_bilateral_upsample
+    frame = vc["frame_index"]
+    # variability-gated tracing + every-8th-frame keep-alive, exactly as the
+    # single-chip pass (the gate value is replicated, so lax.cond stays
+    # uniform across devices)
+    do_trace = (vol.variability > 0.01) | (frame % 8 == 0)
+    vol = jax.lax.cond(
+        do_trace,
+        lambda v: ddgiops.ddgi_update(v, gpu, rt, settings, frame),
+        lambda v: v, vol)
+    s = GI_SCALE
+    sh, sw = shard_h // s, width // s
+    sub = lambda img: img[::s, ::s][:sh, :sw]
+    pos = sub(gb.world_pos).reshape(-1, 3)
+    nrm = sub(gb.normal).reshape(-1, 3)
+    E = ddgiops.ddgi_query(vol, pos, nrm).reshape(sh, sw, 3)
+    E = joint_bilateral_upsample(E, sub(gb.depth), sub(gb.normal),
+                                 sub(gb.valid), gb.depth, gb.normal, s,
+                                 shard=shard)
+    ind = (gb.albedo / jnp.pi) * E
+    return jnp.where(gb.valid[..., None], ind, 0.0), vol
+
+
 def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
                  n_dev, capacity, with_gi, with_transparent,
                  indirect="restir", with_spec=False):
@@ -211,6 +245,12 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
         ind, sharc_cache, sharc_q_state = _sharc_indirect_band(
             gpu, rt, gb, vc, settings, state["sharc_cache"],
             state["sharc_q_state"], irr, shard, width, shard_h)
+        gi_res = None
+    elif indirect == "ddgi" and rt is not None:
+        # replicated probe volume + banded query (see _ddgi_indirect_band)
+        ind, ddgi_vol = _ddgi_indirect_band(
+            gpu, rt, gb, vc, settings, state["ddgi_volume"], shard,
+            width, shard_h)
         gi_res = None
     else:
         ind, gi_res = 0.0, None
@@ -289,6 +329,8 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
     if indirect == "sharc" and rt is not None:
         new_state["sharc_cache"] = sharc_cache
         new_state["sharc_q_state"] = sharc_q_state
+    if indirect == "ddgi" and rt is not None:
+        new_state["ddgi_volume"] = ddgi_vol
     if with_spec and rt is not None:
         new_state["spec_state"] = spec_state
     return ldr, new_state, tex_feedback
@@ -300,13 +342,15 @@ class FlagshipShardedRenderer:
     render(gpu, vc, settings, dt); rt enables visibility rays + GI.
 
     Sharded: opaque + masked raster, ReSTIR DI, indirect (ReSTIR GI on the
-    banded grid, SSGI marching the gathered frame, or combined SHARC with a
-    replicated hash cache + banded traced query), denoise, transparent
-    (banded raster/shade; refraction reads the gathered frame), TAA,
-    exposure, BANDED bloom + tonemap (only the uint8 LDR is gathered).
-    Not yet sharded: the debug overlays.
+    banded grid, SSGI marching the gathered frame, combined SHARC with a
+    replicated hash cache + banded traced query, or DDGI with a replicated
+    probe volume + banded query), denoise, transparent (banded raster/shade;
+    refraction reads the gathered frame), TAA, exposure, BANDED bloom +
+    tonemap (only the uint8 LDR is gathered). Not yet sharded: the debug
+    overlays.
 
-    indirect: "restir" (needs rt) | "ssgi" | "sharc" (needs rt) | "none"."""
+    indirect: "restir" (needs rt) | "ssgi" | "sharc" (needs rt) |
+    "ddgi" (needs rt) | "none"."""
 
     def __init__(self, gpu, width: int, height: int, rt=None, n_devices: int = 0,
                  with_gi: bool = None, mesh=None, with_transparent: bool = None,
@@ -344,17 +388,26 @@ class FlagshipShardedRenderer:
             self.state["sharc_cache"] = sharc_init()
             self.state["sharc_q_state"] = dnops.denoise_init(height // 2,
                                                              width // 2)
+        if indirect == "ddgi" and rt is not None:
+            import numpy as _np
+            from hobbyrenderer_tpu.ops.ddgi import ddgi_init
+            _c = _np.asarray(gpu.inst_center).reshape(-1, 3)
+            _r = _np.asarray(gpu.inst_radius).reshape(-1)
+            self.state["ddgi_volume"] = ddgi_init(
+                (_c - _r[:, None]).min(0), (_c + _r[:, None]).max(0))
         if self.with_spec and rt is not None:
             from hobbyrenderer_tpu.ops.specular import spec_state_init
             self.state["spec_state"] = spec_state_init(height, width)
         self._jitted = None
 
     def _state_specs(self):
-        # the SHARC hash cache is REPLICATED (every device runs the identical
-        # deterministic update over the all_gather'd sample set); everything
-        # else row-shards along the tile axis
+        # the SHARC hash cache and the DDGI probe volume are REPLICATED
+        # (every device runs the identical deterministic update — SHARC over
+        # the all_gather'd sample set, DDGI over the screen-independent probe
+        # rays); everything else row-shards along the tile axis
         return {k: jax.tree_util.tree_map(
-                    lambda l: P() if (l.ndim == 0 or k == "sharc_cache")
+                    lambda l: P() if (l.ndim == 0
+                                      or k in ("sharc_cache", "ddgi_volume"))
                     else P(TILE_AXIS), v)
                 for k, v in self.state.items()}
 

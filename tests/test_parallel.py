@@ -630,3 +630,83 @@ def test_sharded_streaming_feedback_matches_single_device():
     r.render(gpu, vc, RenderSettings().as_pytree())
     fb2 = np.asarray(r.last_tex_feedback)
     assert fb2.shape == ref.shape and fb2.sum() > 0
+
+
+def test_sharded_ddgi_matches_single_device():
+    """DDGI under shard_map (replicated probe volume — ddgi_update has no
+    screen dependence, so every device runs the identical deterministic
+    update — plus a banded Chebyshev query + guided upsample) == the same
+    chain on the full frame. VERDICT-r2 item 5: another indirect mode
+    multi-chip."""
+    from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.ops import shard_utils as shu
+    from hobbyrenderer_tpu.ops.ddgi import ddgi_init
+    from hobbyrenderer_tpu.parallel.flagship import _ddgi_indirect_band
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except Exception:
+        from jax.experimental.shard_map import shard_map
+
+    W, H = 64, 64
+    n_dev = 2
+    sc = make_default_cube_scene()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+
+    def opaque(gpu, vc):
+        cu = cullops.cull_pairs(gpu, vc,
+                                alpha_mask=jnp.asarray([True, True, False]))
+        slots, _ = cullops.compact_mask(cu["mask"], cap)
+        ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+        return rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+
+    gb = jax.jit(opaque)(gpu, vc)
+    c = np.asarray(gpu.inst_center).reshape(-1, 3)
+    r_ = np.asarray(gpu.inst_radius).reshape(-1)
+    vol0 = ddgi_init((c - r_[:, None]).min(0), (c + r_[:, None]).max(0))
+
+    # two frames: the second queries a POPULATED, classified volume
+    def two_frames(gb, vol, shard):
+        shard_h = gb.depth.shape[0]
+        out = None
+        for _ in range(2):
+            out, vol = _ddgi_indirect_band(gpu, rt, gb, vc, settings, vol,
+                                           shard, W, shard_h)
+        return out, vol
+
+    ref, ref_vol = jax.jit(lambda gb: two_frames(gb, vol0, None))(gb)
+
+    mesh = build_mesh(n_dev)
+    shard_h = H // n_dev
+    sp = lambda t: jax.tree_util.tree_map(lambda _: P("tiles"), t)
+
+    def body(gb_b):
+        shard = shu.make_row_shard("tiles", n_dev, shard_h)
+        return two_frames(gb_b, vol0, shard)
+
+    got, got_vol = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(sp(gb),),
+        out_specs=(P("tiles"), P()), check_vma=False))(gb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # the replicated volume must match the single-chip volume
+    np.testing.assert_allclose(np.asarray(got_vol.irradiance),
+                               np.asarray(ref_vol.irradiance),
+                               rtol=1e-6, atol=1e-6)
+    assert float(np.abs(np.asarray(ref)).sum()) > 0, "indirect never lit"
+
+    # end-to-end: flagship renderer in DDGI mode on the mesh
+    from hobbyrenderer_tpu.parallel import FlagshipShardedRenderer
+    r = FlagshipShardedRenderer(gpu, W, H, rt=rt, mesh=mesh,
+                                indirect="ddgi")
+    for i in range(2):
+        ldr, _ = r.render(gpu, cam.view_constants(i), settings)
+    assert np.isfinite(np.asarray(ldr)).all()
