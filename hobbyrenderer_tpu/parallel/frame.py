@@ -48,7 +48,8 @@ def _sun_dir(gpu, settings):
 
 
 def _shard_frame_fn(gpu, vc, settings, state, *, width, height, shard_h,
-                    capacity, max_per_tile, dt):
+                    capacity, max_per_tile, dt, shadow_capacity=0,
+                    csm_max_distance=60.0):
     """Per-device body (runs under shard_map)."""
     idx = jax.lax.axis_index(TILE_AXIS)
     y0 = idx * shard_h
@@ -69,10 +70,33 @@ def _shard_frame_fn(gpu, vc, settings, state, *, width, height, shard_h,
     v = -vdir
     rough = gb.orm[..., 1]
     metal = gb.orm[..., 2]
-    direct = shadeops.shade_all_lights(gpu, gb.world_pos, gb.normal, v,
-                                       gb.albedo, metal, rough)
-    from hobbyrenderer_tpu.ops import ibl as iblops
     sun_dir = _sun_dir(gpu, settings)
+    shadow_fn = None
+    if shadow_capacity > 0:
+        # CSM sun shadows, sharded (ref ShadowRenderer + ShadowMaskRenderer;
+        # models/deferred.py's ShadowCSM pass): the cascade atlas raster is
+        # screen-INDEPENDENT (light-space world geometry), so every device
+        # runs the identical replicated raster — no collective; only the
+        # half-res PCF mask evaluates on the band. The screen-space contact
+        # march stays single-chip (its sunward march crosses band edges).
+        from hobbyrenderer_tpu.ops import csm as csmops
+        data = csmops.render_cascades(gpu, vc, sun_dir, shadow_capacity,
+                                      max_distance=csm_max_distance)
+        s = 2
+        sh, sw = shard_h // s, width // s
+        m = csmops.csm_shadow_mask(
+            data, vc, gb.world_pos[::s, ::s][:sh, :sw],
+            gb.geo_normal[::s, ::s][:sh, :sw],
+            gb.valid[::s, ::s][:sh, :sw], sun_dir)
+        mask = jax.image.resize(m, (shard_h, width), method="bilinear")
+        lt = gpu.light_type
+        is_dir = (lt == 0) & (jnp.arange(lt.shape[0]) < gpu.light_count)
+        sun_idx = jnp.argmax(is_dir)
+        shadow_fn = lambda i, L, dist: jnp.where(i == sun_idx, mask, 1.0)
+    direct = shadeops.shade_all_lights(gpu, gb.world_pos, gb.normal, v,
+                                       gb.albedo, metal, rough,
+                                       shadow_fn=shadow_fn)
+    from hobbyrenderer_tpu.ops import ibl as iblops
     irr = iblops.build_sky_irradiance(sun_dir, settings)   # replicated (cheap)
     ambient = iblops.ibl_ambient(irr, gb.normal, v, gb.albedo, metal, rough,
                                  sun_dir, settings,
@@ -101,7 +125,8 @@ class DeferredShardedRenderer:
     n-device mesh. API-compatible render(gpu, vc, settings, dt)."""
 
     def __init__(self, gpu, width: int, height: int, n_devices: int = 0,
-                 config=None, max_per_tile: int = 48, mesh=None):
+                 config=None, max_per_tile: int = 48, mesh=None,
+                 with_csm: bool = False):
         self.mesh = mesh if mesh is not None else build_mesh(n_devices)
         n = self.mesh.devices.size
         assert height % (n * TILE) == 0, (
@@ -110,6 +135,21 @@ class DeferredShardedRenderer:
         self.shard_h = height // n
         self.capacity = max(int(gpu.lod0_pair_capacity), 1)
         self.max_per_tile = max_per_tile
+        self.shadow_capacity = 0
+        self.csm_max_distance = 60.0
+        if with_csm:
+            import numpy as _np
+            from hobbyrenderer_tpu.ops.csm import (CASCADE_LOD_BIAS,
+                                                   NUM_CASCADES)
+            self.shadow_capacity = max(int(gpu.shadow_pair_capacity(
+                CASCADE_LOD_BIAS[:NUM_CASCADES])), 1)
+            # scene-adaptive CSM range, measured around the scene CENTER
+            # (mirrors models/deferred.py's csm_max_distance derivation)
+            c = _np.asarray(gpu.inst_center).reshape(-1, 3)
+            r = _np.asarray(gpu.inst_radius).reshape(-1)
+            ctr = 0.5 * ((c - r[:, None]).min(0) + (c + r[:, None]).max(0))
+            radius = float((_np.linalg.norm(c - ctr, axis=1) + r).max())
+            self.csm_max_distance = float(min(max(2.0 * radius, 20.0), 400.0))
         self.state: Dict[str, jnp.ndarray] = {"exposure": jnp.float32(1.0)}
         self._jitted = None
 
@@ -117,7 +157,9 @@ class DeferredShardedRenderer:
         body = functools.partial(_shard_frame_fn, width=self.width,
                                  height=self.height, shard_h=self.shard_h,
                                  capacity=self.capacity,
-                                 max_per_tile=self.max_per_tile, dt=1.0 / 60.0)
+                                 max_per_tile=self.max_per_tile, dt=1.0 / 60.0,
+                                 shadow_capacity=self.shadow_capacity,
+                                 csm_max_distance=self.csm_max_distance)
         sharded = shard_map(body, mesh=self.mesh,
                             in_specs=(P(), P(), P(), P()),
                             out_specs=(P(), P()),

@@ -710,3 +710,47 @@ def test_sharded_ddgi_matches_single_device():
     for i in range(2):
         ldr, _ = r.render(gpu, cam.view_constants(i), settings)
     assert np.isfinite(np.asarray(ldr)).all()
+
+
+def test_sharded_csm_matches_single_device():
+    """CSM sun shadows in the sharded basic frame (VERDICT-r2 item 5: CSM
+    mode multi-chip): the cascade atlas raster is replicated (screen-
+    independent), the PCF mask evaluates banded — a 2-device render must
+    equal the 1-device render of the same body, and the mask must actually
+    darken the frame vs the unshadowed path."""
+    from hobbyrenderer_tpu.ops import sky as skyops
+    old_scale = skyops.SKY_FAST_SCALE
+    skyops.SKY_FAST_SCALE = 1  # band-local strided sky differs per band height
+    try:
+        W, H = 96, 64
+        sc = make_default_cube_scene()
+        gpu = build_scene_gpu(sc)
+        # boost the sun 10x so the shadow survives ambient + tonemap
+        # compression (the scene's default sun/ambient balance tonemaps a
+        # full-shadow pixel only ~5/255 darker)
+        import dataclasses
+        gpu = dataclasses.replace(gpu, light_color=gpu.light_color * 10.0)
+        cam = Camera(sc.cameras[0], W, H)
+        cam.jitter_enabled = False
+        vc = cam.view_constants(0)
+        settings = RenderSettings().as_pytree()
+
+        def render(n_dev, with_csm):
+            r = DeferredShardedRenderer(gpu, W, H, mesh=build_mesh(n_dev),
+                                        with_csm=with_csm)
+            ldr, _ = r.render(gpu, vc, settings)
+            return np.asarray(ldr).astype(np.int32)
+
+        ref = render(1, True)
+        got = render(2, True)
+        assert np.abs(ref - got).max() <= 1, \
+            f"max diff {np.abs(ref - got).max()}"
+        lit = render(2, False)
+        # the visible cast-shadow footprint is tiny at 96x64 (most of the
+        # ground shadow is out of frame; self-shadowed faces have N.L<=0
+        # already) — require a strong darkening on SOME pixels, parity above
+        # is the real sharding assertion
+        darkened = (lit.sum(-1) - got.sum(-1) > 8)
+        assert darkened.sum() >= 2, "CSM mask never shadowed anything"
+    finally:
+        skyops.SKY_FAST_SCALE = old_scale
