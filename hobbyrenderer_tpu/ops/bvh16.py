@@ -58,6 +58,13 @@ ROW_W = 128
 # stress scene (random rays): ~50% live @ 12 steps, ~8% @ 24, ~1.5% @ 48
 PHASES16 = ((12, 1 / 2), (12, 1 / 8), (24, 1 / 32), (384, None))
 
+# MXU-split phases: each iteration is EITHER an interior or a leaf step, so a
+# ray's node visits spread over ~1.4x more lockstep iterations than the
+# unified walk's — budgets scale accordingly
+PHASES16_MXU = ((17, 1 / 2), (17, 1 / 8), (34, 1 / 32), (540, None))
+
+BF16_SLOP = 1.0 / 256.0   # 2^-8 >= bf16 round-to-nearest rel. error (2^-9)
+
 
 class BVH16(NamedTuple):
     """16-ary unified-table BVH (transposed storage). Shape facts derive from
@@ -71,6 +78,9 @@ class BVH16(NamedTuple):
     #                               the one-shot u/v/front recompute after
     #                               traversal (keeps them out of the loop)
     slot_of: jnp.ndarray = None   # (T,) i32 original tri id -> leaf slot
+    int_bf: jnp.ndarray = None    # (96, Ip) bf16 CONSERVATIVE interior boxes
+    #                               (lo rounded down / hi up) for the one-hot
+    #                               MXU fetch path; Ip = I padded to 128
 
     @property
     def num_leaves(self) -> int:
@@ -119,6 +129,27 @@ def _assemble16(leaf_rows, levels, L: int, xp):
     return leaf_rows.T
 
 
+def _int_bf16(table, I: int, xp):
+    """Conservative bf16 interior-box table (96, Ip) from the unified
+    transposed table: lo components rounded DOWN, hi components rounded UP
+    (a 2^-8 relative slop before round-to-nearest guarantees containment,
+    bf16's RTN error being <= 2^-9), so MXU-fetched boxes are only ever
+    LOOSER than the f32 boxes — extra node visits, never a missed hit.
+    Columns pad to a multiple of 128 (never selected by the one-hot)."""
+    Ip = -(-max(I, 1) // 128) * 128
+    t = table[:96, :I]
+    is_hi = ((xp.arange(96) % 6) >= 3)[:, None]
+    slop = xp.abs(t) * xp.float32(BF16_SLOP) + xp.float32(1e-33)
+    t = xp.where(is_hi, t + slop, t - slop)
+    if xp is np:
+        import ml_dtypes
+        t = t.astype(ml_dtypes.bfloat16)
+        return np.concatenate(
+            [t, np.zeros((96, Ip - I), ml_dtypes.bfloat16)], axis=1)
+    t = t.astype(jnp.bfloat16)
+    return jnp.concatenate([t, jnp.zeros((96, Ip - I), jnp.bfloat16)], axis=1)
+
+
 def build_bvh16(tri_verts: np.ndarray, leaf_size: int = LEAF16,
                 device_put: bool = True) -> BVH16:
     """tri_verts: (T, 3, 3) float32 triangles. T < 2^24 (f32-exact ids)."""
@@ -160,8 +191,10 @@ def build_bvh16(tri_verts: np.ndarray, leaf_size: int = LEAF16,
     slots = np.arange(N, dtype=np.int32)
     slot_of[tri_id[valid]] = slots[valid]
 
+    I = (L - 1) // 15
     arrays = dict(table=table, order=tri_id, root_box=root_box,
-                  recs=recs, slot_of=slot_of)
+                  recs=recs, slot_of=slot_of,
+                  int_bf=_int_bf16(table, I, np))
     if device_put:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
     return BVH16(num_tris=T, **arrays)
@@ -187,7 +220,8 @@ def refit_bvh16(bvh: BVH16, tri_verts) -> BVH16:
     root_lo, root_hi = levels[-1]
     root_box = jnp.concatenate([root_lo[0], root_hi[0]])
     recs = leaf_rows.reshape(L * K, 10)[:, :9]
-    return bvh._replace(table=table, root_box=root_box, recs=recs)
+    return bvh._replace(table=table, root_box=root_box, recs=recs,
+                        int_bf=_int_bf16(table, (L - 1) // 15, jnp))
 
 
 def _ctz(lsb):
@@ -315,6 +349,226 @@ def _step16(table, I, M, leaf_size, o3, d3, inv3, t_min, any_hit, state):
     return cur, mask, live, best_t, best_tri
 
 
+def _pop16(cur, mask, lvl, M, need_pop, descend, near):
+    """Shared trail pop (see _step16): returns (cur', mask', died)."""
+    R = cur.shape[0]
+    ki = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1)
+    pend = mask != 0
+    kstar = jnp.max(jnp.where(pend, ki, -1), axis=1)
+    has_pend = kstar >= 0
+    sel = ki == kstar[:, None]
+    m_k = jnp.sum(jnp.where(sel, mask, 0), axis=1)
+    a_k = cur
+    steps_up = lvl - kstar
+    for _ in range(M):
+        a_k = jnp.where(steps_up > 0, (a_k - 1) >> 4, a_k)
+        steps_up = steps_up - 1
+    lsb = m_k & -m_k
+    cbit = _ctz(lsb)
+    mask = jnp.where(sel & need_pop[:, None], mask & ~lsb[:, None], mask)
+    pop = need_pop & has_pend
+    cur = jnp.where(descend, 16 * cur + 1 + near,
+                    jnp.where(pop, 16 * a_k + 1 + cbit,
+                              jnp.where(need_pop, -1, cur)))
+    return cur, mask, need_pop & ~has_pend
+
+
+def _step16_int(int_bf, I, M, o3, inv3, any_hit, state):
+    """Interior-only lockstep iteration: the 16 child boxes arrive via a
+    one-hot bf16 MATMUL against the conservative interior table (int_bf,
+    (96, Ip)) instead of an HBM row gather — the MXU fetches ~4369 x 96
+    table elements per lane at matmul rate, which beats the measured
+    ~60 Mrows/s gather ceiling at full wavefronts and costs near-nothing at
+    the narrow phase tail. Lanes sitting at a leaf node WAIT (untouched)."""
+    cur, mask, live, best_t, best_tri = state
+    R = cur.shape[0]
+    Ip = int_bf.shape[1]
+    lvl = _level_of(cur, M)
+    do = live & (cur >= 0) & (cur < I)
+    idx = jnp.where(do, cur, -1)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (Ip, R), 0) == idx[None, :])
+    cols = jax.lax.dot_general(int_bf, oh.astype(jnp.bfloat16),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (96, R)
+    box = cols.reshape(16, 6, R)
+    lox, loy, loz = box[:, 0], box[:, 1], box[:, 2]
+    hix, hiy, hiz = box[:, 3], box[:, 4], box[:, 5]
+    ox, oy, oz = o3[0], o3[1], o3[2]
+    ix, iy, iz = inv3
+    t0x, t1x = (lox - ox) * ix, (hix - ox) * ix
+    t0y, t1y = (loy - oy) * iy, (hiy - oy) * iy
+    t0z, t1z = (loz - oz) * iz, (hiz - oz) * iz
+    t_en = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.minimum(t0z, t1z))
+    t_ex = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                   jnp.maximum(t0y, t1y)),
+                       jnp.maximum(t0z, t1z))
+    bhit = ((t_en <= t_ex * 1.00000024) & (t_ex > 0.0) & (t_en < best_t)
+            & (lox <= hix) & do)
+    chw = (1 << jnp.arange(16, dtype=jnp.int32))[:, None]
+    bits = jnp.sum(jnp.where(bhit, chw, 0), axis=0)
+    if any_hit:
+        lsb = bits & -bits
+        near = _ctz(lsb)
+        has_int = bits != 0
+    else:
+        tcand_b = jnp.where(bhit, jnp.maximum(t_en, 0.0), INF)
+        near = jnp.argmin(tcand_b, axis=0).astype(jnp.int32)
+        has_int = jnp.take_along_axis(tcand_b, near[None], 0)[0] < INF
+    bits = bits & ~jnp.where(has_int, 1 << near, 0)
+    descend = do & has_int
+    ki = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1)
+    mask = jnp.where((ki == lvl[:, None]) & descend[:, None],
+                     bits[:, None], mask)
+    cur, mask, died = _pop16(cur, mask, lvl, M, do & ~has_int, descend, near)
+    return cur, mask, live & ~died, best_t, best_tri
+
+
+def _step16_leaf(table, I, M, leaf_size, o3, d3, t_min, any_hit, state):
+    """Leaf-only lockstep iteration: ONE unified-table row gather, K dense
+    triangle tests, then the trail pop. Interior lanes WAIT (they gather row
+    0 — the gather costs per-index regardless, which is why the loop only
+    schedules this step when enough live lanes sit at leaves)."""
+    cur, mask, live, best_t, best_tri = state
+    R = cur.shape[0]
+    lvl = _level_of(cur, M)
+    do = live & (cur >= I)
+    cols = table[:, jnp.where(do, cur, 0)]
+    rec = cols[:10 * leaf_size].reshape(leaf_size, 10, R)
+    v0x, v0y, v0z = rec[:, 0], rec[:, 1], rec[:, 2]
+    e1x, e1y, e1z = rec[:, 3], rec[:, 4], rec[:, 5]
+    e2x, e2y, e2z = rec[:, 6], rec[:, 7], rec[:, 8]
+    tid = rec[:, 9]
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    uu = (sx * px + sy * py + sz * pz) * inv_det
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    thit = ((jnp.abs(det) > 1e-12) & (uu >= -1e-7) & (vv >= -1e-7)
+            & (uu + vv <= 1.0 + 1e-7) & (tt > t_min) & (tt < best_t)
+            & (tid >= 0.0) & do)
+    tcand = jnp.where(thit, tt, INF)
+    kbest = jnp.argmin(tcand, axis=0)
+    tmin_leaf = jnp.take_along_axis(tcand, kbest[None], 0)[0]
+    lhit = tmin_leaf < best_t
+    best_tri = jnp.where(
+        lhit,
+        jnp.take_along_axis(tid, kbest[None], 0)[0].astype(jnp.int32),
+        best_tri)
+    best_t = jnp.where(lhit, tmin_leaf, best_t)
+    near0 = jnp.zeros(R, jnp.int32)
+    cur, mask, died = _pop16(cur, mask, lvl, M, do,
+                             jnp.zeros(R, bool), near0)
+    live = live & ~died
+    if any_hit:
+        live = live & ~(best_tri >= 0)
+    return cur, mask, live, best_t, best_tri
+
+
+LEAF_FRAC_NUM = 4   # run a leaf step when at-leaf lanes >= 1/4 of live lanes
+
+
+def _traverse16_mxu(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
+                    max_steps: int = None):
+    """MXU-split traversal: per lane the node-visit SEQUENCE is identical to
+    _traverse16's (same descend/pop decisions — conservative bf16 boxes can
+    only ADD visits, and added subtrees are culled by the same best_t rules),
+    but each lockstep iteration is EITHER an interior step (one-hot matmul,
+    no gather) or a leaf step (the one row gather), picked by a live-lane
+    census: leaf steps fire once at-leaf lanes reach 1/4 of the live set."""
+    R = o.shape[0]
+    I = bvh.n_interior
+    M = max(bvh.depth, 1)
+    leaf_size = bvh.leaf_size
+    if t_max is None:
+        t_max = jnp.full((R,), INF)
+    else:
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    inv_d = safe_inv_dir(d)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    int_bf = bvh.int_bf
+
+    state = (jnp.zeros(R, jnp.int32), jnp.zeros((R, M), jnp.int32),
+             jnp.ones(R, bool), t_max, jnp.full(R, -1, jnp.int32))
+
+    def run(state, o, d, inv_d, t_min, steps):
+        o3 = (o[:, 0], o[:, 1], o[:, 2])
+        d3 = (d[:, 0], d[:, 1], d[:, 2])
+        inv3 = (inv_d[:, 0], inv_d[:, 1], inv_d[:, 2])
+
+        def cond(c):
+            s, i = c
+            return s[2].any() & (i < steps)
+
+        def body(c):
+            s, i = c
+            cur, _, live, _, _ = s
+            n_leaf = jnp.sum((live & (cur >= I)).astype(jnp.int32))
+            n_live = jnp.sum((live & (cur >= 0)).astype(jnp.int32))
+            do_leaf = (LEAF_FRAC_NUM * n_leaf >= n_live) \
+                | (n_leaf == n_live)
+            s = jax.lax.cond(
+                do_leaf,
+                lambda st: _step16_leaf(bvh.table, I, M, leaf_size, o3, d3,
+                                        t_min, any_hit, st),
+                lambda st: _step16_int(int_bf, I, M, o3, inv3, any_hit, st),
+                s)
+            return (s, i + 1)
+
+        s, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return s
+
+    total_steps = max_steps if max_steps is not None else \
+        sum(s for s, _ in PHASES16_MXU)
+    if R < 16384:
+        phases = [(total_steps, None)]
+    else:
+        phases = []
+        left = total_steps
+        for steps, keep in PHASES16_MXU:
+            phases.append((min(steps, left), keep if left > steps else None))
+            left -= min(steps, left)
+            if left <= 0:
+                break
+
+    out_t = t_max
+    out_tri = jnp.full(R, -1, jnp.int32)
+    ridx = jnp.arange(R, dtype=jnp.int32)
+
+    for steps, keep in phases:
+        state = run(state, o, d, inv_d, t_min, steps)
+        cur, mask, live, best_t, best_tri = state
+        out_t = out_t.at[ridx].set(best_t)
+        out_tri = out_tri.at[ridx].set(best_tri)
+        if keep is None:
+            break
+        Rk = max(int(round(R * keep)), 128) if R > 128 else R
+        if Rk >= o.shape[0]:
+            continue
+        Rc = o.shape[0]
+        live_i = live.astype(jnp.int32)
+        n_live = jnp.sum(live_i)
+        rank = jnp.where(live, jnp.cumsum(live_i) - 1,
+                         n_live + jnp.cumsum(1 - live_i) - 1)
+        sel = jnp.zeros(Rc, jnp.int32).at[rank].set(
+            jnp.arange(Rc, dtype=jnp.int32))[:Rk]
+        state = (cur[sel], mask[sel], live[sel], best_t[sel], best_tri[sel])
+        o, d, inv_d, t_min = o[sel], d[sel], inv_d[sel], t_min[sel]
+        ridx = ridx[sel]
+
+    return out_t, out_tri
+
+
 def _traverse16(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
                 max_steps: int = None):
     R = o.shape[0]
@@ -392,13 +646,26 @@ def _traverse16(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
     return out_t, out_tri
 
 
+def _dispatch16(bvh, o, d, t_min, t_max, any_hit, max_steps, mxu):
+    if mxu is None:
+        mxu = bvh.int_bf is not None
+    if mxu and bvh.int_bf is not None:
+        # the split walk spreads a ray's visits over ~1.4x more iterations
+        ms = None if max_steps is None else int(max_steps * 1.4)
+        return _traverse16_mxu(bvh, o, d, t_min, t_max, any_hit=any_hit,
+                               max_steps=ms)
+    return _traverse16(bvh, o, d, t_min, t_max, any_hit=any_hit,
+                       max_steps=max_steps)
+
+
 def bvh16_closest_hit(bvh: BVH16, o, d, t_min=1e-4, t_max=None,
-                      max_steps: int = None) -> HitRecord:
+                      max_steps: int = None, mxu=None) -> HitRecord:
     """Closest-hit traversal. o, d: (R, 3). u/v/front are recomputed ONCE from
     the winning triangle's record after traversal (two R-row gathers) instead
     of being carried through every lockstep step."""
-    best_t, best_tri = _traverse16(bvh, o, d, t_min, t_max,
-                                   any_hit=False, max_steps=max_steps)
+    best_t, best_tri = _dispatch16(bvh, o, d, t_min, t_max,
+                                   any_hit=False, max_steps=max_steps,
+                                   mxu=mxu)
     miss = best_tri < 0
     rec = bvh.recs[bvh.slot_of[jnp.maximum(best_tri, 0)]]       # (R, 9)
     v0, e1, e2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
@@ -416,9 +683,10 @@ def bvh16_closest_hit(bvh: BVH16, o, d, t_min=1e-4, t_max=None,
 
 
 def bvh16_any_hit(bvh: BVH16, o, d, t_min=1e-4, t_max=None,
-                  max_steps: int = None):
+                  max_steps: int = None, mxu=None):
     """Shadow-ray traversal: occluded (R,) bool, per-lane early exit."""
-    best_t, best_tri = _traverse16(bvh, o, d, t_min, t_max,
-                                   any_hit=True, max_steps=max_steps)
+    best_t, best_tri = _dispatch16(bvh, o, d, t_min, t_max,
+                                   any_hit=True, max_steps=max_steps,
+                                   mxu=mxu)
     limit = t_max if t_max is not None else INF
     return (best_tri >= 0) & (best_t < limit)

@@ -30,14 +30,16 @@ def _random_rays(n, seed=1, spread=12.0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+@pytest.mark.parametrize("mxu", [False, True])
 @pytest.mark.parametrize("T,size", [(5, 4.0), (60, 2.0), (3000, 0.5)])
-def test_closest_hit_matches_4ary(T, size):
+def test_closest_hit_matches_4ary(T, size, mxu):
     tris = _random_tris(T, seed=T, size=size)
     bvh4 = bvhops.build_bvh(tris)
     bvh = b16.build_bvh16(tris)
     o, d = _random_rays(2048, seed=T + 1)
     rec4 = jax.jit(lambda o, d: bvhops.bvh_closest_hit(bvh4, o, d))(o, d)
-    rec = jax.jit(lambda o, d: b16.bvh16_closest_hit(bvh, o, d))(o, d)
+    rec = jax.jit(lambda o, d: b16.bvh16_closest_hit(bvh, o, d,
+                                                     mxu=mxu))(o, d)
     t4, t16 = np.asarray(rec4.t), np.asarray(rec.t)
     # same hit distance everywhere (tri ids may differ on exact ties)
     np.testing.assert_allclose(np.where(np.isfinite(t16), t16, -1),
@@ -53,7 +55,8 @@ def test_closest_hit_matches_4ary(T, size):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_any_hit_matches_4ary():
+@pytest.mark.parametrize("mxu", [False, True])
+def test_any_hit_matches_4ary(mxu):
     tris = _random_tris(800, seed=7)
     bvh4 = bvhops.build_bvh(tris)
     bvh = b16.build_bvh16(tris)
@@ -62,7 +65,8 @@ def test_any_hit_matches_4ary():
     occ4 = np.asarray(jax.jit(
         lambda o, d: bvhops.bvh_any_hit(bvh4, o, d, t_max=t_max))(o, d))
     occ = np.asarray(jax.jit(
-        lambda o, d: b16.bvh16_any_hit(bvh, o, d, t_max=t_max))(o, d))
+        lambda o, d: b16.bvh16_any_hit(bvh, o, d, t_max=t_max,
+                                       mxu=mxu))(o, d))
     np.testing.assert_array_equal(occ, occ4)
     assert occ.any() and not occ.all()
 
