@@ -95,6 +95,10 @@ def main(argv=None):
     p.add_argument("--tex-debug", action="store_true",
                    help="texture-streaming residency heatmap overlay (needs "
                         "--tex-streaming; ref TileResidencyDebugRenderer)")
+    p.add_argument("--pt-spp", dest="pt_spp", type=int, default=1,
+                   help="path-tracer samples per frame, batched into one "
+                        "wavefront (wider lockstep wavefronts amortize "
+                        "dispatch overheads on TPU)")
     p.add_argument("--no-specular-indirect", dest="specular_indirect",
                    action="store_false", default=True,
                    help="disable traced specular reflections (ref "
@@ -119,7 +123,7 @@ def main(argv=None):
                  tex_budget_mb=a.tex_budget_mb,
                  tex_debug=a.tex_debug,
                  restir_quality=a.restir_quality,
-                 specular_indirect=a.specular_indirect)
+                 specular_indirect=a.specular_indirect, pt_spp=a.pt_spp)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)
     if a.describe_graph:

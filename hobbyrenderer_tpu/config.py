@@ -134,6 +134,8 @@ class Config:
     keep_hdr: bool = False                # expose the linear HDR frame (for .hdr screenshots)
     env_lights: int = 0                   # envmap -> N pool directionals (ref env PDF presampling)
     tex_streaming: bool = False           # budgeted texture residency (scene/streaming.py)
+    pt_spp: int = 1                       # path-tracer samples/frame, batched
+    #                                       into ONE wavefront (--pt-spp)
     tex_budget_mb: int = 64               # streamed texel pool budget
     # Parallelism: framebuffer tile-sharding across the device mesh (SURVEY.md §5.8)
     num_devices: int = 0                  # 0 = all available

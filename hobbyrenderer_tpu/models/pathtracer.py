@@ -270,11 +270,23 @@ def _sun_index(gpu):
 def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
                 accum_index, max_bounces: int = 8, rr_start: int = 2,
                 sample_textures=None, sky_fn=None,
-                env_as_lights: bool = False):
-    """One sample per pixel; returns (H*W, 3) radiance."""
+                env_as_lights: bool = False, spp: int = 1):
+    """spp samples per pixel in ONE wavefront; returns (H*W, 3) mean radiance.
+
+    spp > 1 widens the lockstep wavefront to R*spp lanes: the per-step
+    dispatch overheads and the compaction-phase tail amortize over more rays
+    (measured: 540p wavefronts run ~2x slower per sample than 720p ones).
+    Sample s of accumulation frame a draws the RNG stream of frame a*spp+s,
+    so an spp=N frame is EXACTLY the mean of N consecutive spp=1 frames —
+    deterministic accumulation is preserved (ref PathTracerRenderer.cpp:41-50
+    accumulates one sample per rendered frame)."""
     R = height * width
-    pix = jnp.arange(R, dtype=jnp.uint32)
+    pix = (jnp.arange(R * spp, dtype=jnp.uint32) % jnp.uint32(R)
+           if spp > 1 else jnp.arange(R, dtype=jnp.uint32))
     frame = jnp.asarray(accum_index).astype(jnp.uint32)
+    if spp > 1:
+        frame = frame * jnp.uint32(spp) + jnp.repeat(
+            jnp.arange(spp, dtype=jnp.uint32), R)
 
     def rand3(dim):
         bits = pcg3d(jnp.stack([pix,
@@ -288,8 +300,19 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         return a, b
 
     ju, jv = rand2(0)
-    o, d = camera_rays(vc, height, width, jnp.stack([ju.reshape(height, width),
-                                                     jv.reshape(height, width)], -1))
+    if spp > 1:
+        parts = [camera_rays(vc, height, width,
+                             jnp.stack([ju[s * R:(s + 1) * R]
+                                        .reshape(height, width),
+                                        jv[s * R:(s + 1) * R]
+                                        .reshape(height, width)], -1))
+                 for s in range(spp)]
+        o = jnp.concatenate([p[0] for p in parts])
+        d = jnp.concatenate([p[1] for p in parts])
+    else:
+        o, d = camera_rays(vc, height, width,
+                           jnp.stack([ju.reshape(height, width),
+                                      jv.reshape(height, width)], -1))
     sun_idx, has_sun = _sun_index(gpu)
 
     from hobbyrenderer_tpu.ops import lights as lightops
@@ -563,11 +586,14 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         return (o, d, radiance, throughput, active, inside, sigma_t,
                 prev_pdf), None
 
-    carry = (o, d, jnp.zeros((R, 3)), jnp.ones((R, 3)), jnp.ones((R,), bool),
-             jnp.zeros((R,), bool), jnp.zeros((R, 3)), jnp.zeros((R,)))
+    RS = R * spp
+    carry = (o, d, jnp.zeros((RS, 3)), jnp.ones((RS, 3)),
+             jnp.ones((RS,), bool), jnp.zeros((RS,), bool),
+             jnp.zeros((RS, 3)), jnp.zeros((RS,)))
     carry, _ = jax.lax.scan(bounce_body, carry,
                             jnp.arange(max_bounces, dtype=jnp.int32))
-    return carry[2]
+    rad = carry[2]
+    return rad.reshape(spp, R, 3).mean(0) if spp > 1 else rad
 
 
 class PathTracerRenderer:
@@ -588,6 +614,9 @@ class PathTracerRenderer:
                                        "max_bounces", 8) or 8)
         self.rr_start = int(getattr(getattr(config, "settings", None),
                                     "rr_start_bounce", 2) or 2)
+        # samples per rendered frame, batched into ONE wavefront (wider
+        # lockstep wavefronts amortize dispatch overheads; --pt-spp)
+        self.spp = max(int(getattr(config, "pt_spp", 1) or 1), 1)
         if scene is not None and rt is None:
             self.rt = build_scene_rt(scene, gpu)
 
@@ -596,11 +625,13 @@ class PathTracerRenderer:
             self.rt = build_scene_rt(scene, gpu)
 
     def _step(self, gpu, rt, vc, settings, accum, n_accum, exposure, dt):
+        # n_accum counts SAMPLES; the RNG frame index is the spp-frame ordinal
         sample = trace_paths(gpu, rt, vc, settings, self.height, self.width,
-                             n_accum, self.max_bounces, self.rr_start,
-                             env_as_lights=self.env_as_lights)
+                             n_accum // self.spp, self.max_bounces,
+                             self.rr_start, env_as_lights=self.env_as_lights,
+                             spp=self.spp)
         sample = sample.reshape(self.height, self.width, 3)
-        w = 1.0 / (n_accum.astype(jnp.float32) + 1.0)
+        w = self.spp / (n_accum.astype(jnp.float32) + self.spp)
         accum = accum * (1.0 - w) + sample * w
         hist = postops.luminance_histogram(accum)
         exposure = postops.exposure_adapt(hist, exposure, dt, settings)
@@ -620,5 +651,5 @@ class PathTracerRenderer:
         ldr, self.accum, self.exposure = self._jitted(
             gpu, self.rt, vc, settings, self.accum,
             jnp.int32(self.num_accum), self.exposure, jnp.float32(dt))
-        self.num_accum += 1
+        self.num_accum += self.spp
         return ldr, jnp.int32(0)

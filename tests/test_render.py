@@ -117,6 +117,30 @@ def _furnace_scene(albedo=1.0):
     return sc
 
 
+def test_spp_batched_equals_consecutive_frames():
+    """An spp=N wavefront must average EXACTLY the N consecutive spp=1
+    frames it batches (sample s of frame a draws stream a*N+s) — the
+    deterministic-accumulation contract of the widened-wavefront path."""
+    sc = _furnace_scene(0.6)
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], 48, 32)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    sky_fn = lambda d, bounce: jnp.full((d.shape[0], 3), 0.5)
+    import jax
+    one = jax.jit(lambda i: trace_paths(gpu, rt, vc, settings, 32, 48, i,
+                                        max_bounces=4, sky_fn=sky_fn))
+    batched = jax.jit(lambda i: trace_paths(gpu, rt, vc, settings, 32, 48, i,
+                                            max_bounces=4, sky_fn=sky_fn,
+                                            spp=3))
+    want = (np.asarray(one(jnp.int32(0))) + np.asarray(one(jnp.int32(1)))
+            + np.asarray(one(jnp.int32(2)))) / 3.0
+    got = np.asarray(batched(jnp.int32(0)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_furnace_white_sphere():
     """Convex albedo-1 Lambertian sphere under constant env = invisible (energy
     conservation oracle for BVH + attrs + cosine sampling + RR)."""
