@@ -714,7 +714,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             include_env_miss=not env_as_lights,
             sky_sh=res["sky_irradiance"],
             ibl_scale=(ctx.settings.ibl_intensity
-                       * ctx.settings.ambient_scale))
+                       * ctx.settings.ambient_scale),
+            half_rate=rq.spec_half_rate)
         res["spec_indirect"] = spec
         res["spec_weight"] = w_blend
         res["spec_state"] = st

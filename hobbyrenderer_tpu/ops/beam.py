@@ -367,11 +367,16 @@ def unpack_tiles(img_t, H: int, W: int):
     return out.reshape(ty * TILE, tx * TILE)[:H, :W]
 
 
-def tile_majority_mask(key, H: int, W: int, probes: int = 8):
+def tile_majority_mask(key, H: int, W: int, probes: int = 8,
+                       exclude: int | None = None):
     """(H, W) i32 keys -> bool (H, W): lanes matching their 32x32 tile's
     approximate modal key (mode estimated by counting matches of `probes`
     evenly-spaced candidate lanes — exact when the tile holds <= `probes`
     distinct majority runs, which post-ReSTIR-spatial-reuse winner ids do).
+
+    `exclude`: a sentinel key (e.g. -1 = "no winner") that must never be
+    elected modal nor matched — without it, a mostly-idle tile elects the
+    sentinel and its few REAL winner lanes all fall to the straggler path.
 
     The beam kernel's cost is driven by each tile's direction CONE: one
     mixed-winner lane widens the cone to the whole light pool and the BFS
@@ -389,8 +394,13 @@ def tile_majority_mask(key, H: int, W: int, probes: int = 8):
     step = PIX // probes
     cand = t[:, ::step][:, :probes]                       # (T, P)
     cnt = jnp.sum(t[:, None, :] == cand[:, :, None], -1)  # (T, P)
+    if exclude is not None:
+        cnt = jnp.where(cand == exclude, -1, cnt)
     rep = jnp.take_along_axis(cand, jnp.argmax(cnt, -1)[:, None], 1)
-    return unpack_tiles((t == rep).astype(jnp.float32), H, W) > 0.5
+    m = t == rep
+    if exclude is not None:
+        m &= rep != exclude
+    return unpack_tiles(m.astype(jnp.float32), H, W) > 0.5
 
 
 def beam_any_hit(btable, o, d, t_max, active, H: int, W: int,

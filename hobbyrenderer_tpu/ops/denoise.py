@@ -63,9 +63,15 @@ def _bilinear_ext(img_e, xy, halo, shard, H, W):
 
 
 def temporal_accumulate(signal, gb, state: DenoiseState,
-                        max_history: float = 32.0, shard=None):
+                        max_history: float = 32.0, shard=None,
+                        sample_valid=None):
     """RELAX temporal pass: reproject, validate by depth+normal, blend with
-    1/(history+1), accumulate luminance moments."""
+    1/(history+1), accumulate luminance moments.
+
+    sample_valid (H, W) bool, optional: lanes that traced a FRESH sample this
+    frame. Others carry the reprojected history forward unchanged (no blend,
+    no history increment) — the half-rate/checkerboard tracing contract
+    (ref rtxdi::CheckerboardMode reconstruction)."""
     H, W = signal.shape[0], signal.shape[1]
     y0g = shu.global_y0(shard)
     full_h = shu.full_height(shard, H)
@@ -95,6 +101,12 @@ def temporal_accumulate(signal, gb, state: DenoiseState,
     lum = hm.luminance(signal, xp=jnp)
     mom_new = jnp.stack([lum, lum * lum], -1)
     moments = jnp.where(valid[..., None], pm + (mom_new - pm) * a, mom_new)
+    if sample_valid is not None:
+        keep = valid & ~sample_valid       # history-only lanes
+        color = jnp.where(keep[..., None], pc, color)
+        moments = jnp.where(keep[..., None], pm, moments)
+        # no fresh sample + no history: hist 0 marks "no data" for next frame
+        hist = jnp.where(keep, ph, jnp.where(sample_valid, hist, 0.0))
     new_state = DenoiseState(color=color, moments=moments, history=hist,
                              depth=gb.depth, normal=gb.normal)
     var = jnp.maximum(moments[..., 1] - moments[..., 0] ** 2, 0.0)

@@ -477,19 +477,35 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
             # winner rays are only PER-TILE coherent where the tile agrees on
             # one winner; a handful of off-winner lanes widen the beam cone to
             # the whole light pool and the kernel degenerates (measured 1.46 s
-            # of the 1.55 s RTXDI pass at 1080p). Split: the tile-modal
-            # majority rides the beam kernel (tight cone), the stragglers
-            # compact into a small wavefront for the 16-ary walk.
+            # of the 1.55 s RTXDI pass at 1080p). Split: the TOP-TWO tile-modal
+            # winners each ride a beam pass (tight cones; post-spatial-reuse
+            # tiles hold 1-3 distinct winners, so two modal passes absorb
+            # nearly every lane), the rare stragglers compact into a small
+            # wavefront for the 16-ary walk. An extra beam pass over
+            # mostly-empty tiles is far cheaper than widening the straggler
+            # wavefront 4x.
             from hobbyrenderer_tpu.ops import beam as beamops
-            key = jnp.where(shoot, y, -1).reshape(H, W)
-            match = beamops.tile_majority_mask(key, H, W) \
-                & shoot.reshape(H, W)
+            shoot2 = shoot.reshape(H, W)
+            o2 = o.reshape(H, W, 3)
+            Lv2 = L_vis.reshape(H, W, 3)
+            tm2 = tmax.reshape(H, W)
+            key = jnp.where(shoot2, y.reshape(H, W), -1)
+            match = beamops.tile_majority_mask(key, H, W, exclude=-1) \
+                & shoot2
             occ_b, n_ovf = beamops.beam_any_hit(
-                rt.btable, o.reshape(H, W, 3), L_vis.reshape(H, W, 3),
-                tmax.reshape(H, W), match, H, W,
+                rt.btable, o2, Lv2, tm2, match, H, W,
                 return_overflow=True)
+            key2 = jnp.where(match, -1, key)
+            match2 = beamops.tile_majority_mask(key2, H, W, exclude=-1) \
+                & shoot2 & ~match
+            occ_b2, n_ovf2 = beamops.beam_any_hit(
+                rt.btable, o2, Lv2, tm2, match2, H, W,
+                return_overflow=True)
+            occ_b = jnp.where(match2, occ_b2, occ_b)
+            n_ovf = n_ovf + n_ovf2
+            match = match | match2
             minority = shoot & ~match.reshape(R)
-            CAP = max(R // 8, 1024)
+            CAP = max(R // 32, 1024)
             rank = jnp.cumsum(minority.astype(jnp.int32)) - 1
             slot = jnp.where(minority & (rank < CAP), rank, CAP)
             sel = jnp.full((CAP + 1,), R, jnp.int32) \

@@ -39,6 +39,9 @@ class ReSTIRPreset(NamedTuple):
     gi_spatial_taps: int = 4
     gi_m_clamp: float = 12.0
     gi_half_rate: bool = True
+    # traced-specular ray budget: checkerboard half-rate (the same
+    # CheckerboardMode lever applied to the BrdfRayTracing pass)
+    spec_half_rate: bool = True
 
 
 PRESETS = {
@@ -54,7 +57,8 @@ PRESETS = {
     "highquality": ReSTIRPreset(name="highquality", di_candidates=16,
                                 di_spatial_taps=5, di_boiling_mult=0.0,
                                 di_checkerboard=False, gi_spatial_taps=5,
-                                gi_m_clamp=20.0, gi_half_rate=False),
+                                gi_m_clamp=20.0, gi_half_rate=False,
+                                spec_half_rate=False),
 }
 
 

@@ -65,7 +65,8 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
                       sun_dir=None, sharc_cache=None, shard=None,
                       skip_pool_emissive: bool = False,
                       include_env_miss: bool = True,
-                      sky_sh=None, ibl_scale=1.0):
+                      sky_sh=None, ibl_scale=1.0,
+                      half_rate: bool = False):
     """One traced-specular frame. Returns (spec (H, W, 3) full-res PREMULTIPLIED
     by the blend weight, weight (H, W), new DenoiseState (half-res)).
 
@@ -128,6 +129,15 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
 
     active = (valid & (rough < rough_max) & (nov > 1e-4)
               & (jnp.sum(gn * d, -1) > 0.0) & (ndl > 0.0))
+    # half-rate checkerboard (ref rtxdi::CheckerboardMode as a perf preset
+    # lever): only alternating-parity spec-grid pixels trace this frame; the
+    # temporal pass carries the off-parity lanes' history forward. GLOBAL
+    # parity so the sharded frame traces the same lanes as single-chip.
+    if half_rate:
+        gx = jnp.arange(R, dtype=jnp.int32) % Ws
+        parity = (((ly + gy0) + gx + jnp.asarray(frame_index)
+                   .astype(jnp.int32)) & 1) == 0
+        active &= parity
     o = offset_ray_origin(pos, gn, d)
 
     # ---- compact the active lanes before tracing ----------------------------
@@ -139,7 +149,7 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
     # (measured 1.55 s -> see README journal). Lanes past CAP (glossier
     # scenes) fall back to the unoccluded environment sample — exactly the
     # split-sum term this pass replaces — instead of going black.
-    CAP = max(R // 4, 1024)
+    CAP = max(R // 8 if half_rate else R // 4, 1024)
     rank = jnp.cumsum(active.astype(jnp.int32)) - 1
     slot = jnp.where(active & (rank < CAP), rank, CAP)
     sel = jnp.full((CAP + 1,), R, jnp.int32) \
@@ -212,8 +222,10 @@ def specular_indirect(gpu, rt, gb, vc, settings, state: DenoiseState,
                  normal=sub(gb.normal), valid=sub(gb.valid))
     # mirror-like pixels keep a short history (reflections move with the
     # camera; long histories ghost), rough pixels accumulate long
+    sv = (parity.reshape(Hs, Ws) if half_rate else None)
     color, var, new_state = temporal_accumulate(spec, sgb, state,
-                                                max_history=8.0, shard=gshard)
+                                                max_history=8.0, shard=gshard,
+                                                sample_valid=sv)
     r_px = (4.0 * jnp.clip(sub(gb.orm[..., 1]) / rough_max, 0.05, 1.0)
             * 8.0 / (1.0 + new_state.history))
     color = atrous_filter(color, var, sgb, iterations=2, shard=gshard,

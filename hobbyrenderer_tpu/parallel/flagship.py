@@ -268,7 +268,8 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
             vc["frame_index"], sun_dir=sun_dir, shard=shard,
             skip_pool_emissive=True, sky_sh=irr,
             sharc_cache=sharc_cache if indirect == "sharc" else None,
-            ibl_scale=settings.ibl_intensity * settings.ambient_scale)
+            ibl_scale=settings.ibl_intensity * settings.ambient_scale,
+            half_rate=True)  # balanced-preset default (spec_half_rate)
 
     # ambient + sky on the band
     vdir = skyops.view_dirs_from_pixels(vc, shard_h, width, y0=y0,

@@ -157,3 +157,20 @@ def test_tile_majority_mask():
     # pad rows (key -2^30) outnumber real rows in the bottom tiles: the
     # conservative outcome routes ALL real lanes to the straggler path
     assert not m[32:, :].any()
+
+
+def test_tile_majority_mask_exclude():
+    """exclude= routes the sentinel away from the modal election: a tile
+    whose lanes are mostly -1 (done / not shooting) still elects its REAL
+    modal winner, and sentinel lanes never match."""
+    H, W = 32, 64
+    key = np.full((H, W), -1, np.int32)
+    key[::3, :32] = 5          # sparse real winners in tile 0 (~1/3 of lanes)
+    key[0, 32:] = 4            # tile 1: a single real-winner row
+    m = np.asarray(beamops.tile_majority_mask(jnp.asarray(key), H, W,
+                                              exclude=-1))
+    assert m[::3, :32].all() and not m[1::3, :32].any()
+    assert m[0, 32:].all() and not m[1:, 32:].any()
+    # without exclude, the sentinel wins both tiles and every lane "matches"
+    m0 = np.asarray(beamops.tile_majority_mask(jnp.asarray(key), H, W))
+    assert not (m0[::3, :32].all() and m0[0, 32:].all())

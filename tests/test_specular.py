@@ -172,3 +172,45 @@ def test_blend_weight_bands():
                      specops.ROUGH_MAX, 0.9], np.float32)))
     assert w[0] == 1.0 and w[1] == 1.0 and w[2] == 1.0
     assert w[3] == 0.0 and w[4] == 0.0
+
+
+def test_half_rate_matches_full_rate_converged():
+    """Checkerboard half-rate tracing (the perf-preset lever): on a static
+    delta-mirror scene every traced sample is identical, so once both
+    parities have traced, the converged half-rate output must match the
+    full-rate output closely (small residual from history-count-driven
+    filter radii)."""
+    from hobbyrenderer_tpu.scene import Camera
+    sc = _mirror_scene(roughness=0.0)
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W, H)
+    settings = RenderSettings().as_pytree()
+    cap = int(gpu.lod0_pair_capacity)
+    outs = {}
+    for hr in (False, True):
+        st = specops.spec_state_init(H, W)
+        for f in range(6):
+            vc = cam.view_constants(f)
+            gb = _gbuffer(gpu, vc, cap)
+            spec, wgt, st = specops.specular_indirect(
+                gpu, rt, gb, vc, settings, st, f,
+                sun_dir=jnp.asarray([0.0, 1.0, 0.0]),
+                include_env_miss=False, half_rate=hr)
+        outs[hr] = np.asarray(spec)
+    floor = np.asarray(gb.valid) & (np.asarray(gb.orm[..., 2]) > 0.5)
+    full_m = outs[False][..., 0][floor].mean()
+    half_m = outs[True][..., 0][floor].mean()
+    assert full_m > 0.0
+    assert abs(half_m - full_m) < 0.15 * full_m, (half_m, full_m)
+    # off-parity lanes carry history: no checkerboard holes — the set of lit
+    # lanes (the panel's reflection footprint) matches the full-rate one
+    lit_full = (outs[False][..., 0][floor] > 0.05 * full_m)
+    lit_half = (outs[True][..., 0][floor] > 0.05 * full_m)
+    assert lit_full.sum() > 20
+    agree = (lit_full == lit_half).mean()
+    assert agree > 0.95, agree
+    # and per-pixel agreement on the lit region (identical static samples)
+    d = np.abs(outs[True][..., 0] - outs[False][..., 0])[floor][lit_full]
+    ref = outs[False][..., 0][floor][lit_full]
+    assert (d / np.maximum(ref, 1e-6)).mean() < 0.25
