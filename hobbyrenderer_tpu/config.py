@@ -137,6 +137,16 @@ class Config:
     pt_spp: int = 1                       # path-tracer samples/frame, batched
     #                                       into ONE wavefront (--pt-spp)
     tex_budget_mb: int = 64               # streamed texel pool budget
+    tune_file: Optional[str] = None       # live-tuning knob JSON re-read per
+    #                                       frame onto RenderSettings (the
+    #                                       ImGui panel analogue: the traced
+    #                                       pytree means changes apply next
+    #                                       frame with NO recompile;
+    #                                       ref src/Renderer.h:285-418)
+    debug_view: Optional[str] = None      # named debug visualization
+    #                                       (ref CSMDebug.hlsl modes /
+    #                                       SSGIDebug outputs); see
+    #                                       ops/debugview.py for names
     # Parallelism: framebuffer tile-sharding across the device mesh (SURVEY.md §5.8)
     num_devices: int = 0                  # 0 = all available
     settings: RenderSettings = field(default_factory=RenderSettings)

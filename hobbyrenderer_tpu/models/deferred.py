@@ -81,7 +81,8 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                          denoiser_profile: str = "relax",
                          specular_indirect: bool = False,
                          restir_quality: str = "balanced",
-                         regir_mode: str = "onion") -> RenderGraph:
+                         regir_mode: str = "onion",
+                         debug_view: str = None) -> RenderGraph:
     g = RenderGraph()
     from hobbyrenderer_tpu.ops.restir_presets import get_preset
     rq = get_preset(restir_quality)
@@ -319,7 +320,11 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
                           and mode in (RenderingMode.NORMAL, RenderingMode.IBL)):
         g.get("SunShadow").enabled = False
 
-    csm_writes = ("sun_shadow", "csm_data") if csm_debug else ("sun_shadow",)
+    dv_csm = bool(debug_view and debug_view.startswith("csm_"))
+    dv_ssgi = bool(debug_view and debug_view.startswith("ssgi_"))
+    dv_sharc = bool(debug_view and debug_view.startswith("sharc_"))
+    csm_writes = (("sun_shadow", "csm_data") if (csm_debug or dv_csm)
+                  else ("sun_shadow",))
 
     @g.add
     @render_pass("ShadowCSM", reads=("gbuffer",), writes=csm_writes)
@@ -332,7 +337,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
         sun_dir = _scene_sun_dir(ctx)
         data = csmops.render_cascades(ctx.gpu, ctx.vc, sun_dir, shadow_capacity,
                                       max_distance=csm_max_distance)
-        if csm_debug:
+        if csm_debug or dv_csm:
             res["csm_data"] = data
         # mask evaluated at half res (PCF table lookups are gather-bound on
         # TPU); PCF + bilinear upsample + TAA hide the resolution
@@ -648,10 +653,13 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
 
     use_ssgi = indirect_mode == "ssgi"
 
+    ssgi_writes = ("ssgi_indirect", "ssgi_state") \
+        + (("ssgi_debug",) if dv_ssgi else ())
+
     @g.add
     @render_pass("SSGI", reads=("gbuffer", "sky_irradiance", "taa_history",
                                 "ssgi_state"),
-                 writes=("ssgi_indirect", "ssgi_state"),
+                 writes=ssgi_writes,
                  persistent=("ssgi_state",))
     def _ssgi(ctx, res):
         """Screen-space GI (ref SSGIRenderer, SURVEY.md §2.6 #43): half-res
@@ -665,14 +673,20 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             # SSGI marches at render resolution
             prev_hdr = jax.image.resize(prev_hdr, (height, width, 3),
                                         "bilinear")
+        dv = {} if dv_ssgi else None
         raw = ssgiops.ssgi_half_res(gb, ctx.vc, prev_hdr,
                                     res["sky_irradiance"], ctx.settings,
-                                    ctx.vc["frame_index"])
+                                    ctx.vc["frame_index"], debug_out=dv)
         # full denoise chain (demodulated internally): the A-trous smooths
         # irradiance, not albedo detail
-        out, st = dnops.denoise(raw, gb, res["ssgi_state"])
+        out, st = dnops.denoise(raw, gb, res["ssgi_state"], debug_out=dv)
         res["ssgi_indirect"] = out
         res["ssgi_state"] = st
+        if dv_ssgi:
+            dv["composed"] = out
+            dv["view_dir"] = skyops.view_dirs_from_pixels(ctx.vc, height,
+                                                          width)
+            res["ssgi_debug"] = dv
 
     if not use_ssgi:
         g.get("SSGI").enabled = False
@@ -920,6 +934,63 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
     if not (tex_debug and streaming) or upscale:
         g.get("TexResidencyDebug").enabled = False
 
+    if debug_view:
+        from hobbyrenderer_tpu.ops import debugview as dvops
+        if debug_view not in dvops.ALL_VIEWS:
+            raise ValueError(f"unknown --debug-view '{debug_view}' "
+                             f"(one of {', '.join(dvops.ALL_VIEWS)})")
+        if upscale:
+            raise ValueError("--debug-view needs native resolution "
+                             "(no --render-scale)")
+        if dv_csm and mode != RenderingMode.NORMAL_BASIC:
+            raise ValueError("csm_* debug views need --mode normal_basic "
+                             "(CSM is the NormalBasic sun-shadow path)")
+        if dv_ssgi and not use_ssgi:
+            raise ValueError("ssgi_* debug views need --indirect-mode ssgi")
+        if dv_sharc and not (use_sharc or use_sharc_traced):
+            raise ValueError("sharc_* debug views need --indirect-mode "
+                             "sharc/combined")
+        dv_reads = ("ldr", "gbuffer") \
+            + (("csm_data", "sun_shadow") if dv_csm else ()) \
+            + (("ssgi_debug",) if dv_ssgi else ()) \
+            + (("sharc_cache",) if dv_sharc else ()) \
+            + (("sharc_indirect",) if dv_sharc else ())
+
+        @g.add
+        @render_pass("DebugView", reads=dv_reads, writes=("ldr",))
+        def _debug_view(ctx, res):
+            """Named debug visualization (ref CSMDebug.hlsl modes /
+            SSGIDebugMode / SHARCDebugMode outputs — src/shaders/
+            Common.sr:170-221). Replaces the frame with the diagnostic."""
+            gb = res["gbuffer"]
+            ldr_f = res["ldr"].astype(jnp.float32) / 255.0
+            if dv_csm:
+                from hobbyrenderer_tpu.scene.gpu import MATI_ALPHA_MODE
+                mid = jnp.maximum(gb.material, 0)
+                masked = (ctx.gpu.mat_i[mid, MATI_ALPHA_MODE] == 1) \
+                    & (gb.material >= 0)
+                img = dvops.csm_view(debug_view, ldr_f, gb, res["csm_data"],
+                                     ctx.vc, res["sun_shadow"],
+                                     masked=masked)
+            elif dv_ssgi:
+                img = dvops.ssgi_view(debug_view, ldr_f, gb,
+                                      res["ssgi_debug"])
+            else:
+                from hobbyrenderer_tpu.ops import sharc as sharcops
+                cache = res["sharc_cache"]
+                cam = ctx.vc["camera_pos"]
+                pos = gb.world_pos.reshape(-1, 3)
+                nrm = gb.normal.reshape(-1, 3)
+                rad, hit = sharcops.sharc_query(cache, pos, nrm, cam)
+                dv = {"cell": sharcops._cell_key(pos, nrm, cam)
+                      .reshape(height, width).astype(jnp.int32),
+                      "radiance": res["sharc_indirect"],
+                      "hit": hit.reshape(height, width)
+                      .astype(jnp.float32)}
+                img = dvops.sharc_view(debug_view, ldr_f, gb, dv)
+            res["ldr"] = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5) \
+                .astype(jnp.uint8)
+
     return g
 
 
@@ -1045,7 +1116,9 @@ class DeferredRenderer:
                                               "balanced") or "balanced",
                                           regir_mode=getattr(
                                               config, "regir_mode",
-                                              "onion") or "onion")
+                                              "onion") or "onion",
+                                          debug_view=getattr(
+                                              config, "debug_view", None))
         self.streaming = gpu.tex_stream is not None
         self.state = initial_frame_state(width, height, direct_mode=direct_mode,
                                          indirect_mode=indirect_mode,

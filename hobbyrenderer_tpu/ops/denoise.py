@@ -105,6 +105,20 @@ def temporal_accumulate(signal, gb, state: DenoiseState,
         keep = valid & ~sample_valid       # history-only lanes
         color = jnp.where(keep[..., None], pc, color)
         moments = jnp.where(keep[..., None], pm, moments)
+        # no fresh sample + no history (disocclusion / first frame): the
+        # untraced lane's signal is 0 — passing it through paints a one-frame
+        # black checkerboard. Reconstruct from the same-frame horizontal
+        # neighbors instead (checkerboard parity alternates along x, so both
+        # neighbors traced this frame — the reference's checkerboard
+        # reconstruction, rtxdi::CheckerboardMode).
+        hole = ~valid & ~sample_valid
+        left = jnp.concatenate([signal[:, :1], signal[:, :-1]], axis=1)
+        right = jnp.concatenate([signal[:, 1:], signal[:, -1:]], axis=1)
+        recon = 0.5 * (left + right)
+        color = jnp.where(hole[..., None], recon, color)
+        lum_r = hm.luminance(recon, xp=jnp)
+        moments = jnp.where(hole[..., None],
+                            jnp.stack([lum_r, lum_r * lum_r], -1), moments)
         # no fresh sample + no history: hist 0 marks "no data" for next frame
         hist = jnp.where(keep, ph, jnp.where(sample_valid, hist, 0.0))
     new_state = DenoiseState(color=color, moments=moments, history=hist,
@@ -199,7 +213,8 @@ def demodulation_factor(gb):
 
 
 def denoise(signal, gb, state: DenoiseState, shard=None,
-            profile: str = "relax", demodulate: bool = True):
+            profile: str = "relax", demodulate: bool = True,
+            debug_out: dict = None):
     """Full denoise chain. Returns (denoised, new_state).
 
     profile 'relax': fixed-footprint variance-guided A-trous (ref RELAX).
@@ -228,4 +243,10 @@ def denoise(signal, gb, state: DenoiseState, shard=None,
     out = atrous_filter(color, var, gb, shard=shard, radius_px=radius)
     if mod is not None:
         out = out * mod
+    if debug_out is not None:
+        # debug taps for ops/debugview.py (remodulated for display)
+        m = mod if mod is not None else 1.0
+        debug_out["temporal"] = color * m
+        debug_out["denoised"] = out
+        debug_out["age"] = new_state.history
     return out, new_state

@@ -473,7 +473,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         L_vis, tmax_t = retarget_shadow_ray(pos, o, L_final, dist)
         tmax = jnp.where(shoot, tmax_t, 1e-4)
         if getattr(rt, "btable", None) is not None \
-                and jax.default_backend() == "tpu":
+                and (jax.default_backend() == "tpu" or force_kernel):
             # winner rays are only PER-TILE coherent where the tile agrees on
             # one winner; a handful of off-winner lanes widen the beam cone to
             # the whole light pool and the kernel degenerates (measured 1.46 s
@@ -485,6 +485,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
             # mostly-empty tiles is far cheaper than widening the straggler
             # wavefront 4x.
             from hobbyrenderer_tpu.ops import beam as beamops
+            interp = force_kernel and jax.default_backend() != "tpu"
             shoot2 = shoot.reshape(H, W)
             o2 = o.reshape(H, W, 3)
             Lv2 = L_vis.reshape(H, W, 3)
@@ -494,13 +495,13 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
                 & shoot2
             occ_b, n_ovf = beamops.beam_any_hit(
                 rt.btable, o2, Lv2, tm2, match, H, W,
-                return_overflow=True)
+                interpret=interp, return_overflow=True)
             key2 = jnp.where(match, -1, key)
             match2 = beamops.tile_majority_mask(key2, H, W, exclude=-1) \
                 & shoot2 & ~match
             occ_b2, n_ovf2 = beamops.beam_any_hit(
                 rt.btable, o2, Lv2, tm2, match2, H, W,
-                return_overflow=True)
+                interpret=interp, return_overflow=True)
             occ_b = jnp.where(match2, occ_b2, occ_b)
             n_ovf = n_ovf + n_ovf2
             match = match | match2
@@ -523,8 +524,12 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
             else:
                 occ_c = bvhops.bvh_any_hit(rt.bvh, o_c, d_c, t_max=tm_c,
                                            max_steps=256)
-            occ_m = jnp.zeros(R, bool).at[sel].set(occ_c & ~pad,
-                                                   mode="drop")
+            # lanes past CAP never traced: treat them as OCCLUDED (a brief
+            # over-dark shadow) rather than unoccluded (a light leak the
+            # temporal chain amplifies) — ADVICE r3
+            occ_m = jnp.where(minority & (rank >= CAP), True,
+                              jnp.zeros(R, bool).at[sel].set(occ_c & ~pad,
+                                                             mode="drop"))
             occ = jnp.where(match.reshape(R), occ_b.reshape(R), occ_m)
             if stats_out is not None:
                 # under-reported occlusion events: frontier-overflowed beam

@@ -31,7 +31,8 @@ THICKNESS = 0.35          # relative depth-gap acceptance
 
 
 def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2,
-                  shard=None, depth_full=None, prev_hdr_full=None):
+                  shard=None, depth_full=None, prev_hdr_full=None,
+                  debug_out: dict = None):
     """Returns (h_band, W, 3) indirect radiance (upsampled from half res).
 
     Single-chip: gb/prev_hdr are the full frame. Sharded: gb is the device's
@@ -80,6 +81,7 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2,
 
     hit_col = jnp.zeros((R, 3))
     found = jnp.zeros(R, bool)
+    hit_t = jnp.zeros(R)
     # geometric step schedule biased toward the origin
     for k in range(MARCH_STEPS):
         t = MARCH_DISTANCE * ((k + 1) / MARCH_STEPS) ** 2 + 0.05
@@ -93,6 +95,7 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2,
         hit = on & (zbuf > z) & (zbuf < z * (1.0 + THICKNESS)) & ~found
         col = hdr_tap[yi, xi]
         hit_col = jnp.where(hit[..., None], col, hit_col)
+        hit_t = jnp.where(hit, t, hit_t)
         found = found | hit
 
     # miss -> no contribution: sky visibility is already covered by the IBL
@@ -102,7 +105,20 @@ def ssgi_half_res(gb, vc, prev_hdr, irr, settings, frame_index, scale: int = 2,
     # irradiance/pi (pdf cancels cos/pi); the geometry-guided upsample then
     # re-applies FULL-res albedo so texture detail never passes through the
     # low-res grid (NRD demodulation convention)
-    irr = jnp.where(valid[..., None], radiance, 0.0).reshape(sh, sw, 3)
+    irr_img = jnp.where(valid[..., None], radiance, 0.0).reshape(sh, sw, 3)
+    if debug_out is not None:
+        # debug intermediates for ops/debugview.py (ref SSGIDebugMode outputs)
+        debug_out["irr_half"] = irr_img
+        debug_out["hit"] = found.reshape(sh, sw).astype(jnp.float32)
+        debug_out["ray_t"] = (hit_t / MARCH_DISTANCE).reshape(sh, sw)
+        debug_out["direct"] = hit_col.reshape(sh, sw, 3)
+        # the sky term a missed march WOULD read (ref SSGI_DEBUG_SKY_FALLBACK;
+        # here that energy lives in the IBL ambient term — see the miss note
+        # above): SH sky irradiance along the marched direction
+        debug_out["sky_eval"] = jnp.where(
+            valid[..., None], iblops.sample_irradiance(irr, d),
+            0.0).reshape(sh, sw, 3)
+    irr = irr_img
     if scale > 1:
         from hobbyrenderer_tpu.ops.upsample import joint_bilateral_upsample
         sub = lambda img: img[::scale, ::scale][:sh, :sw]

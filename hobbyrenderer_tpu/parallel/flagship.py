@@ -45,6 +45,9 @@ from hobbyrenderer_tpu.parallel.mesh import TILE_AXIS, build_mesh
 
 GI_SCALE = 4
 GI_HALF_RATE = True   # same checkerboard trade as models/deferred.py
+SPEC_HALF_RATE = True  # traced-specular checkerboard (preset spec_half_rate;
+#                        the deferred path reads rq.spec_half_rate — keep the
+#                        sharded default in ONE visible place, not inline)
 GI_TRACE_STEPS = 512
 
 
@@ -269,7 +272,7 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
             skip_pool_emissive=True, sky_sh=irr,
             sharc_cache=sharc_cache if indirect == "sharc" else None,
             ibl_scale=settings.ibl_intensity * settings.ambient_scale,
-            half_rate=True)  # balanced-preset default (spec_half_rate)
+            half_rate=SPEC_HALF_RATE)
 
     # ambient + sky on the band
     vdir = skyops.view_dirs_from_pixels(vc, shard_h, width, y0=y0,

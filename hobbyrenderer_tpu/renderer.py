@@ -131,6 +131,8 @@ class Renderer:
         os.makedirs(cfg.cache_dir, exist_ok=True)
         self.camera_state.restore(self.camera, self._scene_key)
         self.camera_state.start()
+        self._tune_mtime = 0.0
+        self._tune_warned: set = set()
         self._build_model()
 
     # -- mode / model management (ApplyRenderingModeDefaults analogue) -------
@@ -174,7 +176,47 @@ class Renderer:
 
     # -- frame loop ----------------------------------------------------------
 
+    def _poll_tune_file(self):
+        """Live-tuning channel (ref the ImGui panels over ~80 Renderer
+        members, src/Renderer.h:285-418 + src/ImGuiLayer.cpp): when
+        Config.tune_file is set, re-read it each frame (mtime-gated) and map
+        its keys onto RenderSettings. Settings ride into jit as a traced
+        pytree, so a knob change applies NEXT FRAME without recompiling."""
+        import dataclasses as _dc
+        import json as _json
+        cfg = self.config
+        path = getattr(cfg, "tune_file", None)
+        if not path or not os.path.exists(path):
+            return
+        try:
+            mtime = os.path.getmtime(path)
+            if mtime <= self._tune_mtime:
+                return
+            with open(path) as f:
+                knobs = _json.load(f)
+            self._tune_mtime = mtime
+        except (OSError, ValueError):
+            return      # partial write mid-save; retry next frame
+        s = cfg.settings
+        names = {f.name for f in _dc.fields(s) if not f.name.startswith("_")}
+        updates = {}
+        for k, v in knobs.items():
+            if k not in names or k in s._static_fields:
+                if k not in self._tune_warned:
+                    self._tune_warned.add(k)
+                    kind = ("jit-static (needs restart)"
+                            if k in getattr(s, "_static_fields", ())
+                            else "unknown")
+                    print(f"[tune] ignoring {kind} knob '{k}'")
+                continue
+            cur = getattr(s, k)
+            updates[k] = (tuple(v) if isinstance(cur, (tuple, list))
+                          else type(cur)(v))
+        if updates:
+            self.config = _dc.replace(cfg, settings=_dc.replace(s, **updates))
+
     def render_frame(self, dt: float = 1.0 / 60.0):
+        self._poll_tune_file()
         cfg = self.config
         with PROFILER.scope("Frame/SceneUpdate"):
             self.time_s += dt

@@ -754,3 +754,41 @@ def test_sharded_csm_matches_single_device():
         assert darkened.sum() >= 2, "CSM mask never shadowed anything"
     finally:
         skyops.SKY_FAST_SCALE = old_scale
+
+
+def test_sharded_pathtracer_matches_spp_batch():
+    """Sample-parallel sharded PT (parallel/pt.py): one 2-device call draws
+    the SAME deterministic sample set as one single-chip spp=2 call (device k
+    renders accumulation frame c*n+k — the documented trace_paths contract),
+    so the accumulated images agree to psum-vs-concat float tolerance."""
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.models.pathtracer import (PathTracerRenderer,
+                                                     build_scene_rt)
+    from hobbyrenderer_tpu.parallel import PathTracerShardedRenderer
+
+    W, H = 64, 32
+    sc = make_default_cube_scene()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+
+    cfg = Config(scene="cube", width=W, height=H,
+                 mode=RenderingMode.PATH_TRACER, pt_spp=2)
+    single = PathTracerRenderer(gpu, W, H, config=cfg, rt=rt)
+    ldr_ref, _ = single.render(gpu, vc, settings)
+
+    sharded = PathTracerShardedRenderer(gpu, W, H, rt=rt, mesh=build_mesh(2))
+    ldr_sh, _ = sharded.render(gpu, vc, settings)
+
+    a = np.asarray(ldr_ref).astype(np.int32)
+    b = np.asarray(ldr_sh).astype(np.int32)
+    assert np.abs(a - b).max() <= 1, f"max diff {np.abs(a - b).max()}"
+    # and a second call continues the SAME deterministic stream
+    ldr_ref2, _ = single.render(gpu, vc, settings)
+    ldr_sh2, _ = sharded.render(gpu, vc, settings)
+    a2 = np.asarray(ldr_ref2).astype(np.int32)
+    b2 = np.asarray(ldr_sh2).astype(np.int32)
+    assert np.abs(a2 - b2).max() <= 1, f"max diff {np.abs(a2 - b2).max()}"

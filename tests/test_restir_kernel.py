@@ -75,3 +75,34 @@ def test_candidate_kernel_matches_xla():
     ox, ok = np.asarray(out_x), np.asarray(out_k)
     denom = np.abs(ox).sum() + 1e-6
     assert np.abs(ox - ok).sum() / denom < 0.02, "radiance mismatch"
+
+
+def test_visibility_split_matches_plain_any_hit():
+    """The TPU winner-visibility path (two tile-modal beam passes + compacted
+    straggler wavefront, ops/restir.py) against the plain bvh_any_hit CPU
+    path — same RNG chain, so any divergence is an occlusion-split bug.
+    Runs the beams in Pallas interpret mode (ADVICE r3: the split had no
+    CPU coverage)."""
+    sc = _scene()
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W, H)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+    cu = cullops.cull_pairs(gpu, vc, alpha_mask=jnp.asarray([True, True, False]))
+    slots, _ = cullops.compact_mask(cu["mask"], cap)
+    ro, aux = rasterops.rasterize(gpu, vc, slots, W, H)
+    gb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+
+    prev = restirops.reservoir_init(H, W)
+    out_plain, _ = restirops.restir_di(gpu, rt, gb, vc, settings, prev,
+                                       jnp.int32(5), visibility=True)
+    out_split, _ = restirops.restir_di(gpu, rt, gb, vc, settings, prev,
+                                       jnp.int32(5), visibility=True,
+                                       force_kernel=True)
+    op, os_ = np.asarray(out_plain), np.asarray(out_split)
+    denom = np.abs(op).sum() + 1e-6
+    rel = np.abs(op - os_).sum() / denom
+    assert rel < 0.03, f"visibility split diverges from plain any-hit: {rel}"

@@ -84,3 +84,42 @@ def test_export_graph_json():
     assert "48, 64" in str(ldr_shape), f"traced ldr shape missing: {ldr_shape}"
     orders = [p["order"] for p in dump["passes"]]
     assert orders == sorted(orders)
+
+
+def test_live_tune_file(tmp_path):
+    """Live-tuning channel (VERDICT r3 #8, ref the ImGui panels over
+    src/Renderer.h:285-418): knobs from a JSON file re-read per frame map
+    onto RenderSettings with NO recompile, and a changed sun/bloom knob is
+    visible in the next frame's settings (and image path)."""
+    import json as _json
+    import os
+    import time
+
+    from hobbyrenderer_tpu.config import Config, RenderingMode
+    from hobbyrenderer_tpu.renderer import Renderer
+
+    knobs = tmp_path / "tune.json"
+    knobs.write_text(_json.dumps({"bloom_intensity": 0.5}))
+    cfg = Config(scene="cube", width=64, height=48,
+                 mode=RenderingMode.NORMAL_BASIC,
+                 cache_dir=str(tmp_path / "cache"),
+                 tune_file=str(knobs))
+    r = Renderer(cfg)
+    r.render_frame()
+    assert abs(r.config.settings.bloom_intensity - 0.5) < 1e-6
+
+    # change two knobs mid-run; ensure a NEWER mtime so the poll re-reads
+    time.sleep(0.02)
+    knobs.write_text(_json.dumps({
+        "bloom_intensity": 0.9,
+        "sun_direction": [0.7, -0.5, 0.2],
+        "max_bounces": 4,            # jit-static: ignored with a warning
+        "not_a_knob": 1.0,           # unknown: ignored with a warning
+    }))
+    os.utime(knobs, (time.time() + 2, time.time() + 2))
+    r.render_frame()
+    s = r.config.settings
+    assert abs(s.bloom_intensity - 0.9) < 1e-6
+    assert tuple(s.sun_direction) == (0.7, -0.5, 0.2)
+    assert s.max_bounces == 8        # static knob untouched
+    r.shutdown()
