@@ -267,6 +267,16 @@ def _sun_index(gpu):
     return jnp.argmax(is_dir), is_dir.any()
 
 
+# per-bounce wavefront-compaction schedule (see trace_paths): bounces 0..2
+# run full-width; from COMPACT_START the live paths compact into static
+# capacities CAP_FRACS[b-COMPACT_START] * RS (floor COMPACT_MIN_CAP). The
+# threshold keeps tiny test scenes on the exactly-deterministic scan path.
+COMPACT_START = 3
+CAP_FRACS = (0.625, 0.375, 0.25, 0.125, 0.125)
+COMPACT_MIN_LANES = 32768
+COMPACT_MIN_CAP = 4096
+
+
 def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
                 accum_index, max_bounces: int = 8, rr_start: int = 2,
                 sample_textures=None, sky_fn=None,
@@ -319,8 +329,20 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
     use_pool = rt.lights is not None and rt.em_index is not None
 
     def bounce_body(carry, bounce):
-        o, d, radiance, throughput, active, inside, sigma_t, prev_pdf = carry
+        (o, d, radiance, throughput, active, inside, sigma_t, prev_pdf,
+         pix, frame) = carry
         dim = 1 + bounce * 8
+
+        def rand3(dim):
+            bits = pcg3d(jnp.stack([pix, frame,
+                                    jnp.full_like(pix, dim)], -1))
+            return (uniform_from_bits(bits[..., 0]),
+                    uniform_from_bits(bits[..., 1]),
+                    uniform_from_bits(bits[..., 2]))
+
+        def rand2(dim):
+            a, b, _ = rand3(dim)
+            return a, b
         # bounced rays are incoherent: sorted-block beam kernel on TPU
         # (ops/trace.py), lockstep wavefront elsewhere
         from hobbyrenderer_tpu.ops import trace as traceops
@@ -584,16 +606,86 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         prev_pdf = jnp.where(do_transmit | alpha_fail | ~shade_ok,
                              0.0, pdf_bounce)
         return (o, d, radiance, throughput, active, inside, sigma_t,
-                prev_pdf), None
+                prev_pdf, pix, frame), None
 
     RS = R * spp
+    frame_l = jnp.broadcast_to(frame, (RS,)).astype(jnp.uint32)
     carry = (o, d, jnp.zeros((RS, 3)), jnp.ones((RS, 3)),
              jnp.ones((RS,), bool), jnp.zeros((RS,), bool),
-             jnp.zeros((RS, 3)), jnp.zeros((RS,)))
+             jnp.zeros((RS, 3)), jnp.zeros((RS,)), pix, frame_l)
+
+    # ---- per-bounce wavefront compaction (TPU-only lever; no reference
+    # analogue needed — GPU SIMT retires dead threads for free, the TPU
+    # lockstep wavefront pays full width for every masked lane). Bounces
+    # 0..C-1 run full-width under ONE scanned body; from bounce C on, live
+    # paths compact into a shrinking static-capacity wavefront: ~90% hit
+    # rate and Russian roulette (active after b: ~0.9^b * 0.6^(b-2)) leave
+    # the full-width tail mostly dead lanes. When live paths exceed a
+    # capacity, an extra Russian-roulette pass (p = 0.8*cap/n_live,
+    # throughput/p — unbiased) thins them first; residual overflow lanes are
+    # dropped (probability ~exp(-cap/50) — negligible at these sizes).
+    use_compact = RS >= COMPACT_MIN_LANES and max_bounces > COMPACT_START
+
+    if not use_compact:
+        carry, _ = jax.lax.scan(bounce_body, carry,
+                                jnp.arange(max_bounces, dtype=jnp.int32))
+        rad = carry[2]
+        return rad.reshape(spp, R, 3).mean(0) if spp > 1 else rad
+
     carry, _ = jax.lax.scan(bounce_body, carry,
-                            jnp.arange(max_bounces, dtype=jnp.int32))
-    rad = carry[2]
-    return rad.reshape(spp, R, 3).mean(0) if spp > 1 else rad
+                            jnp.arange(COMPACT_START, dtype=jnp.int32))
+    (o, d, rad_full, throughput, active, inside, sigma_t, prev_pdf,
+     pix_l, frame_l) = carry
+    # per-PIXEL radiance accumulator (sum over that pixel's spp lanes)
+    rad_pix = (rad_full.reshape(spp, R, 3).sum(0) if spp > 1 else rad_full)
+
+    for b in range(COMPACT_START, max_bounces):
+        fi = min(b - COMPACT_START, len(CAP_FRACS) - 1)
+        cap = min(max((int(RS * CAP_FRACS[fi]) // 1024) * 1024,
+                      COMPACT_MIN_CAP),
+                  int(active.shape[0]))
+        cur = int(active.shape[0])
+        if cap < cur:
+            dim_c = 1 + (b - 1) * 8 + 7          # unused slot of bounce b-1
+            cbits = pcg3d(jnp.stack([pix_l, frame_l,
+                                     jnp.full_like(pix_l, dim_c)], -1))
+            u_c = uniform_from_bits(cbits[..., 0])
+            n_act = jnp.sum(active.astype(jnp.int32))
+            p_keep = jnp.minimum(1.0, 0.8 * cap
+                                 / jnp.maximum(n_act.astype(jnp.float32),
+                                               1.0))
+            keep = active & (u_c < p_keep)
+            throughput = throughput / p_keep
+            rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            slot = jnp.where(keep & (rank < cap), rank, cap)
+            sel = jnp.full((cap + 1,), cur, jnp.int32) \
+                .at[slot].set(jnp.arange(cur, dtype=jnp.int32),
+                              mode="drop")[:cap]
+            pad = sel >= cur
+            selc = jnp.minimum(sel, cur - 1)
+            # ONE packed row gather (TPU gathers are row-rate bound: 17
+            # separate scalar-array gathers would cost 17x this)
+            packed = jnp.concatenate(
+                [o, d, throughput, sigma_t, prev_pdf[:, None],
+                 inside.astype(jnp.float32)[:, None],
+                 pix_l.astype(jnp.float32)[:, None],     # exact < 2^24
+                 frame_l.astype(jnp.float32)[:, None]], -1)
+            pk = jnp.where(pad[:, None], 0.0, packed[selc])
+            o, d = pk[:, 0:3], pk[:, 3:6]
+            throughput, sigma_t = pk[:, 6:9], pk[:, 9:12]
+            prev_pdf = pk[:, 12]
+            inside = pk[:, 13] > 0.5
+            pix_l = pk[:, 14].astype(jnp.uint32)
+            frame_l = pk[:, 15].astype(jnp.uint32)
+            active = keep[selc] & ~pad
+        rad_local = jnp.zeros((int(active.shape[0]), 3), jnp.float32)
+        (o, d, rad_local, throughput, active, inside, sigma_t, prev_pdf,
+         pix_l, frame_l), _ = bounce_body(
+            (o, d, rad_local, throughput, active, inside, sigma_t,
+             prev_pdf, pix_l, frame_l), jnp.int32(b))
+        rad_pix = rad_pix.at[pix_l].add(rad_local, mode="drop")
+
+    return rad_pix / spp if spp > 1 else rad_pix
 
 
 class PathTracerRenderer:
