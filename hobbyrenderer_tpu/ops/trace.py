@@ -48,6 +48,18 @@ FCAP = 4096       # frontier capacity (nodes per BFS level; incoherent blocks
 BIG = 3.0e37
 TMAX_CAP = 1e30   # finite stand-in for "no t_max" (keeps interval math finite)
 
+# incoherent-dispatch choice: the hybrid Pallas/XLA walk (ops/wtrace) keeps the
+# whole interior traversal on-chip. Env-gated for A/B benching on TPU
+# (HR_WTRACE=0 restores the pure-XLA bvh16 walk).
+import os as _os
+_WTRACE_DEFAULT = _os.environ.get("HR_WTRACE", "1") == "1"
+
+
+def _use_wtrace(rt) -> bool:
+    bvh = getattr(rt, "bvh16", None)
+    return (_WTRACE_DEFAULT and bvh is not None and bvh.depth >= 1
+            and bvh.int_bf is not None)
+
 
 def _closest_kernel(rays_ref, table_hbm, t_ref, tri_ref, u_ref, v_ref, f_ref,
                     ovf_ref, nodebuf, sem, frontier, bt_acc, btri_acc, bu_acc,
@@ -441,6 +453,11 @@ def closest_hit_auto(rt, o, d, t_min: float = 1e-4, t_max=None,
             tm = jnp.full((R,), TMAX_CAP) if t_max is None else \
                 jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
             t_max = jnp.where(active, tm, 0.0)
+        if _use_wtrace(rt):
+            from hobbyrenderer_tpu.ops import wtrace as wtops
+            mr = max(8, max_steps // 16) if max_steps is not None else None
+            return wtops.wtrace_closest_hit(rt.bvh16, o, d, t_min=t_min,
+                                            t_max=t_max, max_rounds=mr)
         # the 16-ary tree drains ~4x faster per lockstep step
         ms16 = max(24, max_steps // 4) if max_steps is not None else None
         return b16ops.bvh16_closest_hit(rt.bvh16, o, d, t_min=t_min,
@@ -470,6 +487,11 @@ def any_hit_auto(rt, o, d, t_max=None, active=None,
             tm = jnp.full((R,), TMAX_CAP) if t_max is None else \
                 jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
             t_max = jnp.where(active, tm, 0.0)
+        if _use_wtrace(rt):
+            from hobbyrenderer_tpu.ops import wtrace as wtops
+            mr = max(8, max_steps // 16) if max_steps is not None else None
+            return wtops.wtrace_any_hit(rt.bvh16, o, d, t_max=t_max,
+                                        max_rounds=mr)
         ms16 = max(24, max_steps // 4) if max_steps is not None else None
         return b16ops.bvh16_any_hit(rt.bvh16, o, d, t_max=t_max,
                                     max_steps=ms16)
