@@ -81,6 +81,9 @@ class BVH16(NamedTuple):
     int_bf: jnp.ndarray = None    # (96, Ip) bf16 CONSERVATIVE interior boxes
     #                               (lo rounded down / hi up) for the one-hot
     #                               MXU fetch path; Ip = I padded to 128
+    leaf_rw: jnp.ndarray = None   # (L, 128) f32 ROW-major leaf rows — the
+    #                               per-lane DMA source for the Pallas walk
+    #                               (ops/wtrace.py); one row = one leaf
 
     @property
     def num_leaves(self) -> int:
@@ -194,7 +197,8 @@ def build_bvh16(tri_verts: np.ndarray, leaf_size: int = LEAF16,
     I = (L - 1) // 15
     arrays = dict(table=table, order=tri_id, root_box=root_box,
                   recs=recs, slot_of=slot_of,
-                  int_bf=_int_bf16(table, I, np))
+                  int_bf=_int_bf16(table, I, np),
+                  leaf_rw=np.ascontiguousarray(table[:, I:].T))
     if device_put:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
     return BVH16(num_tris=T, **arrays)
@@ -220,8 +224,11 @@ def refit_bvh16(bvh: BVH16, tri_verts) -> BVH16:
     root_lo, root_hi = levels[-1]
     root_box = jnp.concatenate([root_lo[0], root_hi[0]])
     recs = leaf_rows.reshape(L * K, 10)[:, :9]
+    I = (L - 1) // 15
     return bvh._replace(table=table, root_box=root_box, recs=recs,
-                        int_bf=_int_bf16(table, (L - 1) // 15, jnp))
+                        int_bf=_int_bf16(table, I, jnp),
+                        leaf_rw=(table[:, I:].T
+                                 if bvh.leaf_rw is not None else None))
 
 
 def _ctz(lsb):

@@ -588,7 +588,8 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
                     sample_textures=None, y0: int = 0,
                     attr_img=None, textured: bool = True,
                     want_feedback: bool = False,
-                    want_tex_debug: bool = False) -> GBuffer:
+                    want_tex_debug: bool = False,
+                    pix_ids=None, tex_lod_mode: str = "deriv") -> GBuffer:
     """Per-pixel attribute resolve from the visibility buffer.
 
     Two sources (the reference does this in the raster pixel shader,
@@ -598,6 +599,17 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
       path; only material lookup / motion vectors / texturing remain here.
     - ``aux``: per-slot-triangle records; interpolation happens here with TWO
       contiguous row gathers per pixel (tri_screen, tri_attr) + pure FMAs.
+
+    pix_ids, optional (H, W) i32: each lane's GLOBAL pixel id (gy * width +
+    gx). Every per-pixel quantity is elementwise, so callers may resolve a
+    COMPACTED lane list shaped as a (1, N) pseudo-image — pix_ids then
+    supplies the texture-RNG keys and (aux path) the true pixel centers, so
+    the compacted resolve is bit-identical to the full-grid one.
+
+    tex_lod_mode: "deriv" = screen-space uv derivatives (needs a real image
+    layout — neighbors must be screen neighbors); "cone" = pixel-cone
+    footprint from view distance (the PT hit-texturing rule — the only
+    correct choice for compacted lane lists).
     """
     H, W = raster.depth.shape
     visid = raster.visid
@@ -621,9 +633,16 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
         attr = aux.tri_attr.reshape(C * MESHLET_MAX_TRIS, 3, 12)[vid0]   # (H,W,3,12)
 
         # screen-space barycentrics at the pixel center (global pixel coords)
-        pxc = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
-                                     jnp.arange(H, dtype=jnp.float32) + y0 + 0.5,
-                                     indexing="xy"), -1)              # (H, W, 2)
+        if pix_ids is not None:
+            wfull = jnp.asarray(vc["viewport"][0]).astype(jnp.int32)
+            pxc = jnp.stack(
+                [(pix_ids % wfull).astype(jnp.float32) + 0.5,
+                 (pix_ids // wfull).astype(jnp.float32) + 0.5], -1)
+        else:
+            pxc = jnp.stack(
+                jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
+                             jnp.arange(H, dtype=jnp.float32) + y0 + 0.5,
+                             indexing="xy"), -1)                  # (H, W, 2)
         va, vb, vc2 = scr[..., 0, 0:2], scr[..., 1, 0:2], scr[..., 2, 0:2]
         e1 = vb - va
         e2 = vc2 - va
@@ -686,9 +705,18 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
         tex_base = (jnp.round(mf[..., MAT_TEX_BASE_HI]).astype(jnp.int32) * 4096
                     + jnp.round(mf[..., MAT_TEX_BASE_LO]).astype(jnp.int32))
         uv_s = uv_pix * jnp.maximum(mf[..., MAT_UV_SCALE:MAT_UV_SCALE + 1], 1e-6)
-        lod = texops.uv_lod(uv_s, tex_size)
-        pix = (jnp.arange(H * W, dtype=jnp.uint32).reshape(H, W)
-               + jnp.uint32(y0) * jnp.uint32(max(W, 1)))
+        if tex_lod_mode == "cone":
+            hfull = jnp.asarray(vc["viewport"][1]).astype(jnp.float32)
+            spread = 2.0 / (vc["proj11"] * hfull)
+            dist = jnp.linalg.norm(pos_w - vc["camera_pos"], axis=-1)
+            lod = jnp.log2(jnp.maximum(tex_size * dist * spread, 1e-6))
+        else:
+            lod = texops.uv_lod(uv_s, tex_size)
+        if pix_ids is not None:
+            pix = pix_ids.astype(jnp.uint32)
+        else:
+            pix = (jnp.arange(H * W, dtype=jnp.uint32).reshape(H, W)
+                   + jnp.uint32(y0) * jnp.uint32(max(W, 1)))
         frame = vc["frame_index"].astype(jnp.uint32)
         key = pcg3d(jnp.stack([pix, jnp.broadcast_to(frame, pix.shape),
                                jnp.full_like(pix, 311)], -1))
@@ -718,7 +746,12 @@ def resolve_gbuffer(gpu, vc, raster: RasterOutput, slots, aux: RasterAux = None,
         metallic = metallic * ts.metallic
         emissive = emissive * ts.emissive
         occlusion = ts.occlusion
-        n_shade = texops.apply_normal_map(n_shade, pos_w, uv_s, ts.normal_ts)
+        if tex_lod_mode != "cone":
+            # Schüler cotangent frames need SCREEN-space derivatives —
+            # unavailable on a compacted lane list (cone mode); those layers
+            # keep the interpolated normal (same trade as the PT hit shading)
+            n_shade = texops.apply_normal_map(n_shade, pos_w, uv_s,
+                                              ts.normal_ts)
 
     # alpha margin: sampled alpha minus the material cutoff (>= 0 passes the
     # alpha test; cutoff is 0 for opaque/blend so margin == alpha there)

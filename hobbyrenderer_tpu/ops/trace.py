@@ -58,7 +58,7 @@ _WTRACE_DEFAULT = _os.environ.get("HR_WTRACE", "1") == "1"
 def _use_wtrace(rt) -> bool:
     bvh = getattr(rt, "bvh16", None)
     return (_WTRACE_DEFAULT and bvh is not None and bvh.depth >= 1
-            and bvh.int_bf is not None)
+            and bvh.int_bf is not None and bvh.leaf_rw is not None)
 
 
 def _closest_kernel(rays_ref, table_hbm, t_ref, tri_ref, u_ref, v_ref, f_ref,
@@ -455,9 +455,11 @@ def closest_hit_auto(rt, o, d, t_min: float = 1e-4, t_max=None,
             t_max = jnp.where(active, tm, 0.0)
         if _use_wtrace(rt):
             from hobbyrenderer_tpu.ops import wtrace as wtops
-            mr = max(8, max_steps // 16) if max_steps is not None else None
+            # same iteration-budget conversion as the MXU-split walk
+            ms = max(34, int(max_steps * 1.4) // 4) \
+                if max_steps is not None else None
             return wtops.wtrace_closest_hit(rt.bvh16, o, d, t_min=t_min,
-                                            t_max=t_max, max_rounds=mr)
+                                            t_max=t_max, max_steps=ms)
         # the 16-ary tree drains ~4x faster per lockstep step
         ms16 = max(24, max_steps // 4) if max_steps is not None else None
         return b16ops.bvh16_closest_hit(rt.bvh16, o, d, t_min=t_min,
@@ -489,9 +491,10 @@ def any_hit_auto(rt, o, d, t_max=None, active=None,
             t_max = jnp.where(active, tm, 0.0)
         if _use_wtrace(rt):
             from hobbyrenderer_tpu.ops import wtrace as wtops
-            mr = max(8, max_steps // 16) if max_steps is not None else None
+            ms = max(34, int(max_steps * 1.4) // 4) \
+                if max_steps is not None else None
             return wtops.wtrace_any_hit(rt.bvh16, o, d, t_max=t_max,
-                                        max_rounds=mr)
+                                        max_steps=ms)
         ms16 = max(24, max_steps // 4) if max_steps is not None else None
         return b16ops.bvh16_any_hit(rt.bvh16, o, d, t_max=t_max,
                                     max_steps=ms16)

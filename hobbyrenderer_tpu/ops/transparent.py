@@ -73,25 +73,23 @@ def transparent_composite(gpu, vc, settings, gb, hdr, *, width, height,
     def shade_layer(hdr_band, slots):
         """Rasterize one bin's slots and composite over hdr_band.
 
-        The per-pixel chain (light loop, IBL, material fetch, the 8-gather
-        refraction fetch) runs on lanes COMPACTED to the bin's actual
-        coverage — at 1080p the full-grid form cost 810 ms/frame of the
-        flagship (refracted_background alone measured 232 ms/bin) for a
-        bin that covers a few percent of the pixels."""
+        The compaction happens straight off the VISIBILITY buffer: the
+        G-buffer resolve (material one-hot, texture row gather, normal map)
+        AND the shade chain (light loop, IBL, the 8-gather refraction fetch)
+        all run on lanes compacted to the bin's actual coverage — the former
+        full-grid resolve alone cost two full-res texture-gather passes per
+        frame for bins covering a few percent of the pixels. Texture LOD uses
+        the pixel-cone footprint (the PT hit rule) since compacted neighbors
+        aren't screen neighbors."""
         ro, aux, attr = rasterops.rasterize(gpu, vc, slots, width, height,
                                             double_sided_all=False,
                                             y0=y0, shard_height=shard_h,
                                             resolve_attrs=True)
         # depth-READ against the opaque depth: keep strictly nearer frags
         nearer = ro.depth > gb.depth
-        ro2 = rasterops.RasterOutput(depth=jnp.where(nearer, ro.depth, 0.0),
-                                     visid=jnp.where(nearer, ro.visid, -1),
-                                     overflow=ro.overflow)
-        tgb = rasterops.resolve_gbuffer(gpu, vc, ro2, slots,
-                                        aux=aux, attr_img=attr, y0=y0)
 
-        # ---- compact covered lanes ----------------------------------------
-        val = tgb.valid.reshape(R)
+        # ---- compact covered lanes off the visibility buffer ---------------
+        val = ((ro.visid >= 0) & nearer).reshape(R)
         rank = jnp.cumsum(val.astype(jnp.int32)) - 1
         slot = jnp.where(val & (rank < CAP), rank, CAP)
         sel = jnp.full((CAP + 1,), R, jnp.int32) \
@@ -101,12 +99,29 @@ def transparent_composite(gpu, vc, settings, gb, hdr, *, width, height,
         take = lambda a: jnp.where(
             pad.reshape((-1,) + (1,) * (a.ndim - 2)), 0,
             a.reshape((R,) + a.shape[2:])[selc])
-        pos_c, n_c, alb_c = take(tgb.world_pos), take(tgb.normal), \
-            take(tgb.albedo)
-        em_c, v_c = take(tgb.emissive), take(v)
-        rough_c = take(tgb.orm[..., 1])
-        metal_c = take(tgb.orm[..., 2])
-        alpha_c = jnp.clip(take(tgb.alpha), 0.0, 1.0)[..., None]
+        # compacted (1, CAP) pseudo-image resolve, bit-equal to the grid form
+        vis_c = jnp.where(pad, -1, ro.visid.reshape(R)[selc])
+        dep_c = jnp.where(pad, 0.0, ro.depth.reshape(R)[selc])
+        ro_c = rasterops.RasterOutput(depth=dep_c.reshape(1, CAP),
+                                      visid=vis_c.reshape(1, CAP),
+                                      overflow=ro.overflow)
+        attr_c = None
+        if attr is not None:
+            attr_c = take(attr).reshape(1, CAP, attr.shape[-1])
+        gx_c = selc % width
+        gy_c = y0 + selc // width
+        pids = (gy_c * width + gx_c).astype(jnp.int32).reshape(1, CAP)
+        tgb = rasterops.resolve_gbuffer(gpu, vc, ro_c, slots,
+                                        aux=aux, attr_img=attr_c,
+                                        pix_ids=pids, tex_lod_mode="cone")
+        flat = lambda a: a.reshape((CAP,) + a.shape[2:])
+        pos_c, n_c, alb_c = flat(tgb.world_pos), flat(tgb.normal), \
+            flat(tgb.albedo)
+        em_c = flat(tgb.emissive)
+        v_c = take(v)
+        rough_c = flat(tgb.orm)[..., 1]
+        metal_c = flat(tgb.orm)[..., 2]
+        alpha_c = jnp.clip(flat(tgb.alpha), 0.0, 1.0)[..., None]
 
         direct = shadeops.shade_all_lights(gpu, pos_c, n_c, v_c,
                                            alb_c, metal_c, rough_c)
@@ -120,20 +135,21 @@ def transparent_composite(gpu, vc, settings, gb, hdr, *, width, height,
         shaded = direct + ambient
         # material constants: a row gather at CAP lanes (the full-grid form
         # used a one-hot MXU einsum — only worth it at dense grid width)
-        mf = gpu.mat_f[jnp.maximum(take(tgb.material), 0)]
+        mf = gpu.mat_f[jnp.maximum(flat(tgb.material), 0)]
         transmission = mf[..., MAT_TRANSMISSION][..., None]
         atten = mf[..., MAT_ATTEN_COLOR:MAT_ATTEN_COLOR + 3]
         # the scene seen THROUGH the surface: refracted + roughness-blurred
         # fetch of the behind-layer mip chain, Beer-Lambert over the travel;
         # off-screen exits fall back to the environment (PT parity)
-        opq = jnp.where(gb.valid[..., None], gb.world_pos,
-                        tgb.world_pos + vdir)
+        vdir_c = take(vdir)
+        opq_c = jnp.where(take(gb.valid)[..., None], take(gb.world_pos),
+                          pos_c + vdir_c)
         # each lane's own screen uv (TIR / behind-camera fallback)
         pix_uv = jnp.stack(
             [(selc % width + 0.5) / width,
              (y0 + selc // width + 0.5) / height], -1)
         bg_refr = refrops.refracted_background(
-            hdr_full, vc, pos_c, take(opq), n_c, take(vdir),
+            hdr_full, vc, pos_c, opq_c, n_c, vdir_c,
             mf[..., MAT_IOR], rough_c, atten, mf[..., MAT_ATTEN_DIST],
             ~pad, y0=y0, miss_fn=miss_env, stack=stack, pix_uv=pix_uv)
         # the path tracer's expectation over its coverage pass-through + BSDF

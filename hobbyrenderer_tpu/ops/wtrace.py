@@ -1,32 +1,36 @@
-"""Pallas interior-advance kernel for bvh16: incoherent rays past the
-XLA-step overhead wall.
+"""Pallas bvh16 traversal: the WHOLE walk on-chip.
 
 Reference capability: RayQuery closest/any-hit traversal
 (src/shaders/RaytracingCommon.hlsli:138-199) — free random access on RT
-cores. The r3 TPU substrate (ops/bvh16.py) walks a 16-ary implicit heap in
-XLA lockstep steps; profiling shows the per-step cost is NOT the leaf-row
-gather (~15%) but everything around it: the (Ip, R) one-hot for the interior
-MXU fetch materializes through HBM (hundreds of MB/step), and every step is
-several XLA kernel launches round-tripping (R,)-state through HBM.
+cores. The r3 TPU substrate (ops/bvh16.py) walks the 16-ary implicit heap in
+XLA lockstep steps; per-step attribution on TPU (scripts/diag_steps16.py,
+528k-tri stress scene) shows the fetches are NOT the cost:
 
-This kernel keeps the WHOLE interior walk on-chip:
+    R=262k   raw leaf-row gather   ~2.8 ms   (94 Mrows/s)
+             XLA interior step     ~4.6 ms   (one-hot through HBM)
+             XLA leaf step        ~15   ms   (gather is 1/5th of it)
 
-- the conservative bf16 interior-box table (96, Ip) — 860 KB for a 528k-tri
-  scene — lives in VMEM for the kernel's entire run (constant block index);
-- blocks of RB=1024 rays are resident in VMEM/registers; each in-kernel
-  iteration fetches all 16 child boxes of every lane's node with 8 one-hot
-  (96, Ip) x (Ip, 128) MXU matmuls whose one-hots never exist in HBM;
-- descend/pop bookkeeping (nearest-first + per-level bitmask trail, exactly
-  ops/bvh16._step16_int) runs as (8, 128) VPU ops with zero HBM traffic;
-- a block exits as soon as none of its lanes has interior work left.
+Everything else is XLA overhead: the (Ip, R) one-hot materializing through
+HBM, (K, R)/(16, R) intermediates round-tripping, multi-kernel launches per
+step. This kernel keeps all of it in VMEM/registers:
 
-Leaf rows stay OUT of the kernel (hybrid): the XLA driver alternates
-  [Pallas: advance every live lane to its next leaf]  ->
-  [XLA ops/bvh16._step16_leaf: ONE row gather + 12 dense triangle tests+pop]
-so the only remaining HBM random access runs at the measured gather rate
-with every fetch useful. Node-visit decisions are IDENTICAL to
-_traverse16_mxu's (same conservative boxes, same nearest-first/pop rules),
-so results match ops/bvh16 exactly (see tests/test_wtrace.py)."""
+- the conservative bf16 interior-box table (96, Ip) — 860 KB at 528k tris —
+  is VMEM-resident for the kernel's entire run (constant block index);
+- blocks of RB=1024 rays are VMEM-resident; every iteration either
+  * INTERIOR step: 8 one-hot (96, Ip) x (Ip, 128) MXU matmuls fetch all 16
+    child boxes per lane (the one-hots never exist anywhere but VMEM), then
+    slab tests + nearest-first descend/bitmask-trail pop as (8, 128) VPU ops;
+  * LEAF step: every at-leaf lane's 512 B leaf row arrives by per-lane async
+    DMA from the row-major leaf table (lane indices staged VMEM->SMEM, one
+    scalar issue loop), then per-sublane (128, 128) transposes lay the rows
+    out lane-major for the 12 dense Möller-Trumbore tests, then the pop;
+  chosen by the same live-lane census as ops/bvh16._traverse16_mxu
+  (LEAF_FRAC_NUM = 4) — node-visit decisions are IDENTICAL to the XLA walk,
+  so results agree exactly (tests/test_wtrace.py).
+- a block exits its while-loop as soon as all its lanes are done.
+
+The XLA driver only phases the wavefront (the ops/bvh16 compaction schedule)
+and recomputes u/v/front once per ray after traversal."""
 
 from __future__ import annotations
 
@@ -38,34 +42,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hobbyrenderer_tpu.ops.bvh import HitRecord
-from hobbyrenderer_tpu.ops.bvh16 import BVH16, _step16_leaf
-from hobbyrenderer_tpu.ops.intersect import INF, safe_inv_dir
+from hobbyrenderer_tpu.ops.bvh16 import BVH16, PHASES16_MXU
+from hobbyrenderer_tpu.ops.intersect import INF
 
 RB = 1024          # rays per block: (8, 128) lanes
 SUB, LANE = 8, 128
-
-# phased compaction in ROUNDS (one round = advance-to-leaf + one leaf step);
-# a ray visits ~3-4 leaves (mean) on the stress scene, stragglers more
-PHASES_W = ((5, 1 / 2), (5, 1 / 8), (8, 1 / 32), (48, None))
+LEAF_FRAC_NUM = 4  # ops/bvh16 census: leaf step when leaves >= 1/4 of live
+BIG = 3.0e38
 
 
-def _advance_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref,
-                    int_ref, cur_o, mask_o, live_o,
-                    *, I: int, Ip: int, M: int, any_hit: bool,
-                    max_iters: int):
-    """Advance every live lane to its next leaf (or trail exhaustion).
-
-    rays_ref (1, 8, 8, 128): planes [ox oy oz dx dy dz tmin unused];
-    cur/live (1, 8, 128) i32; mask (1, M, 8, 128) i32; bt (1, 8, 128) f32;
-    int_ref (96, Ip) bf16 — VMEM-resident interior boxes."""
+def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
+                   int_ref, leaf_hbm,
+                   cur_o, mask_o, live_o, bt_o, btri_o,
+                   idx_vmem, idx_smem, leafbuf, dsem, ssem,
+                   *, I: int, Ip: int, M: int, K: int, any_hit: bool,
+                   max_iters: int):
+    """One ray block. rays_ref (1, 8, 8, 128): planes [ox oy oz dx dy dz
+    tmin unused]; cur/live/btri (1, 8, 128) i32; mask (1, M, 8, 128) i32;
+    bt (1, 8, 128) f32. int_ref (96, Ip) bf16 VMEM; leaf_hbm (L, 128) f32."""
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
     dx = rays_ref[0, 3]
     dy = rays_ref[0, 4]
     dz = rays_ref[0, 5]
+    tmin = rays_ref[0, 6]
     # EXACTLY ops/intersect.safe_inv_dir — identical box hit/miss decisions
-    # to the XLA walk are required for the exact-agreement contract
     inv = lambda v: jnp.where(jnp.abs(v) > 1e-12, 1.0 / v,
                               jnp.where(v >= 0, 1e12, -1e12))
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
@@ -73,7 +75,8 @@ def _advance_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref,
     cur_o[0] = cur_ref[0]
     mask_o[0] = mask_ref[0]
     live_o[0] = live_ref[0]
-    bt = bt_ref[0]
+    bt_o[0] = bt_ref[0]
+    btri_o[0] = btri_ref[0]
 
     def level_of(cur):
         lvl = jnp.zeros_like(cur)
@@ -83,30 +86,53 @@ def _advance_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref,
             th = th * 16 + 1
         return lvl
 
-    def n_interior():
+    def counts():
         cur = cur_o[0]
         live = live_o[0] > 0
-        do = live & (cur >= 0) & (cur < I)
-        return jnp.sum(do.astype(jnp.int32))
+        n_leaf = jnp.sum((live & (cur >= I)).astype(jnp.int32))
+        n_int = jnp.sum((live & (cur >= 0) & (cur < I)).astype(jnp.int32))
+        return n_leaf, n_int
 
-    def cond(c):
-        i, n_int = c
-        return (n_int > 0) & (i < max_iters)
+    def trail_pop(cur, lvl, need_pop, descend, near):
+        """Shared descend/pop (exactly ops/bvh16._pop16) on the output refs."""
+        kstar = jnp.full_like(cur, -1)
+        m_k = jnp.zeros_like(cur)
+        for k in range(M):
+            mk = mask_o[0, k]
+            sel = mk != 0
+            kstar = jnp.where(sel, k, kstar)
+            m_k = jnp.where(sel, mk, m_k)
+        has_pend = kstar >= 0
+        a_k = cur
+        steps_up = lvl - kstar
+        for _ in range(M):
+            a_k = jnp.where(steps_up > 0, (a_k - 1) >> 4, a_k)
+            steps_up = steps_up - 1
+        lsb = m_k & -m_k
+        cbit = jax.lax.population_count(
+            jnp.maximum(lsb, 1).astype(jnp.uint32) - 1).astype(jnp.int32)
+        for k in range(M):
+            sel_k = (kstar == k) & need_pop
+            mask_o[0, k] = jnp.where(sel_k, mask_o[0, k] & ~lsb,
+                                     mask_o[0, k])
+        pop = need_pop & has_pend
+        cur_o[0] = jnp.where(descend, 16 * cur + 1 + near,
+                             jnp.where(pop, 16 * a_k + 1 + cbit,
+                                       jnp.where(need_pop, -1, cur)))
+        live_o[0] = jnp.where(need_pop & ~has_pend, 0, live_o[0])
 
-    def body(c):
-        i, _ = c
-        cur = cur_o[0]                       # (8, 128) i32
+    def int_step():
+        cur = cur_o[0]
         live = live_o[0] > 0
+        bt = bt_o[0]
         do = live & (cur >= 0) & (cur < I)
         lvl = level_of(cur)
         idx = jnp.where(do, cur, -1)
-
-        # ---- 16 child boxes via one-hot MXU fetch, per 128-lane group ----
         bits_rows = []
         near_rows = []
         hasint_rows = []
         for g in range(SUB):
-            idx_g = idx[g]                                   # (128,)
+            idx_g = idx[g]
             oh = (jax.lax.broadcasted_iota(jnp.int32, (Ip, LANE), 0)
                   == idx_g[None, :]).astype(jnp.bfloat16)
             cols = jax.lax.dot_general(int_ref[...], oh,
@@ -138,94 +164,169 @@ def _advance_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref,
                     .astype(jnp.int32)
                 has_g = bits_g != 0
             else:
-                big = 3.0e38    # python literal (device consts can't be captured)
-                tc = jnp.where(bhit, jnp.maximum(t_en, 0.0), big)
+                tc = jnp.where(bhit, jnp.maximum(t_en, 0.0), BIG)
                 near_g = jnp.argmin(tc, axis=0).astype(jnp.int32)
-                best = jnp.min(tc, axis=0)
-                has_g = best < big
+                has_g = jnp.min(tc, axis=0) < BIG
             bits_rows.append(bits_g)
             near_rows.append(near_g)
-            hasint_rows.append(has_g)
+            # i32, not bool: Mosaic can't bitcast stacked i1 vregs
+            hasint_rows.append(has_g.astype(jnp.int32))
         bits = jnp.stack(bits_rows, 0)                        # (8, 128)
         near = jnp.stack(near_rows, 0)
-        has_int = jnp.stack(hasint_rows, 0)
+        has_int = jnp.stack(hasint_rows, 0) > 0
         bits = bits & ~jnp.where(has_int, 1 << near, 0)
 
         descend = do & has_int
-        # write pending children at this level
         for k in range(M):
             at_k = (lvl == k) & descend
             mask_o[0, k] = jnp.where(at_k, bits, mask_o[0, k])
+        trail_pop(cur, lvl, do & ~has_int, descend, near)
+        return jnp.int32(0)
 
-        # ---- pop: deepest pending level (only for interior lanes that
-        # found nothing; leaf lanes WAIT for the XLA leaf step) ----
-        need_pop = do & ~has_int
-        kstar = jnp.full_like(cur, -1)
-        m_k = jnp.zeros_like(cur)
-        for k in range(M):
-            mk = mask_o[0, k]
-            sel = mk != 0
-            kstar = jnp.where(sel, k, kstar)
-            m_k = jnp.where(sel, mk, m_k)
-        has_pend = kstar >= 0
-        a_k = cur
-        steps_up = lvl - kstar
-        for _ in range(M):
-            a_k = jnp.where(steps_up > 0, (a_k - 1) >> 4, a_k)
-            steps_up = steps_up - 1
-        lsb = m_k & -m_k
-        cbit = jax.lax.population_count(
-            jnp.maximum(lsb, 1).astype(jnp.uint32) - 1).astype(jnp.int32)
-        for k in range(M):
-            sel_k = (kstar == k) & need_pop
-            mask_o[0, k] = jnp.where(sel_k, mask_o[0, k] & ~lsb,
-                                     mask_o[0, k])
+    def leaf_step():
+        cur = cur_o[0]
+        live = live_o[0] > 0
+        do = live & (cur >= I)
+        lvl = level_of(cur)
+        # stage lane -> leaf-row indices into SMEM for the scalar issue loop
+        idx_vmem[...] = jnp.where(do, cur - I, -1)
+        cp = pltpu.make_async_copy(idx_vmem, idx_smem, ssem)
+        cp.start()
+        cp.wait()
 
-        pop = need_pop & has_pend
-        new_cur = jnp.where(descend, 16 * cur + 1 + near,
-                            jnp.where(pop, 16 * a_k + 1 + cbit,
-                                      jnp.where(need_pop, -1, cur)))
-        cur_o[0] = new_cur
-        live_o[0] = jnp.where(need_pop & ~has_pend, 0, live_o[0])
-        return i + 1, n_interior()
+        def issue(r, n):
+            s = r // LANE
+            l = r % LANE
+            rid = idx_smem[s, l]
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), n_interior()))
+            @pl.when(rid >= 0)
+            def _():
+                pltpu.make_async_copy(leaf_hbm.at[rid], leafbuf.at[r],
+                                      dsem).start()
+            return n + jnp.where(rid >= 0, 1, 0)
+
+        n_started = jax.lax.fori_loop(0, RB, issue, jnp.int32(0))
+
+        def drain(r, n):
+            s = r // LANE
+            l = r % LANE
+            rid = idx_smem[s, l]
+
+            @pl.when(rid >= 0)
+            def _():
+                pltpu.make_async_copy(leaf_hbm.at[rid], leafbuf.at[r],
+                                      dsem).wait()
+            return n
+
+        jax.lax.fori_loop(0, RB, drain, n_started)
+
+        bt = bt_o[0]
+        btri = btri_o[0]
+        bt_rows = []
+        tri_rows = []
+        for s in range(SUB):
+            chunk = leafbuf[pl.ds(s * LANE, LANE), :]         # (128, 128)
+            T = jnp.transpose(chunk)                          # cols -> lanes
+            do_s = do[s][None]                                # (1, 128)
+            oxs, oys, ozs = ox[s][None], oy[s][None], oz[s][None]
+            dxs, dys, dzs = dx[s][None], dy[s][None], dz[s][None]
+            tbest = jnp.full((1, LANE), BIG)
+            tid_b = jnp.full((1, LANE), -1.0)
+            for k in range(K):
+                b = 10 * k
+                v0x, v0y, v0z = T[b][None], T[b + 1][None], T[b + 2][None]
+                e1x, e1y, e1z = T[b + 3][None], T[b + 4][None], T[b + 5][None]
+                e2x, e2y, e2z = T[b + 6][None], T[b + 7][None], T[b + 8][None]
+                tid = T[b + 9][None]
+                px = dys * e2z - dzs * e2y
+                py = dzs * e2x - dxs * e2z
+                pz = dxs * e2y - dys * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                sx, sy, sz = oxs - v0x, oys - v0y, ozs - v0z
+                uu = (sx * px + sy * py + sz * pz) * inv_det
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = (dxs * qx + dys * qy + dzs * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                thit = ((jnp.abs(det) > 1e-12) & (uu >= -1e-7)
+                        & (vv >= -1e-7) & (uu + vv <= 1.0 + 1e-7)
+                        & (tt > tmin[s][None]) & (tt < bt[s][None])
+                        & (tid >= 0.0) & do_s)
+                tc = jnp.where(thit, tt, BIG)
+                take = tc < tbest       # strict: first minimal k wins
+                tbest = jnp.where(take, tc, tbest)
+                tid_b = jnp.where(take, tid, tid_b)
+            lhit = tbest < bt[s][None]
+            bt_rows.append(jnp.where(lhit, tbest, bt[s][None])[0])
+            tri_rows.append(jnp.where(
+                lhit, tid_b, btri[s][None].astype(jnp.float32))[0])
+        bt_o[0] = jnp.stack(bt_rows, 0)
+        btri_o[0] = jnp.round(jnp.stack(tri_rows, 0)).astype(jnp.int32)
+
+        near0 = jnp.zeros((SUB, LANE), jnp.int32)
+        trail_pop(cur, lvl, do, jnp.zeros((SUB, LANE), bool), near0)
+        if any_hit:
+            live_o[0] = jnp.where(btri_o[0] >= 0, 0, live_o[0])
+        return jnp.int32(0)
+
+    def cond(c):
+        i, n_work = c
+        return (n_work > 0) & (i < max_iters)
+
+    def body(c):
+        i, _ = c
+        n_leaf, n_int = counts()
+        do_leaf = (LEAF_FRAC_NUM * n_leaf >= n_leaf + n_int) | (n_int == 0)
+        jax.lax.cond(do_leaf, leaf_step, int_step)
+        nl, ni = counts()
+        return i + 1, nl + ni
+
+    n_leaf0, n_int0 = counts()
+    jax.lax.while_loop(cond, body, (jnp.int32(0), n_leaf0 + n_int0))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("I", "Ip", "M", "any_hit", "max_iters",
-                                    "interpret"))
-def advance_to_leaf(rays, cur, mask, live, bt, int_bf, *, I, Ip, M,
-                    any_hit, max_iters, interpret=False):
-    """rays (G, 8, 8, 128); cur/live (G, 8, 128) i32; mask (G, M, 8, 128);
-    bt (G, 8, 128) f32; int_bf (96, Ip) bf16. Returns (cur, mask, live)."""
+                   static_argnames=("I", "Ip", "M", "K", "any_hit",
+                                    "max_iters", "interpret"))
+def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
+                 I, Ip, M, K, any_hit, max_iters, interpret=False):
+    """Run up to max_iters census-scheduled steps on every block.
+
+    rays (G, 8, 8, 128); cur/live/btri (G, 8, 128) i32; mask (G, M, 8, 128);
+    bt (G, 8, 128) f32. Returns (cur, mask, live, bt, btri)."""
     G = rays.shape[0]
-    kern = functools.partial(_advance_kernel, I=I, Ip=Ip, M=M,
+    kern = functools.partial(_wtrace_kernel, I=I, Ip=Ip, M=M, K=K,
                              any_hit=any_hit, max_iters=max_iters)
+    blk3 = pl.BlockSpec((1, SUB, LANE), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 8, SUB, LANE), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANE), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            blk3,
             pl.BlockSpec((1, M, SUB, LANE), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANE), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANE), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            blk3, blk3, blk3,
             # constant index map: Mosaic fetches the table once, not per block
             pl.BlockSpec((96, Ip), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # leaf rows stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, SUB, LANE), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            blk3,
             pl.BlockSpec((1, M, SUB, LANE), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANE), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            blk3, blk3, blk3,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SUB, LANE), jnp.int32),       # idx staging
+            pltpu.SMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((RB, LANE), jnp.float32),      # leaf rows
+            pltpu.SemaphoreType.DMA(()),              # leaf-row DMAs
+            pltpu.SemaphoreType.DMA(()),              # idx VMEM->SMEM
         ],
     )
     return pl.pallas_call(
@@ -233,9 +334,11 @@ def advance_to_leaf(rays, cur, mask, live, bt, int_bf, *, I, Ip, M,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((G, SUB, LANE), jnp.int32),
                    jax.ShapeDtypeStruct((G, M, SUB, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((G, SUB, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((G, SUB, LANE), jnp.float32),
                    jax.ShapeDtypeStruct((G, SUB, LANE), jnp.int32)),
         interpret=interpret,
-    )(rays, cur, mask, live, bt, int_bf)
+    )(rays, cur, mask, live, bt, btri, int_bf, leaf_rw)
 
 
 def _pack_blocks(o, d, t_min, R):
@@ -254,9 +357,8 @@ def _pack_blocks(o, d, t_min, R):
 
 
 def _traverse_w(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
-                max_rounds: int = None, interpret: bool = False):
-    """Hybrid rounds: Pallas advance-to-leaf + XLA leaf step, with phased
-    live-lane compaction between rounds (same scheme as ops/bvh16)."""
+                max_steps: int = None, interpret: bool = False):
+    """Phased driver: the ops/bvh16 compaction schedule around the kernel."""
     R = o.shape[0]
     I = bvh.n_interior
     M = max(bvh.depth, 1)
@@ -268,14 +370,14 @@ def _traverse_w(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
 
-    total = max_rounds if max_rounds is not None else \
-        sum(s for s, _ in PHASES_W)
+    total = max_steps if max_steps is not None else \
+        sum(s for s, _ in PHASES16_MXU)
     if R < 16384:
         phases = [(total, None)]
     else:
         phases = []
         left = total
-        for steps, keep in PHASES_W:
+        for steps, keep in PHASES16_MXU:
             phases.append((min(steps, left), keep if left > steps else None))
             left -= min(steps, left)
             if left <= 0:
@@ -284,10 +386,14 @@ def _traverse_w(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
     out_t = t_max
     out_tri = jnp.full(R, -1, jnp.int32)
     ridx = jnp.arange(R, dtype=jnp.int32)
-    state = None
     int_bf = bvh.int_bf
+    leaf_rw = bvh.leaf_rw
 
-    def run_phase(o_p, d_p, t_min_p, state, rounds):
+    o_p, d_p, t_min_p = o, d, t_min
+    state = (jnp.zeros(R, jnp.int32), jnp.zeros((R, M), jnp.int32),
+             jnp.ones(R, bool), t_max, jnp.full(R, -1, jnp.int32))
+    for steps, keep in phases:
+        cur, mask, live, best_t, best_tri = state
         Rc = o_p.shape[0]
         rays, G, Rp = _pack_blocks(o_p, d_p, t_min_p, Rc)
 
@@ -299,46 +405,22 @@ def _traverse_w(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
         def unblk(vb):
             return vb.reshape((Rp,) + vb.shape[3:])[:Rc]
 
-        cur, mask, live, best_t, best_tri = state
-        o3 = (o_p[:, 0], o_p[:, 1], o_p[:, 2])
-        d3 = (d_p[:, 0], d_p[:, 1], d_p[:, 2])
+        cb, maskb, liveb, btb, btrib = wtrace_phase(
+            rays, blk(cur), blk(mask).transpose(0, 3, 1, 2),
+            blk(live.astype(jnp.int32)), blk(best_t), blk(best_tri, -1),
+            int_bf, leaf_rw, I=I, Ip=Ip, M=M, K=K, any_hit=any_hit,
+            max_iters=steps, interpret=interpret)
+        cur = unblk(cb)
+        mask = unblk(maskb.transpose(0, 2, 3, 1))
+        live = unblk(liveb) > 0
+        best_t = unblk(btb)
+        best_tri = unblk(btrib)
+        state = (cur, mask, live, best_t, best_tri)
 
-        def round_body(c):
-            r, cur, mask, live, best_t, best_tri = c
-            cb, maskb, liveb = advance_to_leaf(
-                rays, blk(cur), blk(mask).transpose(0, 3, 1, 2),
-                blk(live.astype(jnp.int32)), blk(best_t),
-                int_bf, I=I, Ip=Ip, M=M, any_hit=any_hit,
-                max_iters=4 * M + 8, interpret=interpret)
-            cur = unblk(cb)
-            mask = unblk(maskb.transpose(0, 2, 3, 1))
-            live = unblk(liveb) > 0
-            # one leaf step: gather + 12 triangle tests + trail pop
-            s2 = _step16_leaf(bvh.table, I, M, K, o3, d3, t_min_p,
-                              any_hit, (cur, mask, live, best_t, best_tri))
-            cur, mask, live, best_t, best_tri = s2
-            return r + 1, cur, mask, live, best_t, best_tri
-
-        def round_cond(c):
-            r, cur, mask, live, best_t, best_tri = c
-            return live.any() & (r < rounds)
-
-        _, cur, mask, live, best_t, best_tri = jax.lax.while_loop(
-            round_cond, round_body,
-            (jnp.int32(0), cur, mask, live, best_t, best_tri))
-        return cur, mask, live, best_t, best_tri
-
-    o_p, d_p, t_min_p = o, d, t_min
-    state = (jnp.zeros(R, jnp.int32), jnp.zeros((R, M), jnp.int32),
-             jnp.ones(R, bool), t_max, jnp.full(R, -1, jnp.int32))
-    for rounds, keep in phases:
-        state = run_phase(o_p, d_p, t_min_p, state, rounds)
-        cur, mask, live, best_t, best_tri = state
         out_t = out_t.at[ridx].set(best_t)
         out_tri = out_tri.at[ridx].set(best_tri)
         if keep is None:
             break
-        Rc = o_p.shape[0]
         Rk = max(int(round(R * keep)), RB) if R > RB else Rc
         if Rk >= Rc:
             continue
@@ -356,12 +438,12 @@ def _traverse_w(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
 
 
 def wtrace_closest_hit(bvh: BVH16, o, d, t_min=1e-4, t_max=None,
-                       max_rounds: int = None,
+                       max_steps: int = None,
                        interpret: bool = False) -> HitRecord:
-    """Closest-hit via the hybrid Pallas/XLA walk. API mirrors
+    """Closest-hit via the on-chip Pallas walk. API mirrors
     ops/bvh16.bvh16_closest_hit; u/v/front recomputed once post-traversal."""
     best_t, best_tri = _traverse_w(bvh, o, d, t_min, t_max, any_hit=False,
-                                   max_rounds=max_rounds, interpret=interpret)
+                                   max_steps=max_steps, interpret=interpret)
     miss = best_tri < 0
     rec = bvh.recs[bvh.slot_of[jnp.maximum(best_tri, 0)]]
     v0, e1, e2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
@@ -379,8 +461,8 @@ def wtrace_closest_hit(bvh: BVH16, o, d, t_min=1e-4, t_max=None,
 
 
 def wtrace_any_hit(bvh: BVH16, o, d, t_min=1e-4, t_max=None,
-                   max_rounds: int = None, interpret: bool = False):
+                   max_steps: int = None, interpret: bool = False):
     best_t, best_tri = _traverse_w(bvh, o, d, t_min, t_max, any_hit=True,
-                                   max_rounds=max_rounds, interpret=interpret)
+                                   max_steps=max_steps, interpret=interpret)
     limit = t_max if t_max is not None else INF
     return (best_tri >= 0) & (best_t < limit)
