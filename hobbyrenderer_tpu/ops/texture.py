@@ -170,13 +170,30 @@ def uv_lod(uv_img, tex_size_img):
     """Mip level from screen-space UV derivatives (visibility-buffer shading
     has no quad derivatives; finite differences stand in — ref HW ddx/ddy).
 
+    A one-sided difference across a TRIANGLE/surface boundary compares uvs of
+    unrelated surfaces — |duv| blows up and the pixel samples the coarsest
+    mip. HW quad derivatives share the same problem only on 2x2 quad borders;
+    here EVERY pixel along a silhouette got a garbage footprint (measured:
+    wholesale texture blur at low golden-gate resolutions, visibly washed-out
+    vs the PT ground truth). Take the MIN-magnitude of the forward/backward
+    differences per axis: at a boundary, the surface-interior side survives.
+
     uv_img (H, W, 2); tex_size_img (H, W). Returns (H, W) fractional lod."""
-    dx = _ddx(uv_img)
-    dy = _ddy(uv_img)
-    # wrap-aware: a seam crossing produces |duv| ~ 1; modular-minimize
-    dx = dx - jnp.round(dx)
-    dy = dy - jnp.round(dy)
-    foot = jnp.maximum(jnp.abs(dx).max(-1), jnp.abs(dy).max(-1))
+    def two_sided(d, axis):
+        # d = forward diff with edge copy; backward diff = d shifted by one
+        if axis == 1:
+            bwd = jnp.concatenate([d[:, :1], d[:, :-1]], axis=1)
+        else:
+            bwd = jnp.concatenate([d[:1], d[:-1]], axis=0)
+        # wrap-aware: a seam crossing produces |duv| ~ 1; modular-minimize
+        d = d - jnp.round(d)
+        bwd = bwd - jnp.round(bwd)
+        mag_f = jnp.abs(d).max(-1)
+        mag_b = jnp.abs(bwd).max(-1)
+        return jnp.minimum(mag_f, mag_b)
+
+    foot = jnp.maximum(two_sided(_ddx(uv_img), 1),
+                       two_sided(_ddy(uv_img), 0))
     texels = foot * tex_size_img
     return jnp.log2(jnp.maximum(texels, 1e-6))
 

@@ -47,7 +47,8 @@ from hobbyrenderer_tpu.ops.intersect import INF
 
 RB = 1024          # rays per block: (8, 128) lanes
 SUB, LANE = 8, 128
-LEAF_FRAC_NUM = 4  # ops/bvh16 census: leaf step when leaves >= 1/4 of live
+LEAF_FRAC_NUM = 4  # census: leaf step when leaves >= 1/LEAF_FRAC_NUM of live
+DMA_UNROLL = 4     # scalar issue/drain loop unroll
 BIG = 3.0e38
 
 
@@ -56,7 +57,8 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
                    cur_o, mask_o, live_o, bt_o, btri_o,
                    idx_vmem, idx_smem, leafbuf, dsem, ssem,
                    *, I: int, Ip: int, M: int, K: int, any_hit: bool,
-                   max_iters: int):
+                   max_iters: int, leaf_frac: int = LEAF_FRAC_NUM,
+                   unroll: int = DMA_UNROLL):
     """One ray block. rays_ref (1, 8, 8, 128): planes [ox oy oz dx dy dz
     tmin unused]; cur/live/btri (1, 8, 128) i32; mask (1, M, 8, 128) i32;
     bt (1, 8, 128) f32. int_ref (96, Ip) bf16 VMEM; leaf_hbm (L, 128) f32."""
@@ -188,37 +190,38 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
         live = live_o[0] > 0
         do = live & (cur >= I)
         lvl = level_of(cur)
-        # stage lane -> leaf-row indices into SMEM for the scalar issue loop
-        idx_vmem[...] = jnp.where(do, cur - I, -1)
+        # stage lane -> leaf-row indices into SMEM for the scalar issue loop.
+        # EVERY lane issues a DMA (non-leaf lanes fetch row 0 — masked out by
+        # `do` below): the branch-free unrolled loop is ~2x cheaper per lane
+        # than a conditional issue + per-row drain, and the extra rows cost
+        # only HBM bandwidth (1024 x 512 B = 0.6 us/step at peak vs the
+        # scalar loop's tens of us).
+        idx_vmem[...] = jnp.where(do, cur - I, 0)
         cp = pltpu.make_async_copy(idx_vmem, idx_smem, ssem)
         cp.start()
         cp.wait()
 
-        def issue(r, n):
-            s = r // LANE
-            l = r % LANE
-            rid = idx_smem[s, l]
-
-            @pl.when(rid >= 0)
-            def _():
-                pltpu.make_async_copy(leaf_hbm.at[rid], leafbuf.at[r],
-                                      dsem).start()
-            return n + jnp.where(rid >= 0, 1, 0)
-
-        n_started = jax.lax.fori_loop(0, RB, issue, jnp.int32(0))
-
-        def drain(r, n):
-            s = r // LANE
-            l = r % LANE
-            rid = idx_smem[s, l]
-
-            @pl.when(rid >= 0)
-            def _():
-                pltpu.make_async_copy(leaf_hbm.at[rid], leafbuf.at[r],
-                                      dsem).wait()
+        def issue(j, n):
+            r = j * unroll
+            for u in range(unroll):
+                rr = r + u
+                pltpu.make_async_copy(
+                    leaf_hbm.at[idx_smem[rr // LANE, rr % LANE]],
+                    leafbuf.at[rr], dsem).start()
             return n
 
-        jax.lax.fori_loop(0, RB, drain, n_started)
+        jax.lax.fori_loop(0, RB // unroll, issue, jnp.int32(0))
+
+        def drain(j, n):
+            r = j * unroll
+            for u in range(unroll):
+                rr = r + u
+                pltpu.make_async_copy(
+                    leaf_hbm.at[idx_smem[rr // LANE, rr % LANE]],
+                    leafbuf.at[rr], dsem).wait()
+            return n
+
+        jax.lax.fori_loop(0, RB // unroll, drain, jnp.int32(0))
 
         bt = bt_o[0]
         btri = btri_o[0]
@@ -278,7 +281,7 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
     def body(c):
         i, _ = c
         n_leaf, n_int = counts()
-        do_leaf = (LEAF_FRAC_NUM * n_leaf >= n_leaf + n_int) | (n_int == 0)
+        do_leaf = (leaf_frac * n_leaf >= n_leaf + n_int) | (n_int == 0)
         jax.lax.cond(do_leaf, leaf_step, int_step)
         nl, ni = counts()
         return i + 1, nl + ni
@@ -289,16 +292,22 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("I", "Ip", "M", "K", "any_hit",
-                                    "max_iters", "interpret"))
+                                    "max_iters", "interpret", "leaf_frac",
+                                    "unroll"))
 def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
-                 I, Ip, M, K, any_hit, max_iters, interpret=False):
+                 I, Ip, M, K, any_hit, max_iters, interpret=False,
+                 leaf_frac=None, unroll=None):
     """Run up to max_iters census-scheduled steps on every block.
 
     rays (G, 8, 8, 128); cur/live/btri (G, 8, 128) i32; mask (G, M, 8, 128);
     bt (G, 8, 128) f32. Returns (cur, mask, live, bt, btri)."""
     G = rays.shape[0]
     kern = functools.partial(_wtrace_kernel, I=I, Ip=Ip, M=M, K=K,
-                             any_hit=any_hit, max_iters=max_iters)
+                             any_hit=any_hit, max_iters=max_iters,
+                             leaf_frac=(LEAF_FRAC_NUM if leaf_frac is None
+                                        else leaf_frac),
+                             unroll=(DMA_UNROLL if unroll is None
+                                     else unroll))
     blk3 = pl.BlockSpec((1, SUB, LANE), lambda g: (g, 0, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
@@ -409,7 +418,8 @@ def _traverse_w(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
             rays, blk(cur), blk(mask).transpose(0, 3, 1, 2),
             blk(live.astype(jnp.int32)), blk(best_t), blk(best_tri, -1),
             int_bf, leaf_rw, I=I, Ip=Ip, M=M, K=K, any_hit=any_hit,
-            max_iters=steps, interpret=interpret)
+            max_iters=steps, interpret=interpret,
+            leaf_frac=LEAF_FRAC_NUM, unroll=DMA_UNROLL)
         cur = unblk(cb)
         mask = unblk(maskb.transpose(0, 2, 3, 1))
         live = unblk(liveb) > 0
