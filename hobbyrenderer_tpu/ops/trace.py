@@ -455,8 +455,9 @@ def closest_hit_auto(rt, o, d, t_min: float = 1e-4, t_max=None,
             t_max = jnp.where(active, tm, 0.0)
         if _use_wtrace(rt):
             from hobbyrenderer_tpu.ops import wtrace as wtops
-            # every wtrace iteration advances one node: unified-walk budget
-            ms = max(24, max_steps // 4) if max_steps is not None else None
+            # same iteration-budget conversion as the MXU-split walk
+            ms = max(34, int(max_steps * 1.4) // 4) \
+                if max_steps is not None else None
             return wtops.wtrace_closest_hit(rt.bvh16, o, d, t_min=t_min,
                                             t_max=t_max, max_steps=ms)
         # the 16-ary tree drains ~4x faster per lockstep step
@@ -490,7 +491,8 @@ def any_hit_auto(rt, o, d, t_max=None, active=None,
             t_max = jnp.where(active, tm, 0.0)
         if _use_wtrace(rt):
             from hobbyrenderer_tpu.ops import wtrace as wtops
-            ms = max(24, max_steps // 4) if max_steps is not None else None
+            ms = max(34, int(max_steps * 1.4) // 4) \
+                if max_steps is not None else None
             return wtops.wtrace_any_hit(rt.bvh16, o, d, t_max=t_max,
                                         max_steps=ms)
         ms16 = max(24, max_steps // 4) if max_steps is not None else None

@@ -16,18 +16,17 @@ step. This kernel keeps all of it in VMEM/registers:
 
 - the conservative bf16 interior-box table (96, Ip) — 860 KB at 528k tris —
   is VMEM-resident for the kernel's entire run (constant block index);
-- blocks of RB=1024 rays are VMEM-resident; every iteration is one
-  OVERLAPPED combined step — at-leaf lanes' 512 B leaf rows are issued as
-  per-lane async DMAs from the row-major leaf table (indices staged
-  VMEM->SMEM, branch-free unrolled scalar issue loop), the interior lanes'
-  work runs while they fly (8 one-hot (96, Ip) x (Ip, 128) MXU matmuls
-  fetch all 16 child boxes per lane — the one-hots never exist anywhere but
-  VMEM — then slab tests + nearest-first descend/bitmask-trail pop as
-  (8, 128) VPU ops), then the leaf rows drain and per-sublane (128, 128)
-  transposes lay them out lane-major for the 12 dense Möller-Trumbore
-  tests + pop. Every live lane advances one node per iteration; box/hit
-  rules are IDENTICAL to the XLA walk, so results agree exactly
-  (tests/test_wtrace.py).
+- blocks of RB=1024 rays are VMEM-resident; every iteration either
+  * INTERIOR step: 8 one-hot (96, Ip) x (Ip, 128) MXU matmuls fetch all 16
+    child boxes per lane (the one-hots never exist anywhere but VMEM), then
+    slab tests + nearest-first descend/bitmask-trail pop as (8, 128) VPU ops;
+  * LEAF step: every at-leaf lane's 512 B leaf row arrives by per-lane async
+    DMA from the row-major leaf table (lane indices staged VMEM->SMEM, one
+    scalar issue loop), then per-sublane (128, 128) transposes lay the rows
+    out lane-major for the 12 dense Möller-Trumbore tests, then the pop;
+  chosen by the same live-lane census as ops/bvh16._traverse16_mxu
+  (LEAF_FRAC_NUM = 4) — node-visit decisions are IDENTICAL to the XLA walk,
+  so results agree exactly (tests/test_wtrace.py).
 - a block exits its while-loop as soon as all its lanes are done.
 
 The XLA driver only phases the wavefront (the ops/bvh16 compaction schedule)
@@ -43,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hobbyrenderer_tpu.ops.bvh import HitRecord
-from hobbyrenderer_tpu.ops.bvh16 import BVH16, PHASES16
+from hobbyrenderer_tpu.ops.bvh16 import BVH16, PHASES16_MXU
 from hobbyrenderer_tpu.ops.intersect import INF
 
 RB = 1024          # rays per block: (8, 128) lanes
@@ -56,7 +55,7 @@ BIG = 3.0e38
 def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
                    int_ref, leaf_hbm,
                    cur_o, mask_o, live_o, bt_o, btri_o,
-                   idx_vmem, idx_smem, leafbuf, lmask_vmem, dsem, ssem,
+                   idx_vmem, idx_smem, leafbuf, dsem, ssem,
                    *, I: int, Ip: int, M: int, K: int, any_hit: bool,
                    max_iters: int, leaf_frac: int = LEAF_FRAC_NUM,
                    unroll: int = DMA_UNROLL):
@@ -184,20 +183,19 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
             at_k = (lvl == k) & descend
             mask_o[0, k] = jnp.where(at_k, bits, mask_o[0, k])
         trail_pop(cur, lvl, do & ~has_int, descend, near)
+        return jnp.int32(0)
 
-    def leaf_issue():
-        """Stage at-leaf lane indices + start their row DMAs; the interior
-        step's MXU work runs while they fly. The at-leaf lane SET is
-        snapshotted (lmask_vmem): the interior step mutates cur for interior
-        lanes only, but leaf_finish must use the issue-time set."""
+    def leaf_step():
         cur = cur_o[0]
         live = live_o[0] > 0
         do = live & (cur >= I)
-        lmask_vmem[...] = do.astype(jnp.int32)
-        # EVERY lane issues a DMA (non-leaf lanes fetch row 0 — masked out
-        # later): the branch-free unrolled loop is ~2x cheaper per lane than
-        # a conditional issue, and the extra rows cost only HBM bandwidth
-        # (1024 x 512 B = 0.6 us at peak vs the scalar loop's tens of us).
+        lvl = level_of(cur)
+        # stage lane -> leaf-row indices into SMEM for the scalar issue loop.
+        # EVERY lane issues a DMA (non-leaf lanes fetch row 0 — masked out by
+        # `do` below): the branch-free unrolled loop is ~2x cheaper per lane
+        # than a conditional issue + per-row drain, and the extra rows cost
+        # only HBM bandwidth (1024 x 512 B = 0.6 us/step at peak vs the
+        # scalar loop's tens of us).
         idx_vmem[...] = jnp.where(do, cur - I, 0)
         cp = pltpu.make_async_copy(idx_vmem, idx_smem, ssem)
         cp.start()
@@ -213,11 +211,6 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
             return n
 
         jax.lax.fori_loop(0, RB // unroll, issue, jnp.int32(0))
-
-    def leaf_finish():
-        do = lmask_vmem[...] > 0
-        cur = cur_o[0]
-        lvl = level_of(cur)
 
         def drain(j, n):
             r = j * unroll
@@ -279,33 +272,17 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
         trail_pop(cur, lvl, do, jnp.zeros((SUB, LANE), bool), near0)
         if any_hit:
             live_o[0] = jnp.where(btri_o[0] >= 0, 0, live_o[0])
+        return jnp.int32(0)
 
     def cond(c):
         i, n_work = c
         return (n_work > 0) & (i < max_iters)
 
     def body(c):
-        """OVERLAPPED combined step: issue the at-leaf lanes' row DMAs,
-        run the interior lanes' MXU/VPU work while they fly, then drain and
-        run the leaf triangle tests. Every live lane advances one node per
-        iteration (the census-alternating form stalled each class while the
-        other stepped — ~1.4x more lockstep iterations — and left the DMA
-        engines idle during compute)."""
         i, _ = c
         n_leaf, n_int = counts()
-
-        @pl.when(n_leaf > 0)
-        def _():
-            leaf_issue()
-
-        @pl.when(n_int > 0)
-        def _():
-            int_step()
-
-        @pl.when(n_leaf > 0)
-        def _():
-            leaf_finish()
-
+        do_leaf = (leaf_frac * n_leaf >= n_leaf + n_int) | (n_int == 0)
+        jax.lax.cond(do_leaf, leaf_step, int_step)
         nl, ni = counts()
         return i + 1, nl + ni
 
@@ -357,7 +334,6 @@ def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
             pltpu.VMEM((SUB, LANE), jnp.int32),       # idx staging
             pltpu.SMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((RB, LANE), jnp.float32),      # leaf rows
-            pltpu.VMEM((SUB, LANE), jnp.int32),       # issue-time leaf set
             pltpu.SemaphoreType.DMA(()),              # leaf-row DMAs
             pltpu.SemaphoreType.DMA(()),              # idx VMEM->SMEM
         ],
@@ -404,13 +380,13 @@ def _traverse_w(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
 
     total = max_steps if max_steps is not None else \
-        sum(s for s, _ in PHASES16)
+        sum(s for s, _ in PHASES16_MXU)
     if R < 16384:
         phases = [(total, None)]
     else:
         phases = []
         left = total
-        for steps, keep in PHASES16:
+        for steps, keep in PHASES16_MXU:
             phases.append((min(steps, left), keep if left > steps else None))
             left -= min(steps, left)
             if left <= 0:
