@@ -47,8 +47,8 @@ from hobbyrenderer_tpu.ops.intersect import INF
 
 RB = 1024          # rays per block: (8, 128) lanes
 SUB, LANE = 8, 128
-LEAF_FRAC_NUM = 4  # census: leaf step when leaves >= 1/LEAF_FRAC_NUM of live
-DMA_UNROLL = 4     # scalar issue/drain loop unroll
+LEAF_FRAC_NUM = 2  # census: leaf step when leaves >= 1/2 of live (TPU sweep winner)
+DMA_UNROLL = 8     # scalar issue/drain loop unroll (TPU sweep winner)
 BIG = 3.0e38
 
 

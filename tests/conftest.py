@@ -60,3 +60,26 @@ def _bound_live_executables():
     reload, so this costs seconds, not the minutes of a cold recompile."""
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: estimator/parity core (~10 min) — `pytest -m quick` when the "
+        "full 55-min suite is too slow for the edit loop")
+
+
+# the estimator-correctness + parity core: cheap modules that catch most
+# regressions (VERDICT-r3 weak #8 — give the edit loop a fast gate)
+_QUICK_MODULES = {
+    "test_math.py", "test_bvh.py", "test_bvh16.py", "test_wtrace.py",
+    "test_restir_kernel.py", "test_textures.py", "test_upsample.py",
+    "test_lights.py", "test_scene.py", "test_runtime.py", "test_pt_compact.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pathlib
+    for item in items:
+        if pathlib.Path(str(item.fspath)).name in _QUICK_MODULES:
+            item.add_marker("quick")
