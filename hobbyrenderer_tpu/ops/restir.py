@@ -518,9 +518,15 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
                             L_vis[jnp.minimum(sel, R - 1)])
             tm_c = jnp.where(pad, 0.0, tmax[jnp.minimum(sel, R - 1)])
             if getattr(rt, "bvh16", None) is not None:
-                from hobbyrenderer_tpu.ops import bvh16 as b16ops
-                occ_c = b16ops.bvh16_any_hit(rt.bvh16, o_c, d_c, t_max=tm_c,
-                                             max_steps=64)
+                from hobbyrenderer_tpu.ops.trace import _use_wtrace
+                if _use_wtrace(rt) and jax.default_backend() == "tpu":
+                    from hobbyrenderer_tpu.ops import wtrace as wtops
+                    occ_c = wtops.wtrace_any_hit(rt.bvh16, o_c, d_c,
+                                                 t_max=tm_c, max_steps=20)
+                else:
+                    from hobbyrenderer_tpu.ops import bvh16 as b16ops
+                    occ_c = b16ops.bvh16_any_hit(rt.bvh16, o_c, d_c,
+                                                 t_max=tm_c, max_steps=64)
             else:
                 occ_c = bvhops.bvh_any_hit(rt.bvh, o_c, d_c, t_max=tm_c,
                                            max_steps=256)
