@@ -405,7 +405,7 @@ def build_deferred_graph(width: int, height: int, visible_capacity: int,
             visibility=ctx.rt is not None, regir_grid=grid, stats_out=so,
             num_candidates=rq.di_candidates, spatial_taps=rq.di_spatial_taps,
             boiling_mult=rq.di_boiling_mult,
-            checkerboard=rq.di_checkerboard)
+            checkerboard=rq.di_checkerboard, vis_scale=rq.di_vis_scale)
         res["restir_direct"] = direct
         res["restir_reservoir"] = new_res
         res["rt_overflow_di"] = so.get("overflow", jnp.int32(0))

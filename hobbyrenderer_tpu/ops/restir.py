@@ -128,12 +128,85 @@ def boiling_filter_mask(w_sum_2d, live_2d, mult: float = 20.0,
     return live_2d & (w_sum_2d > mult * jnp.maximum(mean, 1e-20))
 
 
+def _winner_occlusion(rt, o, L_vis, tmax, shoot, y_ids, H, W,
+                      force_kernel: bool, stats_out: dict):
+    """One occlusion bit per lane for the ReSTIR winner rays (R = H*W lanes).
+
+    TPU: tile-modal winner split — the TOP-TWO tile-modal winners each ride
+    a beam pass (tight cones; post-spatial-reuse tiles hold 1-3 distinct
+    winners), the rare stragglers compact into a small wavefront for the
+    on-chip walk (measured: one unsplit beam pass degenerated to 1.46 s at
+    1080p when lanes mixed winners). CPU: plain wavefront any-hit."""
+    R = H * W
+    if getattr(rt, "btable", None) is not None \
+            and (jax.default_backend() == "tpu" or force_kernel):
+        from hobbyrenderer_tpu.ops import beam as beamops
+        interp = force_kernel and jax.default_backend() != "tpu"
+        shoot2 = shoot.reshape(H, W)
+        o2 = o.reshape(H, W, 3)
+        Lv2 = L_vis.reshape(H, W, 3)
+        tm2 = tmax.reshape(H, W)
+        key = jnp.where(shoot2, y_ids.reshape(H, W), -1)
+        match = beamops.tile_majority_mask(key, H, W, exclude=-1) & shoot2
+        occ_b, n_ovf = beamops.beam_any_hit(
+            rt.btable, o2, Lv2, tm2, match, H, W,
+            interpret=interp, return_overflow=True)
+        key2 = jnp.where(match, -1, key)
+        match2 = beamops.tile_majority_mask(key2, H, W, exclude=-1) \
+            & shoot2 & ~match
+        occ_b2, n_ovf2 = beamops.beam_any_hit(
+            rt.btable, o2, Lv2, tm2, match2, H, W,
+            interpret=interp, return_overflow=True)
+        occ_b = jnp.where(match2, occ_b2, occ_b)
+        n_ovf = n_ovf + n_ovf2
+        match = match | match2
+        minority = shoot & ~match.reshape(R)
+        CAP = max(R // 32, 1024)
+        rank = jnp.cumsum(minority.astype(jnp.int32)) - 1
+        slot = jnp.where(minority & (rank < CAP), rank, CAP)
+        sel = jnp.full((CAP + 1,), R, jnp.int32) \
+            .at[slot].set(jnp.arange(R, dtype=jnp.int32), mode="drop")[:CAP]
+        pad = sel >= R
+        o_c = jnp.where(pad[:, None], 0.0, o[jnp.minimum(sel, R - 1)])
+        d_c = jnp.where(pad[:, None], 0.0, L_vis[jnp.minimum(sel, R - 1)])
+        tm_c = jnp.where(pad, 0.0, tmax[jnp.minimum(sel, R - 1)])
+        if getattr(rt, "bvh16", None) is not None:
+            from hobbyrenderer_tpu.ops.trace import _use_wtrace
+            if _use_wtrace(rt) and jax.default_backend() == "tpu":
+                from hobbyrenderer_tpu.ops import wtrace as wtops
+                occ_c = wtops.wtrace_any_hit(rt.bvh16, o_c, d_c,
+                                             t_max=tm_c, max_steps=20)
+            else:
+                from hobbyrenderer_tpu.ops import bvh16 as b16ops
+                occ_c = b16ops.bvh16_any_hit(rt.bvh16, o_c, d_c,
+                                             t_max=tm_c, max_steps=64)
+        else:
+            occ_c = bvhops.bvh_any_hit(rt.bvh, o_c, d_c, t_max=tm_c,
+                                       max_steps=256)
+        # lanes past CAP never traced: treat them as OCCLUDED (a brief
+        # over-dark shadow) rather than unoccluded (a light leak the
+        # temporal chain amplifies) — ADVICE r3
+        occ_m = jnp.where(minority & (rank >= CAP), True,
+                          jnp.zeros(R, bool).at[sel].set(occ_c & ~pad,
+                                                         mode="drop"))
+        occ = jnp.where(match.reshape(R), occ_b.reshape(R), occ_m)
+        if stats_out is not None:
+            # under-reported occlusion events: frontier-overflowed beam
+            # tiles + straggler lanes past the wavefront capacity; surfaced
+            # in Renderer.stats()
+            n_min = jnp.sum(minority.astype(jnp.int32))
+            stats_out["overflow"] = stats_out.get("overflow", jnp.int32(0)) \
+                + n_ovf + jnp.maximum(n_min - CAP, 0)
+        return occ
+    return bvhops.bvh_any_hit(rt.bvh, o, L_vis, t_max=tmax)
+
+
 def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
               num_candidates: int = 8, visibility: bool = True,
               spatial_taps: int = SPATIAL_TAPS, pool=None, shard=None,
               force_kernel: bool = False, boiling_mult: float = 20.0,
               regir_grid=None, stats_out: dict = None,
-              checkerboard: bool = False):
+              checkerboard: bool = False, vis_scale: int = 1):
     """Full ReSTIR DI chain for one frame.
 
     gb: GBuffer; prev: last frame's reservoir (already at this frame's pixel
@@ -472,79 +545,64 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         from hobbyrenderer_tpu.ops.intersect import retarget_shadow_ray
         L_vis, tmax_t = retarget_shadow_ray(pos, o, L_final, dist)
         tmax = jnp.where(shoot, tmax_t, 1e-4)
-        if getattr(rt, "btable", None) is not None \
-                and (jax.default_backend() == "tpu" or force_kernel):
-            # winner rays are only PER-TILE coherent where the tile agrees on
-            # one winner; a handful of off-winner lanes widen the beam cone to
-            # the whole light pool and the kernel degenerates (measured 1.46 s
-            # of the 1.55 s RTXDI pass at 1080p). Split: the TOP-TWO tile-modal
-            # winners each ride a beam pass (tight cones; post-spatial-reuse
-            # tiles hold 1-3 distinct winners, so two modal passes absorb
-            # nearly every lane), the rare stragglers compact into a small
-            # wavefront for the 16-ary walk. An extra beam pass over
-            # mostly-empty tiles is far cheaper than widening the straggler
-            # wavefront 4x.
-            from hobbyrenderer_tpu.ops import beam as beamops
-            interp = force_kernel and jax.default_backend() != "tpu"
-            shoot2 = shoot.reshape(H, W)
-            o2 = o.reshape(H, W, 3)
-            Lv2 = L_vis.reshape(H, W, 3)
-            tm2 = tmax.reshape(H, W)
-            key = jnp.where(shoot2, y.reshape(H, W), -1)
-            match = beamops.tile_majority_mask(key, H, W, exclude=-1) \
-                & shoot2
-            occ_b, n_ovf = beamops.beam_any_hit(
-                rt.btable, o2, Lv2, tm2, match, H, W,
-                interpret=interp, return_overflow=True)
-            key2 = jnp.where(match, -1, key)
-            match2 = beamops.tile_majority_mask(key2, H, W, exclude=-1) \
-                & shoot2 & ~match
-            occ_b2, n_ovf2 = beamops.beam_any_hit(
-                rt.btable, o2, Lv2, tm2, match2, H, W,
-                interpret=interp, return_overflow=True)
-            occ_b = jnp.where(match2, occ_b2, occ_b)
-            n_ovf = n_ovf + n_ovf2
-            match = match | match2
-            minority = shoot & ~match.reshape(R)
-            CAP = max(R // 32, 1024)
-            rank = jnp.cumsum(minority.astype(jnp.int32)) - 1
-            slot = jnp.where(minority & (rank < CAP), rank, CAP)
-            sel = jnp.full((CAP + 1,), R, jnp.int32) \
+        vs = max(int(vis_scale), 1)
+        if vs > 1:
+            # REDUCED-RATE winner visibility (preset di_vis_scale; the
+            # reference's perf presets make the same rays-vs-quality trade
+            # via checkerboarding): trace the (::vs, ::vs) subgrid only.
+            # A full-res lane whose winner MATCHES its quad's traced lane
+            # reuses that occlusion bit (same light from a <=vs-px-offset
+            # surface point — the classic reduced-res shadow approximation,
+            # absorbed by RELAX+TAA); mismatched-winner lanes re-trace
+            # EXACTLY in a compacted wavefront, so the reuse never crosses a
+            # light boundary. Backend-neutral: the golden gates measure it.
+            Hh, Wh = -(-H // vs), -(-W // vs)
+
+            def sub2(a2):
+                return a2.reshape((H, W) + a2.shape[1:])[::vs, ::vs]
+
+            def up2(ah):
+                e = jnp.repeat(jnp.repeat(ah, vs, 0), vs, 1)
+                return e[:H, :W]
+
+            o_h = sub2(o).reshape(-1, 3)
+            d_h = sub2(L_vis).reshape(-1, 3)
+            tm_h = sub2(tmax).reshape(-1)
+            sh_h = sub2(shoot).reshape(-1)
+            y_h = sub2(y)                        # (Hh, Wh) winner ids
+            occ_h = _winner_occlusion(rt, o_h, d_h, tm_h, sh_h,
+                                      y_h.reshape(-1), Hh, Wh,
+                                      force_kernel, stats_out)
+            occ_e = up2(occ_h.reshape(Hh, Wh)).reshape(R)
+            same = (shoot & up2(sh_h.reshape(Hh, Wh)).reshape(R)
+                    & (y == up2(y_h).reshape(R)))
+            mismatch = shoot & ~same
+            CAPm = max(R // 64, 1024)
+            rank = jnp.cumsum(mismatch.astype(jnp.int32)) - 1
+            slot = jnp.where(mismatch & (rank < CAPm), rank, CAPm)
+            sel = jnp.full((CAPm + 1,), R, jnp.int32) \
                 .at[slot].set(jnp.arange(R, dtype=jnp.int32),
-                              mode="drop")[:CAP]
+                              mode="drop")[:CAPm]
             pad = sel >= R
-            o_c = jnp.where(pad[:, None], 0.0, o[jnp.minimum(sel, R - 1)])
-            d_c = jnp.where(pad[:, None], 0.0,
-                            L_vis[jnp.minimum(sel, R - 1)])
-            tm_c = jnp.where(pad, 0.0, tmax[jnp.minimum(sel, R - 1)])
-            if getattr(rt, "bvh16", None) is not None:
-                from hobbyrenderer_tpu.ops.trace import _use_wtrace
-                if _use_wtrace(rt) and jax.default_backend() == "tpu":
-                    from hobbyrenderer_tpu.ops import wtrace as wtops
-                    occ_c = wtops.wtrace_any_hit(rt.bvh16, o_c, d_c,
-                                                 t_max=tm_c, max_steps=20)
-                else:
-                    from hobbyrenderer_tpu.ops import bvh16 as b16ops
-                    occ_c = b16ops.bvh16_any_hit(rt.bvh16, o_c, d_c,
-                                                 t_max=tm_c, max_steps=64)
-            else:
-                occ_c = bvhops.bvh_any_hit(rt.bvh, o_c, d_c, t_max=tm_c,
-                                           max_steps=256)
-            # lanes past CAP never traced: treat them as OCCLUDED (a brief
-            # over-dark shadow) rather than unoccluded (a light leak the
-            # temporal chain amplifies) — ADVICE r3
-            occ_m = jnp.where(minority & (rank >= CAP), True,
-                              jnp.zeros(R, bool).at[sel].set(occ_c & ~pad,
-                                                             mode="drop"))
-            occ = jnp.where(match.reshape(R), occ_b.reshape(R), occ_m)
+            selc = jnp.minimum(sel, R - 1)
+            o_c = jnp.where(pad[:, None], 0.0, o[selc])
+            d_c = jnp.where(pad[:, None], 0.0, L_vis[selc])
+            tm_c = jnp.where(pad, 0.0, tmax[selc])
+            from hobbyrenderer_tpu.ops import trace as traceops
+            occ_c = traceops.any_hit_auto(rt, o_c, d_c, t_max=tm_c,
+                                          active=~pad, max_steps=256)
+            # past-cap mismatches: conservative occluded (ADVICE r3 rule)
+            occ_m = jnp.where(mismatch & (rank >= CAPm), True,
+                              jnp.zeros(R, bool).at[sel].set(
+                                  occ_c & ~pad, mode="drop"))
+            occ = jnp.where(same, occ_e, occ_m)
             if stats_out is not None:
-                # under-reported occlusion events: frontier-overflowed beam
-                # tiles + straggler lanes past the wavefront capacity (both
-                # render unoccluded); surfaced in Renderer.stats()
-                n_min = jnp.sum(minority.astype(jnp.int32))
-                stats_out["overflow"] = n_ovf + jnp.maximum(n_min - CAP, 0)
+                n_mm = jnp.sum(mismatch.astype(jnp.int32))
+                stats_out["overflow"] = stats_out.get(
+                    "overflow", jnp.int32(0)) + jnp.maximum(n_mm - CAPm, 0)
         else:
-            occ = bvhops.bvh_any_hit(rt.bvh, o, L_vis, t_max=tmax)
+            occ = _winner_occlusion(rt, o, L_vis, tmax, shoot, y, H, W,
+                                    force_kernel, stats_out)
         contrib = jnp.where(occ[..., None], 0.0, contrib)
     contrib = jnp.where((valid & (y >= 0))[..., None], contrib, 0.0)
 

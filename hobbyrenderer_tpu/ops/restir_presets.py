@@ -42,6 +42,10 @@ class ReSTIRPreset(NamedTuple):
     # traced-specular ray budget: checkerboard half-rate (the same
     # CheckerboardMode lever applied to the BrdfRayTracing pass)
     spec_half_rate: bool = True
+    # winner-visibility ray budget: trace the (::N, ::N) subgrid; same-winner
+    # lanes reuse the bit, mismatched lanes re-trace exactly (ops/restir.py
+    # vis_scale — the reduced-rate analogue of the ref perf presets' ray cuts)
+    di_vis_scale: int = 2
 
 
 PRESETS = {
@@ -58,7 +62,7 @@ PRESETS = {
                                 di_spatial_taps=5, di_boiling_mult=0.0,
                                 di_checkerboard=False, gi_spatial_taps=5,
                                 gi_m_clamp=20.0, gi_half_rate=False,
-                                spec_half_rate=False),
+                                spec_half_rate=False, di_vis_scale=1),
 }
 
 

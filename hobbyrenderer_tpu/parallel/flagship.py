@@ -45,6 +45,7 @@ from hobbyrenderer_tpu.parallel.mesh import TILE_AXIS, build_mesh
 
 GI_SCALE = 4
 GI_HALF_RATE = True   # same checkerboard trade as models/deferred.py
+DI_VIS_SCALE = 2       # reduced-rate winner visibility (preset di_vis_scale)
 SPEC_HALF_RATE = True  # traced-specular checkerboard (preset spec_half_rate;
 #                        the deferred path reads rq.spec_half_rate — keep the
 #                        sharded default in ONE visible place, not inline)
@@ -206,10 +207,12 @@ def _flagship_fn(gpu, rt, vc, settings, state, dt, *, width, height, shard_h,
         if fb is not None:
             tex_feedback = jax.lax.psum(fb, TILE_AXIS)
 
-    # ReSTIR DI with halo'd temporal/spatial reuse
+    # ReSTIR DI with halo'd temporal/spatial reuse (balanced-preset
+    # reduced-rate winner visibility, as models/deferred)
     direct, new_res = restirops.restir_di(
         gpu, rt, gb, vc, settings, state["restir_reservoir"],
-        vc["frame_index"], visibility=rt is not None, shard=shard)
+        vc["frame_index"], visibility=rt is not None, shard=shard,
+        vis_scale=DI_VIS_SCALE)
     direct, dn_state = dnops.denoise(direct, gb, state["denoise_state"],
                                      shard=shard)
 
