@@ -64,11 +64,11 @@ def transparent_composite(gpu, vc, settings, gb, hdr, *, width, height,
     stack = refrops.build_level_stack(hdr_full)
     R = shard_h * width
     # static capacity for the compacted shade chain (below): a transparent
-    # BIN rarely covers more than an eighth of the frame (the chain cost
+    # BIN rarely covers more than a few percent of the frame (the chain cost
     # scales with CAP, not actual coverage — R//3 left 200+ ms on the table
-    # at 1080p); lanes past the cap composite as pure background (the same
-    # static-capacity contract as the raster worklists)
-    CAP = max(R // 8, 2048)
+    # at 1080p, R//8 another ~2x); lanes past the cap composite as pure
+    # background (the same static-capacity contract as the raster worklists)
+    CAP = max(R // 16, 2048)
 
     def shade_layer(hdr_band, slots):
         """Rasterize one bin's slots and composite over hdr_band.
