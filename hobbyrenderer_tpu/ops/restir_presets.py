@@ -33,7 +33,9 @@ from typing import NamedTuple
 class ReSTIRPreset(NamedTuple):
     name: str = "balanced"
     di_candidates: int = 8
-    di_spatial_taps: int = 3
+    # 2 taps: golden-neutral vs 3 (measured RMSE 0.1156 vs 0.1155 at 96x64;
+    # the ref balanced preset runs 1 spatial pass + boost)
+    di_spatial_taps: int = 2
     di_boiling_mult: float = 20.0
     di_checkerboard: bool = False
     gi_spatial_taps: int = 4
