@@ -45,8 +45,10 @@ from hobbyrenderer_tpu.ops.bvh import HitRecord
 from hobbyrenderer_tpu.ops.bvh16 import BVH16, PHASES16_MXU
 from hobbyrenderer_tpu.ops.intersect import INF
 
-RB = 1024          # rays per block: (8, 128) lanes
-SUB, LANE = 8, 128
+RB = 2048          # rays per block: (16, 128) lanes — larger blocks amortize
+#                    the per-iteration fixed costs (census reductions,
+#                    while-loop control, leaf index staging) over 2x lanes
+SUB, LANE = RB // 128, 128
 LEAF_FRAC_NUM = 2  # census: leaf step when leaves >= 1/2 of live (TPU sweep winner)
 DMA_UNROLL = 8     # scalar issue/drain loop unroll (TPU sweep winner)
 BIG = 3.0e38
