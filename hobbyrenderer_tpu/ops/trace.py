@@ -48,7 +48,7 @@ FCAP = 4096       # frontier capacity (nodes per BFS level; incoherent blocks
 BIG = 3.0e37
 TMAX_CAP = 1e30   # finite stand-in for "no t_max" (keeps interval math finite)
 
-# incoherent-dispatch choice: the hybrid Pallas/XLA walk (ops/wtrace) keeps the
+# incoherent-dispatch choice: the on-chip Pallas walk (ops/wtrace) keeps the
 # whole interior traversal on-chip. Env-gated for A/B benching on TPU
 # (HR_WTRACE=0 restores the pure-XLA bvh16 walk).
 import os as _os

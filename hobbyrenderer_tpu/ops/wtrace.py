@@ -16,7 +16,7 @@ step. This kernel keeps all of it in VMEM/registers:
 
 - the conservative bf16 interior-box table (96, Ip) — 860 KB at 528k tris —
   is VMEM-resident for the kernel's entire run (constant block index);
-- blocks of RB=1024 rays are VMEM-resident; every iteration either
+- blocks of RB=2048 rays are VMEM-resident; every iteration either
   * INTERIOR step: 8 one-hot (96, Ip) x (Ip, 128) MXU matmuls fetch all 16
     child boxes per lane (the one-hots never exist anywhere but VMEM), then
     slab tests + nearest-first descend/bitmask-trail pop as (8, 128) VPU ops;
