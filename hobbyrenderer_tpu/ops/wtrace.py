@@ -25,7 +25,7 @@ step. This kernel keeps all of it in VMEM/registers:
     scalar issue loop), then per-sublane (128, 128) transposes lay the rows
     out lane-major for the 12 dense Möller-Trumbore tests, then the pop;
   chosen by the same live-lane census as ops/bvh16._traverse16_mxu
-  (LEAF_FRAC_NUM = 4) — node-visit decisions are IDENTICAL to the XLA walk,
+  (LEAF_FRAC_NUM) — node-visit decisions are IDENTICAL to the XLA walk,
   so results agree exactly (tests/test_wtrace.py).
 - a block exits its while-loop as soon as all its lanes are done.
 
@@ -61,9 +61,9 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
                    *, I: int, Ip: int, M: int, K: int, any_hit: bool,
                    max_iters: int, leaf_frac: int = LEAF_FRAC_NUM,
                    unroll: int = DMA_UNROLL):
-    """One ray block. rays_ref (1, 8, 8, 128): planes [ox oy oz dx dy dz
-    tmin unused]; cur/live/btri (1, 8, 128) i32; mask (1, M, 8, 128) i32;
-    bt (1, 8, 128) f32. int_ref (96, Ip) bf16 VMEM; leaf_hbm (L, 128) f32."""
+    """One ray block. rays_ref (1, 8, SUB, 128): planes [ox oy oz dx dy dz
+    tmin unused]; cur/live/btri (1, SUB, 128) i32; mask (1, M, SUB, 128);
+    bt (1, SUB, 128) f32. int_ref (96, Ip) bf16 VMEM; leaf_hbm (L, 128) f32."""
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
