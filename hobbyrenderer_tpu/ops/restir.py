@@ -34,6 +34,9 @@ from hobbyrenderer_tpu.utils import math as hm
 from hobbyrenderer_tpu.utils.rng import pcg3d, uniform_from_bits
 
 M_CLAMP_TEMPORAL = 20.0     # ref RTXDI temporal M clamp
+VIS_SCALE_MIN_DIM = 512     # reduced-rate visibility only at real resolutions
+#                             (the reuse offset is a huge image fraction at
+#                              golden-gate thumbnails; tests patch this down)
 SPATIAL_RADIUS = 30.0       # px (ref spatial sampling radius)
 SPATIAL_TAPS = 4
 HALO = 32                   # row-shard halo >= SPATIAL_RADIUS (exact taps)
@@ -546,7 +549,7 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         L_vis, tmax_t = retarget_shadow_ray(pos, o, L_final, dist)
         tmax = jnp.where(shoot, tmax_t, 1e-4)
         vs = max(int(vis_scale), 1)
-        if vs > 1 and min(shu.full_height(shard, H), W) < 512:
+        if vs > 1 and min(shu.full_height(shard, H), W) < VIS_SCALE_MIN_DIM:
             # the reuse offset is <= vs PIXELS: at thumbnail sizes that is a
             # huge fraction of the image (measured +0.010 RMSE on the 96x64
             # golden gate) while at production resolutions it is sub-texel

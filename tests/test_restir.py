@@ -448,3 +448,49 @@ def test_regir_onion_restir_converges():
     lit = valid & (ref.sum(-1) > 1e-3)
     rel = np.abs(avg[lit] - ref[lit]).sum() / (ref[lit].sum() + 1e-9)
     assert rel < 0.15, f"onion ReGIR deviates {rel:.3f} from brute force"
+
+
+def test_reduced_rate_visibility_matches_full_rate(monkeypatch):
+    """vis_scale=2 (preset di_vis_scale): the traced subgrid + same-winner
+    reuse + exact mismatch re-trace must stay CLOSE to full-rate visibility
+    (the reuse offset is <= 2 px; only shadow-edge pixels may differ). The
+    path is resolution-gated in production; the test patches the gate."""
+    import hobbyrenderer_tpu.ops.restir as restirmod
+
+    from tests.test_restir_kernel import _scene as _ksc
+    sc = _ksc()
+    from hobbyrenderer_tpu.config import RenderSettings
+    from hobbyrenderer_tpu.models.pathtracer import build_scene_rt
+    from hobbyrenderer_tpu.ops import culling as cullops
+    from hobbyrenderer_tpu.ops import raster as rasterops
+    from hobbyrenderer_tpu.scene import Camera
+    from hobbyrenderer_tpu.scene.gpu import build_scene_gpu
+
+    W2, H2 = 48, 32
+    gpu = build_scene_gpu(sc)
+    rt = build_scene_rt(sc, gpu)
+    cam = Camera(sc.cameras[0], W2, H2)
+    cam.jitter_enabled = False
+    vc = cam.view_constants(0)
+    settings = RenderSettings().as_pytree()
+    cap = max(int(gpu.lod0_pair_capacity), 1)
+    cu = cullops.cull_pairs(gpu, vc,
+                            alpha_mask=jnp.asarray([True, True, False]))
+    slots, _ = cullops.compact_mask(cu["mask"], cap)
+    ro, aux = rasterops.rasterize(gpu, vc, slots, W2, H2)
+    gb = rasterops.resolve_gbuffer(gpu, vc, ro, slots, aux=aux)
+    prev = restirmod.reservoir_init(H2, W2)
+
+    full, _ = restirmod.restir_di(gpu, rt, gb, vc, settings, prev,
+                                  jnp.int32(5), visibility=True)
+    monkeypatch.setattr(restirmod, "VIS_SCALE_MIN_DIM", 8)
+    half, _ = restirmod.restir_di(gpu, rt, gb, vc, settings, prev,
+                                  jnp.int32(5), visibility=True, vis_scale=2)
+    a, b = np.asarray(full), np.asarray(half)
+    # identical RNG chain => reservoirs equal; only occlusion bits at
+    # shadow-edge reuse pixels may flip. Require close agreement.
+    denom = np.abs(a).sum() + 1e-6
+    rel = np.abs(a - b).sum() / denom
+    assert rel < 0.12, f"reduced-rate visibility diverges: {rel:.4f}"
+    frac_diff = (np.abs(a - b).max(-1) > 1e-4).mean()
+    assert frac_diff < 0.25, f"too many pixels differ: {frac_diff:.3f}"
