@@ -280,7 +280,8 @@ COMPACT_MIN_CAP = 4096
 def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
                 accum_index, max_bounces: int = 8, rr_start: int = 2,
                 sample_textures=None, sky_fn=None,
-                env_as_lights: bool = False, spp: int = 1):
+                env_as_lights: bool = False, spp: int = 1,
+                with_stats: bool = False):
     """spp samples per pixel in ONE wavefront; returns (H*W, 3) mean radiance.
 
     spp > 1 widens the lockstep wavefront to R*spp lanes: the per-step
@@ -630,7 +631,8 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
         carry, _ = jax.lax.scan(bounce_body, carry,
                                 jnp.arange(max_bounces, dtype=jnp.int32))
         rad = carry[2]
-        return rad.reshape(spp, R, 3).mean(0) if spp > 1 else rad
+        rad = rad.reshape(spp, R, 3).mean(0) if spp > 1 else rad
+        return (rad, jnp.int32(0)) if with_stats else rad
 
     carry, _ = jax.lax.scan(bounce_body, carry,
                             jnp.arange(COMPACT_START, dtype=jnp.int32))
@@ -639,6 +641,11 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
     # per-PIXEL radiance accumulator (sum over that pixel's spp lanes)
     rad_pix = (rad_full.reshape(spp, R, 3).sum(0) if spp > 1 else rad_full)
 
+    # capacity-RR overflow observability: still-live lanes past CAP are
+    # dropped (the ~exp(-cap/50) tail documented above) — count them so a
+    # scene that saturates the 0.8*cap headroom is visible in stats, like
+    # the ReSTIR overflow counter.
+    n_dropped = jnp.int32(0)
     for b in range(COMPACT_START, max_bounces):
         fi = min(b - COMPACT_START, len(CAP_FRACS) - 1)
         cap = min(max((int(RS * CAP_FRACS[fi]) // 1024) * 1024,
@@ -655,6 +662,8 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
                                  / jnp.maximum(n_act.astype(jnp.float32),
                                                1.0))
             keep = active & (u_c < p_keep)
+            n_dropped = n_dropped + jnp.maximum(
+                jnp.sum(keep.astype(jnp.int32)) - cap, 0)
             throughput = throughput / p_keep
             rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
             slot = jnp.where(keep & (rank < cap), rank, cap)
@@ -685,7 +694,8 @@ def trace_paths(gpu, rt: SceneRT, vc, settings, height: int, width: int,
              prev_pdf, pix_l, frame_l), jnp.int32(b))
         rad_pix = rad_pix.at[pix_l].add(rad_local, mode="drop")
 
-    return rad_pix / spp if spp > 1 else rad_pix
+    rad_pix = rad_pix / spp if spp > 1 else rad_pix
+    return (rad_pix, n_dropped) if with_stats else rad_pix
 
 
 class PathTracerRenderer:
@@ -718,17 +728,18 @@ class PathTracerRenderer:
 
     def _step(self, gpu, rt, vc, settings, accum, n_accum, exposure, dt):
         # n_accum counts SAMPLES; the RNG frame index is the spp-frame ordinal
-        sample = trace_paths(gpu, rt, vc, settings, self.height, self.width,
-                             n_accum // self.spp, self.max_bounces,
-                             self.rr_start, env_as_lights=self.env_as_lights,
-                             spp=self.spp)
+        sample, dropped = trace_paths(
+            gpu, rt, vc, settings, self.height, self.width,
+            n_accum // self.spp, self.max_bounces,
+            self.rr_start, env_as_lights=self.env_as_lights,
+            spp=self.spp, with_stats=True)
         sample = sample.reshape(self.height, self.width, 3)
         w = self.spp / (n_accum.astype(jnp.float32) + self.spp)
         accum = accum * (1.0 - w) + sample * w
         hist = postops.luminance_histogram(accum)
         exposure = postops.exposure_adapt(hist, exposure, dt, settings)
         ldr = postops.tonemap_to_output(accum, exposure)
-        return ldr, accum, exposure
+        return ldr, accum, exposure, dropped
 
     def render(self, gpu, vc, settings, dt: float = 1 / 60):
         assert self.rt is not None, "call ensure_rt(scene, gpu) first"
@@ -740,8 +751,10 @@ class PathTracerRenderer:
             self._prev_view = vm
         if self._jitted is None:
             self._jitted = jax.jit(self._step, donate_argnums=(4,))
-        ldr, self.accum, self.exposure = self._jitted(
+        ldr, self.accum, self.exposure, dropped = self._jitted(
             gpu, self.rt, vc, settings, self.accum,
             jnp.int32(self.num_accum), self.exposure, jnp.float32(dt))
+        # capacity-RR overflow dashboard row (cf. ReSTIR's overflow counter)
+        self.last_stats = {"pt_dropped_lanes": dropped}
         self.num_accum += self.spp
         return ldr, jnp.int32(0)

@@ -565,7 +565,9 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
             # surface point — the classic reduced-res shadow approximation,
             # absorbed by RELAX+TAA); mismatched-winner lanes re-trace
             # EXACTLY in a compacted wavefront, so the reuse never crosses a
-            # light boundary. Backend-neutral: the golden gates measure it.
+            # light boundary. The golden gates run full-rate (guard above);
+            # this path is covered by the monkeypatched unit test
+            # (test_reduced_rate_visibility_matches_full_rate).
             Hh, Wh = -(-H // vs), -(-W // vs)
 
             def sub2(a2):

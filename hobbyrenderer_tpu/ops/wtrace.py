@@ -301,8 +301,9 @@ def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
                  leaf_frac=None, unroll=None):
     """Run up to max_iters census-scheduled steps on every block.
 
-    rays (G, 8, 8, 128); cur/live/btri (G, 8, 128) i32; mask (G, M, 8, 128);
-    bt (G, 8, 128) f32. Returns (cur, mask, live, bt, btri)."""
+    rays (G, 8, SUB, 128); cur/live/btri (G, SUB, 128) i32;
+    mask (G, M, SUB, 128); bt (G, SUB, 128) f32, SUB = RB/128.
+    Returns (cur, mask, live, bt, btri)."""
     G = rays.shape[0]
     kern = functools.partial(_wtrace_kernel, I=I, Ip=Ip, M=M, K=K,
                              any_hit=any_hit, max_iters=max_iters,

@@ -210,8 +210,13 @@ class Renderer:
                     print(f"[tune] ignoring {kind} knob '{k}'")
                 continue
             cur = getattr(s, k)
-            updates[k] = (tuple(v) if isinstance(cur, (tuple, list))
-                          else type(cur)(v))
+            try:
+                updates[k] = (tuple(v) if isinstance(cur, (tuple, list))
+                              else type(cur)(v))
+            except (TypeError, ValueError):
+                if k not in self._tune_warned:
+                    self._tune_warned.add(k)
+                    print(f"[tune] ignoring knob '{k}': bad value {v!r}")
         if updates:
             self.config = _dc.replace(cfg, settings=_dc.replace(s, **updates))
 
