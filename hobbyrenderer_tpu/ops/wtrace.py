@@ -56,14 +56,25 @@ BIG = 3.0e38
 
 def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
                    int_ref, leaf_hbm,
-                   cur_o, mask_o, live_o, bt_o, btri_o,
-                   idx_vmem, idx_smem, leafbuf, dsem, ssem,
+                   cur_o, mask_o, live_o, bt_o, btri_o, steps_o,
+                   idx_vmem, idx_smem, leafbuf, stage_vmem, dsem, ssem,
                    *, I: int, Ip: int, M: int, K: int, any_hit: bool,
                    max_iters: int, leaf_frac: int = LEAF_FRAC_NUM,
                    unroll: int = DMA_UNROLL):
     """One ray block. rays_ref (1, 8, SUB, 128): planes [ox oy oz dx dy dz
     tmin unused]; cur/live/btri (1, SUB, 128) i32; mask (1, M, SUB, 128);
-    bt (1, SUB, 128) f32. int_ref (96, Ip) bf16 VMEM; leaf_hbm (L, 128) f32."""
+    bt (1, SUB, 128) f32. int_ref (96, Ip) bf16 VMEM; leaf_hbm (L, 128) f32.
+
+    Census-triggered iterations are COMBINED steps: the at-leaf lanes' row
+    DMAs are issued first (one scalar loop), the interior lanes' one-hot
+    matmul step runs while those DMAs fly, then ONE bulk semaphore wait
+    drains all of them and the leaf triangle tests run. Versus the r4
+    either/or schedule this (a) hides the DMA flight time under MXU work,
+    (b) advances interior lanes during leaf iterations (fewer total
+    iterations), and (c) replaces the per-copy drain loop (RB scalar
+    iterations) with a single wait. The scalar ISSUE loop stays at census
+    cadence — the r4 measured dead end (issue every iteration, reverted
+    commit 473d976) is not reintroduced."""
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
@@ -187,17 +198,22 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
         trail_pop(cur, lvl, do & ~has_int, descend, near)
         return jnp.int32(0)
 
-    def leaf_step():
+    def leaf_issue():
+        """Snapshot the at-leaf lane set and fire their row DMAs."""
         cur = cur_o[0]
         live = live_o[0] > 0
         do = live & (cur >= I)
-        lvl = level_of(cur)
+        # the snapshot matters: the interior step running while these DMAs
+        # fly may descend interior lanes INTO leaves — those lanes have no
+        # row in flight and must wait for the next census
+        stage_vmem[...] = do.astype(jnp.int32)
         # stage lane -> leaf-row indices into SMEM for the scalar issue loop.
         # EVERY lane issues a DMA (non-leaf lanes fetch row 0 — masked out by
-        # `do` below): the branch-free unrolled loop is ~2x cheaper per lane
-        # than a conditional issue + per-row drain, and the extra rows cost
-        # only HBM bandwidth (1024 x 512 B = 0.6 us/step at peak vs the
-        # scalar loop's tens of us).
+        # the snapshot below). MEASURED r5: a pl.when-conditional issue
+        # (skip dead lanes, ~5/6 of the block) ran 1.4x SLOWER than this
+        # branch-free loop — per-lane scalar branches cost more than the
+        # skipped descriptor setups, with the drain as a single bulk wait
+        # either way. Branch-free stays.
         idx_vmem[...] = jnp.where(do, cur - I, 0)
         cp = pltpu.make_async_copy(idx_vmem, idx_smem, ssem)
         cp.start()
@@ -213,18 +229,18 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
             return n
 
         jax.lax.fori_loop(0, RB // unroll, issue, jnp.int32(0))
+        return jnp.int32(0)
 
-        def drain(j, n):
-            r = j * unroll
-            for u in range(unroll):
-                rr = r + u
-                pltpu.make_async_copy(
-                    leaf_hbm.at[idx_smem[rr // LANE, rr % LANE]],
-                    leafbuf.at[rr], dsem).wait()
-            return n
+    def leaf_finish():
+        # ONE bulk wait for all RB row copies: the DMA semaphore counts
+        # bytes, so a wait sized as the whole destination buffer drains
+        # every per-row copy issued on it (the r4 kernel's per-copy drain
+        # loop was RB more scalar iterations for the same barrier)
+        pltpu.make_async_copy(leafbuf, leafbuf, dsem).wait()
 
-        jax.lax.fori_loop(0, RB // unroll, drain, jnp.int32(0))
-
+        cur = cur_o[0]
+        do = stage_vmem[...] > 0
+        lvl = level_of(cur)
         bt = bt_o[0]
         btri = btri_o[0]
         bt_rows = []
@@ -232,39 +248,44 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
         for s in range(SUB):
             chunk = leafbuf[pl.ds(s * LANE, LANE), :]         # (128, 128)
             T = jnp.transpose(chunk)                          # cols -> lanes
+            # SUBLANE-PACKED Moller-Trumbore: all K triangle records stacked
+            # as (K, 128) arrays, so the ~45-op test runs once over 2-vreg
+            # tiles instead of K times over (1, 128) rows (r4 measured the
+            # sequential form; the packed form is ~6x fewer VPU instructions
+            # for identical results — argmin picks the same first-minimal k
+            # the sequential strict-< scan did)
+            stk = lambda j: jnp.stack([T[10 * k + j] for k in range(K)])
+            v0x, v0y, v0z = stk(0), stk(1), stk(2)            # (K, 128)
+            e1x, e1y, e1z = stk(3), stk(4), stk(5)
+            e2x, e2y, e2z = stk(6), stk(7), stk(8)
+            tid = stk(9)
             do_s = do[s][None]                                # (1, 128)
             oxs, oys, ozs = ox[s][None], oy[s][None], oz[s][None]
             dxs, dys, dzs = dx[s][None], dy[s][None], dz[s][None]
-            tbest = jnp.full((1, LANE), BIG)
-            tid_b = jnp.full((1, LANE), -1.0)
-            for k in range(K):
-                b = 10 * k
-                v0x, v0y, v0z = T[b][None], T[b + 1][None], T[b + 2][None]
-                e1x, e1y, e1z = T[b + 3][None], T[b + 4][None], T[b + 5][None]
-                e2x, e2y, e2z = T[b + 6][None], T[b + 7][None], T[b + 8][None]
-                tid = T[b + 9][None]
-                px = dys * e2z - dzs * e2y
-                py = dzs * e2x - dxs * e2z
-                pz = dxs * e2y - dys * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                sx, sy, sz = oxs - v0x, oys - v0y, ozs - v0z
-                uu = (sx * px + sy * py + sz * pz) * inv_det
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = (dxs * qx + dys * qy + dzs * qz) * inv_det
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                thit = ((jnp.abs(det) > 1e-12) & (uu >= -1e-7)
-                        & (vv >= -1e-7) & (uu + vv <= 1.0 + 1e-7)
-                        & (tt > tmin[s][None]) & (tt < bt[s][None])
-                        & (tid >= 0.0) & do_s)
-                tc = jnp.where(thit, tt, BIG)
-                take = tc < tbest       # strict: first minimal k wins
-                tbest = jnp.where(take, tc, tbest)
-                tid_b = jnp.where(take, tid, tid_b)
-            lhit = tbest < bt[s][None]
-            bt_rows.append(jnp.where(lhit, tbest, bt[s][None])[0])
+            px = dys * e2z - dzs * e2y
+            py = dzs * e2x - dxs * e2z
+            pz = dxs * e2y - dys * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            sx, sy, sz = oxs - v0x, oys - v0y, ozs - v0z
+            uu = (sx * px + sy * py + sz * pz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = (dxs * qx + dys * qy + dzs * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            thit = ((jnp.abs(det) > 1e-12) & (uu >= -1e-7)
+                    & (vv >= -1e-7) & (uu + vv <= 1.0 + 1e-7)
+                    & (tt > tmin[s][None]) & (tt < bt[s][None])
+                    & (tid >= 0.0) & do_s)                    # (K, 128)
+            tc = jnp.where(thit, tt, BIG)
+            kbest = jnp.argmin(tc, axis=0).astype(jnp.int32)  # (128,) first
+            tmin_leaf = jnp.min(tc, axis=0)[None]             # (1, 128)
+            krow = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 0)
+            tid_b = jnp.sum(jnp.where(krow == kbest[None], tid, 0.0),
+                            axis=0)[None]                     # (1, 128)
+            lhit = tmin_leaf < bt[s][None]
+            bt_rows.append(jnp.where(lhit, tmin_leaf, bt[s][None])[0])
             tri_rows.append(jnp.where(
                 lhit, tid_b, btri[s][None].astype(jnp.float32))[0])
         bt_o[0] = jnp.stack(bt_rows, 0)
@@ -276,20 +297,34 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
             live_o[0] = jnp.where(btri_o[0] >= 0, 0, live_o[0])
         return jnp.int32(0)
 
+    def combined_step(n_int):
+        leaf_issue()
+        # interior lanes advance while the leaf-row DMAs are in flight —
+        # the matmul step never touches leafbuf or the staged lane set
+        jax.lax.cond(n_int > 0, int_step, lambda: jnp.int32(0))
+        return leaf_finish()
+
     def cond(c):
-        i, n_work = c
+        i, n_work, _ = c
         return (n_work > 0) & (i < max_iters)
 
     def body(c):
-        i, _ = c
+        i, _, n_leafsteps = c
         n_leaf, n_int = counts()
         do_leaf = (leaf_frac * n_leaf >= n_leaf + n_int) | (n_int == 0)
-        jax.lax.cond(do_leaf, leaf_step, int_step)
+        jax.lax.cond(do_leaf, lambda: combined_step(n_int), int_step)
         nl, ni = counts()
-        return i + 1, nl + ni
+        return i + 1, nl + ni, n_leafsteps + do_leaf.astype(jnp.int32)
 
     n_leaf0, n_int0 = counts()
-    jax.lax.while_loop(cond, body, (jnp.int32(0), n_leaf0 + n_int0))
+    it, _, nls = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), n_leaf0 + n_int0, jnp.int32(0)))
+    # per-block schedule observability: [iterations, census leaf steps]
+    # (iota masks, not .at[].set — Mosaic has no scatter)
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+    steps_o[0] = jnp.where((row == 0) & (col == 0), it,
+                           jnp.where((row == 0) & (col == 1), nls, 0))
 
 
 @functools.partial(jax.jit,
@@ -303,7 +338,8 @@ def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
 
     rays (G, 8, SUB, 128); cur/live/btri (G, SUB, 128) i32;
     mask (G, M, SUB, 128); bt (G, SUB, 128) f32, SUB = RB/128.
-    Returns (cur, mask, live, bt, btri)."""
+    Returns (cur, mask, live, bt, btri, steps) where steps (G, SUB, LANE)
+    carries [iterations, census leaf steps] in lanes [0,0]/[0,1]."""
     G = rays.shape[0]
     kern = functools.partial(_wtrace_kernel, I=I, Ip=Ip, M=M, K=K,
                              any_hit=any_hit, max_iters=max_iters,
@@ -331,12 +367,13 @@ def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
             blk3,
             pl.BlockSpec((1, M, SUB, LANE), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            blk3, blk3, blk3,
+            blk3, blk3, blk3, blk3,
         ],
         scratch_shapes=[
             pltpu.VMEM((SUB, LANE), jnp.int32),       # idx staging
             pltpu.SMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((RB, LANE), jnp.float32),      # leaf rows
+            pltpu.VMEM((SUB, LANE), jnp.int32),       # staged at-leaf set
             pltpu.SemaphoreType.DMA(()),              # leaf-row DMAs
             pltpu.SemaphoreType.DMA(()),              # idx VMEM->SMEM
         ],
@@ -348,6 +385,7 @@ def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
                    jax.ShapeDtypeStruct((G, M, SUB, LANE), jnp.int32),
                    jax.ShapeDtypeStruct((G, SUB, LANE), jnp.int32),
                    jax.ShapeDtypeStruct((G, SUB, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((G, SUB, LANE), jnp.int32),
                    jax.ShapeDtypeStruct((G, SUB, LANE), jnp.int32)),
         interpret=interpret,
     )(rays, cur, mask, live, bt, btri, int_bf, leaf_rw)
@@ -417,7 +455,7 @@ def _traverse_w(bvh: BVH16, o, d, t_min, t_max, any_hit: bool,
         def unblk(vb):
             return vb.reshape((Rp,) + vb.shape[3:])[:Rc]
 
-        cb, maskb, liveb, btb, btrib = wtrace_phase(
+        cb, maskb, liveb, btb, btrib, _steps = wtrace_phase(
             rays, blk(cur), blk(mask).transpose(0, 3, 1, 2),
             blk(live.astype(jnp.int32)), blk(best_t), blk(best_tri, -1),
             int_bf, leaf_rw, I=I, Ip=Ip, M=M, K=K, any_hit=any_hit,
