@@ -131,6 +131,16 @@ def boiling_filter_mask(w_sum_2d, live_2d, mult: float = 20.0,
     return live_2d & (w_sum_2d > mult * jnp.maximum(mean, 1e-20))
 
 
+# Kernel-path selector for the TPU-only stages (tile-modal beam winner
+# visibility, fused Pallas candidates). "auto" = kernels on TPU, XLA
+# elsewhere; "xla" forces the plain XLA path EVEN on TPU — the lever the
+# kernel-parity diagnostics (scripts/diag_tpu_quality.py) and the golden
+# gates use to attribute TPU-vs-CPU image differences to a specific kernel.
+KERNEL_MODE = "auto"
+
+# census-iteration budget for the straggler (minority-winner) re-trace
+STRAGGLER_STEPS = 20
+
 def _winner_occlusion(rt, o, L_vis, tmax, shoot, y_ids, H, W,
                       force_kernel: bool, stats_out: dict):
     """One occlusion bit per lane for the ReSTIR winner rays (R = H*W lanes).
@@ -141,7 +151,7 @@ def _winner_occlusion(rt, o, L_vis, tmax, shoot, y_ids, H, W,
     on-chip walk (measured: one unsplit beam pass degenerated to 1.46 s at
     1080p when lanes mixed winners). CPU: plain wavefront any-hit."""
     R = H * W
-    if getattr(rt, "btable", None) is not None \
+    if getattr(rt, "btable", None) is not None and KERNEL_MODE != "xla" \
             and (jax.default_backend() == "tpu" or force_kernel):
         from hobbyrenderer_tpu.ops import beam as beamops
         interp = force_kernel and jax.default_backend() != "tpu"
@@ -178,7 +188,8 @@ def _winner_occlusion(rt, o, L_vis, tmax, shoot, y_ids, H, W,
             if _use_wtrace(rt) and jax.default_backend() == "tpu":
                 from hobbyrenderer_tpu.ops import wtrace as wtops
                 occ_c = wtops.wtrace_any_hit(rt.bvh16, o_c, d_c,
-                                             t_max=tm_c, max_steps=20)
+                                             t_max=tm_c,
+                                             max_steps=STRAGGLER_STEPS)
             else:
                 from hobbyrenderer_tpu.ops import bvh16 as b16ops
                 occ_c = b16ops.bvh16_any_hit(rt.bvh16, o_c, d_c,
@@ -359,7 +370,8 @@ def restir_di(gpu, rt, gb, vc, settings, prev: Reservoir, frame_index,
         return rolled.reshape(H, Wp, CH)[:, :Wc].reshape(Rc, CH)
 
     # ---- initial candidates (GenerateInitialSamples) ----
-    if jax.default_backend() == "tpu" or force_kernel:
+    if (jax.default_backend() == "tpu" or force_kernel) \
+            and KERNEL_MODE != "xla":
         # fused Pallas kernel: chunk DMA + p-hat + RIS update in VMEM
         # (ops/restir_pallas.py; statistically identical draws to the XLA
         # loop below — same tiles, slots, and counter RNG)

@@ -353,8 +353,10 @@ def restir_gi(gpu, rt, gb, vc, settings, prev: GIReservoir, frame_index,
     tmax_v = jnp.where(shoot, tmax_t, 1e-4)
     if stats_out is not None:
         stats_out["overflow"] = jnp.int32(0)
+    from hobbyrenderer_tpu.ops import restir as _restir
     if getattr(rt, "btable", None) is not None \
-            and jax.default_backend() == "tpu":
+            and jax.default_backend() == "tpu" \
+            and _restir.KERNEL_MODE != "xla":
         # post-spatial-reuse neighbors share samples, so receiver->sample
         # rays are tile-coherent: beam kernel (ops/beam.py)
         from hobbyrenderer_tpu.ops import beam as beamops

@@ -51,6 +51,11 @@ RB = 2048          # rays per block: (16, 128) lanes — larger blocks amortize
 SUB, LANE = RB // 128, 128
 LEAF_FRAC_NUM = 2  # census: leaf step when leaves >= 1/2 of live (TPU sweep winner)
 DMA_UNROLL = 8     # scalar issue/drain loop unroll (TPU sweep winner)
+NQ = 8             # DMA semaphore stripes for the leaf-row fetches: the r5
+#                    census data pins the leaf step at ~60 us for 2048 rows
+#                    (~29 ns/row) while XLA's gather achieves ~10.6 ns/row on
+#                    the same part — striping the copies across NQ semaphores
+#                    lets the hardware overlap more of the random 512 B reads
 BIG = 3.0e38
 
 
@@ -225,18 +230,22 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
                 rr = r + u
                 pltpu.make_async_copy(
                     leaf_hbm.at[idx_smem[rr // LANE, rr % LANE]],
-                    leafbuf.at[rr], dsem).start()
+                    leafbuf.at[rr], dsem.at[rr % NQ]).start()
             return n
 
         jax.lax.fori_loop(0, RB // unroll, issue, jnp.int32(0))
         return jnp.int32(0)
 
     def leaf_finish():
-        # ONE bulk wait for all RB row copies: the DMA semaphore counts
-        # bytes, so a wait sized as the whole destination buffer drains
-        # every per-row copy issued on it (the r4 kernel's per-copy drain
-        # loop was RB more scalar iterations for the same barrier)
-        pltpu.make_async_copy(leafbuf, leafbuf, dsem).wait()
+        # ONE bulk wait per stripe: the DMA semaphore counts bytes, so a
+        # wait sized as that stripe's share of the destination drains every
+        # per-row copy issued on it (the r4 kernel's per-copy drain loop was
+        # RB more scalar iterations for the same barrier). rr % NQ striping
+        # keeps each stripe's share exactly RB/NQ rows (RB % NQ == 0).
+        for q in range(NQ):
+            pltpu.make_async_copy(leafbuf.at[pl.ds(0, RB // NQ)],
+                                  leafbuf.at[pl.ds(0, RB // NQ)],
+                                  dsem.at[q]).wait()
 
         cur = cur_o[0]
         do = stage_vmem[...] > 0
@@ -374,7 +383,7 @@ def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
             pltpu.SMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((RB, LANE), jnp.float32),      # leaf rows
             pltpu.VMEM((SUB, LANE), jnp.int32),       # staged at-leaf set
-            pltpu.SemaphoreType.DMA(()),              # leaf-row DMAs
+            pltpu.SemaphoreType.DMA((NQ,)),           # leaf-row DMA stripes
             pltpu.SemaphoreType.DMA(()),              # idx VMEM->SMEM
         ],
     )
