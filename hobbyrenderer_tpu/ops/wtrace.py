@@ -51,11 +51,20 @@ RB = 2048          # rays per block: (16, 128) lanes — larger blocks amortize
 SUB, LANE = RB // 128, 128
 LEAF_FRAC_NUM = 2  # census: leaf step when leaves >= 1/2 of live (TPU sweep winner)
 DMA_UNROLL = 8     # scalar issue/drain loop unroll (TPU sweep winner)
-NQ = 8             # DMA semaphore stripes for the leaf-row fetches: the r5
-#                    census data pins the leaf step at ~60 us for 2048 rows
-#                    (~29 ns/row) while XLA's gather achieves ~10.6 ns/row on
-#                    the same part — striping the copies across NQ semaphores
-#                    lets the hardware overlap more of the random 512 B reads
+NQ = 8             # DMA semaphore stripes for the leaf-row fetches (neutral
+#                    in the r5 measurement — kept for the bulk-wait structure)
+WIN = 1            # leaf rows fetched per descriptor. The r5 step census pins
+#                    the leaf step at ~60 us ~= RB x ~29 ns of scalar
+#                    descriptor issue (drain removal, DMA striping, packed MT
+#                    and int-overlap were ALL neutral). WIN>1 fetches a
+#                    window of following sibling leaves per descriptor and
+#                    multi-clears their trail bits (safe: a pruned box cannot
+#                    contain a valid hit and best_t culls the rest; exact
+#                    agreement measured 1.0000 at WIN=4) — but WIN=4 was
+#                    ALSO speed-neutral on the 528k-tri stress scene (visited
+#                    siblings are rarely within +3 ids), so it defaults off;
+#                    the mechanism stays for fatter-leaf builds where
+#                    clustering is denser.
 BIG = 3.0e38
 
 
@@ -80,6 +89,7 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
     iterations) with a single wait. The scalar ISSUE loop stays at census
     cadence — the r4 measured dead end (issue every iteration, reverted
     commit 473d976) is not reintroduced."""
+    L = leaf_hbm.shape[0]
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
@@ -212,6 +222,7 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
         # fly may descend interior lanes INTO leaves — those lanes have no
         # row in flight and must wait for the next census
         stage_vmem[...] = do.astype(jnp.int32)
+        WN = min(WIN, L)
         # stage lane -> leaf-row indices into SMEM for the scalar issue loop.
         # EVERY lane issues a DMA (non-leaf lanes fetch row 0 — masked out by
         # the snapshot below). MEASURED r5: a pl.when-conditional issue
@@ -219,7 +230,7 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
         # branch-free loop — per-lane scalar branches cost more than the
         # skipped descriptor setups, with the drain as a single bulk wait
         # either way. Branch-free stays.
-        idx_vmem[...] = jnp.where(do, cur - I, 0)
+        idx_vmem[...] = jnp.clip(jnp.where(do, cur - I, 0), 0, L - WN)
         cp = pltpu.make_async_copy(idx_vmem, idx_smem, ssem)
         cp.start()
         cp.wait()
@@ -229,7 +240,7 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
             for u in range(unroll):
                 rr = r + u
                 pltpu.make_async_copy(
-                    leaf_hbm.at[idx_smem[rr // LANE, rr % LANE]],
+                    leaf_hbm.at[pl.ds(idx_smem[rr // LANE, rr % LANE], WN)],
                     leafbuf.at[rr], dsem.at[rr % NQ]).start()
             return n
 
@@ -247,6 +258,7 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
                                   leafbuf.at[pl.ds(0, RB // NQ)],
                                   dsem.at[q]).wait()
 
+        WN = min(WIN, L)
         cur = cur_o[0]
         do = stage_vmem[...] > 0
         lvl = level_of(cur)
@@ -254,23 +266,28 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
         btri = btri_o[0]
         bt_rows = []
         tri_rows = []
+        krow = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 0)
         for s in range(SUB):
-            chunk = leafbuf[pl.ds(s * LANE, LANE), :]         # (128, 128)
+          # running best across the WN window rows: strict-< keeps the
+          # FIRST minimal hit in w order = ascending sibling id order =
+          # exactly the XLA walk's visit order
+          cur_bt = bt[s][None]                                # (1, 128)
+          cur_tri = btri[s][None].astype(jnp.float32)
+          do_s = do[s][None]                                  # (1, 128)
+          oxs, oys, ozs = ox[s][None], oy[s][None], oz[s][None]
+          dxs, dys, dzs = dx[s][None], dy[s][None], dz[s][None]
+          for w in range(WN):
+            chunk = leafbuf[pl.ds(s * LANE, LANE), w, :]      # (128, 128)
             T = jnp.transpose(chunk)                          # cols -> lanes
             # SUBLANE-PACKED Moller-Trumbore: all K triangle records stacked
             # as (K, 128) arrays, so the ~45-op test runs once over 2-vreg
-            # tiles instead of K times over (1, 128) rows (r4 measured the
-            # sequential form; the packed form is ~6x fewer VPU instructions
-            # for identical results — argmin picks the same first-minimal k
-            # the sequential strict-< scan did)
+            # tiles instead of K times over (1, 128) rows — argmin picks the
+            # same first-minimal k the sequential strict-< scan did
             stk = lambda j: jnp.stack([T[10 * k + j] for k in range(K)])
             v0x, v0y, v0z = stk(0), stk(1), stk(2)            # (K, 128)
             e1x, e1y, e1z = stk(3), stk(4), stk(5)
             e2x, e2y, e2z = stk(6), stk(7), stk(8)
             tid = stk(9)
-            do_s = do[s][None]                                # (1, 128)
-            oxs, oys, ozs = ox[s][None], oy[s][None], oz[s][None]
-            dxs, dys, dzs = dx[s][None], dy[s][None], dz[s][None]
             px = dys * e2z - dzs * e2y
             py = dzs * e2x - dxs * e2z
             pz = dxs * e2y - dys * e2x
@@ -285,20 +302,37 @@ def _wtrace_kernel(rays_ref, cur_ref, mask_ref, live_ref, bt_ref, btri_ref,
             tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             thit = ((jnp.abs(det) > 1e-12) & (uu >= -1e-7)
                     & (vv >= -1e-7) & (uu + vv <= 1.0 + 1e-7)
-                    & (tt > tmin[s][None]) & (tt < bt[s][None])
+                    & (tt > tmin[s][None]) & (tt < cur_bt)
                     & (tid >= 0.0) & do_s)                    # (K, 128)
             tc = jnp.where(thit, tt, BIG)
             kbest = jnp.argmin(tc, axis=0).astype(jnp.int32)  # (128,) first
             tmin_leaf = jnp.min(tc, axis=0)[None]             # (1, 128)
-            krow = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 0)
             tid_b = jnp.sum(jnp.where(krow == kbest[None], tid, 0.0),
                             axis=0)[None]                     # (1, 128)
-            lhit = tmin_leaf < bt[s][None]
-            bt_rows.append(jnp.where(lhit, tmin_leaf, bt[s][None])[0])
-            tri_rows.append(jnp.where(
-                lhit, tid_b, btri[s][None].astype(jnp.float32))[0])
+            lhit = tmin_leaf < cur_bt
+            cur_bt = jnp.where(lhit, tmin_leaf, cur_bt)
+            cur_tri = jnp.where(lhit, tid_b, cur_tri)
+          bt_rows.append(cur_bt[0])
+          tri_rows.append(cur_tri[0])
         bt_o[0] = jnp.stack(bt_rows, 0)
         btri_o[0] = jnp.round(jnp.stack(tri_rows, 0)).astype(jnp.int32)
+
+        # multi-clear: every pending SIBLING leaf inside the fetched window
+        # was fully tested above — drop its trail bit so the walk never
+        # re-fetches it (this is the descriptor-count lever: one WIN-row DMA
+        # retires up to WIN leaf visits)
+        if WN > 1:
+            wstart = jnp.clip(cur - I, 0, L - WN)             # staged rows
+            par = (cur - 1) >> 4
+            base_c = (I + wstart) - (16 * par + 1)            # child of row 0
+            clear = jnp.zeros_like(cur)
+            for j in range(WN):
+                cj = base_c + j
+                okj = (cj >= 0) & (cj < 16)
+                clear = clear | jnp.where(okj,
+                                          1 << jnp.clip(cj, 0, 15), 0)
+            mask_o[0, M - 1] = jnp.where(do, mask_o[0, M - 1] & ~clear,
+                                         mask_o[0, M - 1])
 
         near0 = jnp.zeros((SUB, LANE), jnp.int32)
         trail_pop(cur, lvl, do, jnp.zeros((SUB, LANE), bool), near0)
@@ -350,6 +384,7 @@ def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
     Returns (cur, mask, live, bt, btri, steps) where steps (G, SUB, LANE)
     carries [iterations, census leaf steps] in lanes [0,0]/[0,1]."""
     G = rays.shape[0]
+    L = leaf_rw.shape[0]
     kern = functools.partial(_wtrace_kernel, I=I, Ip=Ip, M=M, K=K,
                              any_hit=any_hit, max_iters=max_iters,
                              leaf_frac=(LEAF_FRAC_NUM if leaf_frac is None
@@ -381,7 +416,7 @@ def wtrace_phase(rays, cur, mask, live, bt, btri, int_bf, leaf_rw, *,
         scratch_shapes=[
             pltpu.VMEM((SUB, LANE), jnp.int32),       # idx staging
             pltpu.SMEM((SUB, LANE), jnp.int32),
-            pltpu.VMEM((RB, LANE), jnp.float32),      # leaf rows
+            pltpu.VMEM((RB, min(WIN, L), LANE), jnp.float32),  # leaf rows
             pltpu.VMEM((SUB, LANE), jnp.int32),       # staged at-leaf set
             pltpu.SemaphoreType.DMA((NQ,)),           # leaf-row DMA stripes
             pltpu.SemaphoreType.DMA(()),              # idx VMEM->SMEM

@@ -1,7 +1,29 @@
-"""Golden-image gate: the deferred rasterizer must agree with the path tracer
+"""Golden-image gates: the deferred renderers must agree with the path tracer
 on a shared scene (the project's own acceptance metric — BASELINE.md targets
-RMSE <= 1e-2 vs reference output; this gate starts looser and tightens as the
-real-time approximations converge on the PT ground truth)."""
+RMSE <= 1e-2 vs reference output; these gates start looser and tighten as the
+real-time approximations converge on the PT ground truth).
+
+r5 measuring-stick overhaul (VERDICT r4 #3):
+- the PT reference is 192 spp (96 spp at 256x192), DISK-CACHED per content
+  digest (tests/golden_ref.py) — the old 48-spp reference carried a ~0.047
+  RMSE noise floor the gates could not see through (the 192-spp floor is
+  ~0.023, measured ref48-vs-ref192 RMSE 0.044 = pure accumulation noise);
+- the FLAGSHIP gate runs at NATURAL LOD select (VERDICT r4 #4 — the r3/r4
+  LOD_TARGET_PIXEL_ERROR=1e-6 override is gone); the LOD silhouette
+  allowance over the forced-LOD0 number is explicit below;
+- a separate LIGHTING gate keeps the forced-LOD0 comparison (it isolates
+  shading/transport error from mesh simplification error).
+
+Backend note (r5 finding): these gates measure the XLA paths (CPU backend in
+CI). The TPU kernel path measures ~0.03 HIGHER RMSE on the same scene
+(tile-modal beam visibility ~0.017, Pallas raster ~0.012 — see
+scripts/diag_tpu_quality.py); kernel-path parity is tracked there, not here.
+
+r5 measured (CPU backend, 8 virtual devices, 24 flagship frames):
+  96x64  natural-LOD 0.1299/corr 0.753   forced-LOD0 0.1102/0.795
+  256x192 natural-LOD 0.1428/corr 0.727  forced-LOD0 0.1203/0.779
+(LOD allowance: +0.020 at 96x64, +0.023 at 256x192.)
+"""
 
 import numpy as np
 import jax
@@ -9,36 +31,27 @@ import jax.numpy as jnp
 
 from hobbyrenderer_tpu.config import Config, RenderingMode
 from hobbyrenderer_tpu.renderer import Renderer
+from tests.golden_ref import pt_reference
 
 W, H = 96, 64
-# current gap: deferred NormalBasic approximates GI with SH-sky IBL ambient +
-# CSM/contact shadows, PT integrates transport exactly. Measured ~0.11 RMSE on
-# the cube scene; ratcheted down as quality work lands.
+# NormalBasic vs PT on the cube scene: deferred approximates GI with SH-sky
+# IBL ambient + CSM/contact shadows, PT integrates transport exactly.
 RMSE_GATE = 0.16
-# flagship Normal mode (the benched config) vs PT, compared at FORCED LOD0:
-# PT traces LOD0 geometry while the raster picks simplified LODs, and at this
-# tiny test resolution the LOD silhouette error dominates lighting error
-# (measured: RMSE 0.132 with LODs, 0.108 at LOD0 — same lighting). The gate
-# is a LIGHTING gate; mesh-simplification quality is gated in test_native.
-# History: r3 landed at 0.141/corr 0.72; sky-SH exitance at bounce hits +
-# PT-consistent transparent compositing + LOD0 brought it to 0.108/0.806;
-# r4 measures 0.1155 — AND establishes (scripts/diag_ptnoise.py) that the
-# 48-spp PT reference itself carries a ~0.047 RMSE noise floor, i.e. ~0.05
-# of this gate is reference variance, real error ~0.105. r4 ablations
-# (scripts/diag_{golden,texlod}.py): the indirect-mode choice moves RMSE
-# < 0.005 and texture LOD is NOT the gap (forced mip0 is WORSE) — the
-# residual is broad-band direct/shadow/filter differences.
-# Ratchet toward the 0.05 VERDICT-r2 target / 1e-2 BASELINE north star.
-FLAGSHIP_RMSE_GATE = 0.12
-FLAGSHIP_CORR_GATE = 0.78
-# the same comparison at 256x192 (VERDICT-r3 #4: a gate the 96x64 pixel
-# statistics cannot dominate); measured r4: 0.1239 / corr ~0.77
-FLAGSHIP_HI_RMSE_GATE = 0.14
-FLAGSHIP_HI_CORR_GATE = 0.74
+
+# flagship Normal (the benched config) vs 192-spp PT, NATURAL LOD select
+FLAGSHIP_RMSE_GATE = 0.14
+FLAGSHIP_CORR_GATE = 0.73
+# same comparison at forced LOD0 — the LIGHTING-only ratchet (history:
+# r3 0.141 -> 0.108 @48spp; r5 0.1102 @192spp ref)
+LIGHTING_RMSE_GATE = 0.118
+LIGHTING_CORR_GATE = 0.78
+# 256x192 (4x pixels, 96-spp ref): natural-LOD
+FLAGSHIP_HI_RMSE_GATE = 0.152
+FLAGSHIP_HI_CORR_GATE = 0.70
 
 
-def _render(mode, frames, scene="cube", **cfg_kw):
-    cfg = Config(scene=scene, width=W, height=H, mode=mode,
+def _render(mode, frames, scene="cube", width=None, height=None, **cfg_kw):
+    cfg = Config(scene=scene, width=width or W, height=height or H, mode=mode,
                  cache_dir=".hr_cache_test", **cfg_kw)
     r = Renderer(cfg)
     r.camera.jitter_enabled = False
@@ -49,13 +62,32 @@ def _render(mode, frames, scene="cube", **cfg_kw):
     return np.asarray(ldr).astype(np.float32) / 255.0
 
 
+def _flagship(width=None, height=None, lod0=False, frames=24):
+    from hobbyrenderer_tpu.ops import culling
+    old = culling.LOD_TARGET_PIXEL_ERROR
+    if lod0:
+        culling.LOD_TARGET_PIXEL_ERROR = 1e-6
+    try:
+        return _render(RenderingMode.NORMAL, frames, scene="stress:4",
+                       width=width, height=height,
+                       direct_mode="restir", indirect_mode="restir")
+    finally:
+        culling.LOD_TARGET_PIXEL_ERROR = old
+
+
+def _gate(ref, got, rmse_gate, corr_gate, label):
+    assert ref.shape == got.shape
+    rmse = float(np.sqrt(np.mean((ref - got) ** 2)))
+    corr = float(np.corrcoef(ref.ravel(), got.ravel())[0, 1])
+    assert rmse < rmse_gate, f"{label} RMSE {rmse:.4f} (gate {rmse_gate})"
+    assert corr > corr_gate, f"{label} decorrelated: r={corr:.3f}"
+
+
 def test_deferred_matches_pathtracer_rmse():
     ref = _render(RenderingMode.PATH_TRACER, frames=24)   # 24 spp accumulated
     got = _render(RenderingMode.NORMAL_BASIC, frames=4)   # TAA settled
     assert ref.shape == got.shape
     rmse = float(np.sqrt(np.mean((ref - got) ** 2)))
-    # also check the images are actually correlated (catches gross breakage
-    # that a loose RMSE would let through)
     corr = float(np.corrcoef(ref.ravel(), got.ravel())[0, 1])
     assert rmse < RMSE_GATE, f"deferred vs PT RMSE {rmse:.4f} (gate {RMSE_GATE})"
     assert corr > 0.85, f"deferred vs PT decorrelated: r={corr:.3f}"
@@ -63,51 +95,31 @@ def test_deferred_matches_pathtracer_rmse():
 
 def test_flagship_matches_pathtracer():
     """The BENCHED mode — flagship Normal (ReSTIR DI + GI + traced specular +
-    RELAX + TAA), converged over a static camera — against high-spp PT ground
-    truth on a scene with emissive, glass AND textured materials (stress:4).
-    This gates the config bench.py measures, not just NormalBasic-on-a-cube
-    (BASELINE.md north star: RMSE <= 1e-2; tracked ratchet below)."""
-    from hobbyrenderer_tpu.ops import culling
-    old_err = culling.LOD_TARGET_PIXEL_ERROR
-    culling.LOD_TARGET_PIXEL_ERROR = 1e-6   # LOD0: match PT's geometry
-    try:
-        ref = _render(RenderingMode.PATH_TRACER, frames=48, scene="stress:4")
-        got = _render(RenderingMode.NORMAL, frames=24, scene="stress:4",
-                      direct_mode="restir", indirect_mode="restir")
-    finally:
-        culling.LOD_TARGET_PIXEL_ERROR = old_err
-    assert ref.shape == got.shape
-    rmse = float(np.sqrt(np.mean((ref - got) ** 2)))
-    corr = float(np.corrcoef(ref.ravel(), got.ravel())[0, 1])
-    assert rmse < FLAGSHIP_RMSE_GATE, \
-        f"flagship vs PT RMSE {rmse:.4f} (gate {FLAGSHIP_RMSE_GATE})"
-    assert corr > FLAGSHIP_CORR_GATE, \
-        f"flagship vs PT decorrelated: r={corr:.3f}"
+    RELAX + TAA), converged over a static camera, NATURAL LOD select —
+    against 192-spp cached PT ground truth on a scene with emissive, glass
+    AND textured materials (stress:4)."""
+    ref = pt_reference("stress:4", W, H, 192)
+    got = _flagship()
+    _gate(ref, got, FLAGSHIP_RMSE_GATE, FLAGSHIP_CORR_GATE, "flagship vs PT")
+
+
+def test_flagship_lighting_lod0():
+    """The LIGHTING ratchet: same comparison at forced LOD0 (PT traces LOD0
+    geometry), isolating shading/transport error from LOD silhouettes.
+    Mesh-simplification quality itself is gated in test_native."""
+    ref = pt_reference("stress:4", W, H, 192)
+    got = _flagship(lod0=True)
+    _gate(ref, got, LIGHTING_RMSE_GATE, LIGHTING_CORR_GATE,
+          "flagship(LOD0) vs PT")
 
 
 def test_flagship_matches_pathtracer_256x192():
-    """The flagship gate at 4x the pixel count (VERDICT-r3 #4) — same scene
-    and config as test_flagship_matches_pathtracer, higher resolution so the
-    metric isn't dominated by 96x64 pixel statistics."""
-    global W, H
-    from hobbyrenderer_tpu.ops import culling
-    old_err = culling.LOD_TARGET_PIXEL_ERROR
-    culling.LOD_TARGET_PIXEL_ERROR = 1e-6
-    oldWH = (W, H)
-    W, H = 256, 192
-    try:
-        ref = _render(RenderingMode.PATH_TRACER, frames=48, scene="stress:4")
-        got = _render(RenderingMode.NORMAL, frames=24, scene="stress:4",
-                      direct_mode="restir", indirect_mode="restir")
-    finally:
-        culling.LOD_TARGET_PIXEL_ERROR = old_err
-        W, H = oldWH
-    rmse = float(np.sqrt(np.mean((ref - got) ** 2)))
-    corr = float(np.corrcoef(ref.ravel(), got.ravel())[0, 1])
-    assert rmse < FLAGSHIP_HI_RMSE_GATE, \
-        f"flagship vs PT @256x192 RMSE {rmse:.4f}"
-    assert corr > FLAGSHIP_HI_CORR_GATE, \
-        f"flagship vs PT @256x192 decorrelated: r={corr:.3f}"
+    """The flagship gate at 4x the pixel count (VERDICT-r3 #4) — natural
+    LOD, 96-spp cached reference."""
+    ref = pt_reference("stress:4", 256, 192, 96)
+    got = _flagship(width=256, height=192)
+    _gate(ref, got, FLAGSHIP_HI_RMSE_GATE, FLAGSHIP_HI_CORR_GATE,
+          "flagship vs PT @256x192")
 
 
 def test_pathtracer_deterministic():
