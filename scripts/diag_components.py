@@ -98,11 +98,13 @@ vc = {k: jnp.asarray(v) for k, v in cam.view_constants(0).items()
       if isinstance(v, np.ndarray)}
 o, d = camera_rays(vc, H, W, jnp.zeros((H, W, 2)))
 hit = b16.bvh16_closest_hit(rt.bvh16, o, d)
-tri = np.asarray(hit.tri).reshape(H, W)
+stri = np.asarray(hit.tri).reshape(H, W)
+s2o = np.asarray(rt.split_to_orig)
+tri = np.where(stri >= 0, s2o[np.maximum(stri, 0)], -1)
 tm = np.asarray(rt.tri_mat)
 mat = np.where(tri >= 0, tm[np.maximum(tri, 0)], -1)
 amode = np.asarray(gpu.mat_i)[np.maximum(mat, 0), 0]
-sky_m = tri < 0
+sky_m = stri < 0
 glass_m = (~sky_m) & (amode == 2)
 opaque_m = (~sky_m) & (amode != 2)
 print(f"mask px: sky {sky_m.sum()} glass {glass_m.sum()} opaque {opaque_m.sum()}",
